@@ -1,0 +1,78 @@
+"""cmblensing_tpu — a TPU-native (JAX/XLA/Pallas) framework for Bayesian
+analysis of the gravitationally lensed CMB.
+
+Re-designed from scratch for TPU hardware with the capabilities of
+CMBLensing.jl (the Julia reference): flat-sky fields over batched jnp
+arrays, Fourier-diagonal covariances, LenseFlow ODE lensing with a
+continuous-adjoint custom VJP, Wiener filtering / MAP / HMC+Gibbs
+sampling / quadratic estimation of the lensing posterior
+
+    d = M(theta) B(theta) L(phi) f + n
+
+(see reference src/dataset.jl:59-66), with the simulation batch axis
+vmapped and sharded over a TPU device mesh.
+"""
+
+__version__ = "0.1.0"
+
+from .core.proj import ProjLambert
+from .core.basis import (
+    Basis, MAP, FOURIER, QU_MAP, QU_FOURIER, EB_MAP, EB_FOURIER,
+    IQU_MAP, IQU_FOURIER, IEB_MAP, IEB_FOURIER,
+    lense_basis, deriv_basis, harmonic_basis,
+)
+from .core.field import (
+    Field, from_maps, zeros_like_field, dot, norm,
+    batch, unbatch, batch_index, batch_length,
+)
+from .core.ops import (
+    Diag, Identity, Id, LazyOp, FuncOp, ParamDependentOp, BlockDiagIEB,
+    BandPass, HighPass, LowPass, MidPass, MidPasses,
+    gradient_ops, gradhess, logdet, logdet_rel, simulate_op,
+)
+from .core.cov import Cl_to_Cov, cov_to_Cl
+from .utils.cls import (
+    Cls, camb, load_camb_cls, noise_cls, beam_cls, extrapolate_cls, pixwin,
+)
+from .utils.masking import make_mask
+from .utils.spectra import get_Cl, get_Dl
+from .utils.ud_grade import ud_grade
+from .ops.solvers import rk4_integrate, conjugate_gradient, gmres
+from .models.lenseflow import LenseFlow, lense, get_max_lensing_step
+from .utils.timing import timed, timer_report, reset_timers
+
+# modules below land progressively; import lazily so partial builds work
+def _optional_imports():
+    pass
+
+
+try:
+    from .models.powerlens import PowerLens, antilensing
+    from .models.taylens import Taylens
+    from .models.bilinearlens import BilinearLens
+except ImportError:
+    pass
+try:
+    from .models.dataset import (
+        DataSet, NoLensingDataSet, BaseDataSet, Mixed,
+        mix, unmix, load_sim, load_nolensing_sim, simulate, logpdf,
+        gradientf_logpdf,
+    )
+    from .models.distributions import MvNormal
+    from .models.quadratic_estimate import quadratic_estimate
+except ImportError:
+    pass
+try:
+    from .inference.maximization import argmaxf_logpdf, sample_f, MAP_joint, MAP_marg
+    from .inference.sampling import (
+        symplectic_integrate, hmc_step, grid_and_sample, sample_joint, mass_matrix_phi,
+    )
+    from .inference.chains import Chain, Chains, load_chains, mean_std_and_errors
+except ImportError:
+    pass
+try:
+    from .parallel.mesh import (
+        make_mesh, shard_batch, replicate, local_mesh, distributed_initialize,
+    )
+except ImportError:
+    pass

@@ -1,0 +1,776 @@
+"""Linear operators on fields.
+
+TPU-native analog of the reference's operator layer
+(src/specialops.jl, src/generic.jl:261-271): everything is a
+registered pytree so operators pass through jit/grad/vmap, and all
+applications are pure functions.
+
+Operator protocol (duck-typed):
+    op @ f        apply                       (matmul)
+    op.solve(f)   apply inverse (pinv-like, nan->0 on singular modes)
+    op.H          adjoint
+    op.sqrt()     operator square root (where defined)
+    op.pinv()     pseudo-inverse operator (where defined)
+    logdet(op)    log-determinant (per batch)
+    op(theta)     evaluate at parameters (no-op unless ParamDependentOp)
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .basis import Basis, FOURIER, EB_FOURIER, IEB_FOURIER, deriv_basis
+from .field import Field, dot, batch_broadcast
+from .proj import ProjLambert
+
+
+def nan2zero(x):
+    return jnp.where(jnp.isfinite(x), x, jnp.zeros_like(x))
+
+
+# =========================================================================
+# Identity
+# =========================================================================
+
+class _Identity:
+    """Singleton identity operator (like Julia's I)."""
+
+    def __matmul__(self, f):
+        return f
+
+    def __rmatmul__(self, f):
+        return f
+
+    def solve(self, f):
+        return f
+
+    @property
+    def H(self):
+        return self
+
+    def sqrt(self):
+        return self
+
+    def pinv(self):
+        return self
+
+    def inv(self):
+        return self
+
+    def __call__(self, theta=None, **kw):
+        return self
+
+    def __mul__(self, other):
+        if isinstance(other, (int, float)):
+            return Scaled(other, self)
+        return other
+
+    __rmul__ = __mul__
+
+    def __add__(self, other):
+        return LazyOp("+", self, other)
+
+    def __radd__(self, other):
+        return LazyOp("+", other, self)
+
+    def __sub__(self, other):
+        return LazyOp("-", self, other)
+
+    def __rsub__(self, other):
+        return LazyOp("-", other, self)
+
+    def __repr__(self):
+        return "Id"
+
+
+Identity = _Identity
+Id = _Identity()
+jax.tree_util.register_pytree_node(_Identity, lambda x: ((), None), lambda aux, ch: Id)
+
+
+def _as_op(x):
+    if isinstance(x, (int, float)):
+        return Scaled(x, Id)
+    return x
+
+
+# =========================================================================
+# mixin with shared algebra
+# =========================================================================
+
+class OpAlgebra:
+    def __add__(self, other):
+        return LazyOp("+", self, _as_op(other))
+
+    def __radd__(self, other):
+        return LazyOp("+", _as_op(other), self)
+
+    def __sub__(self, other):
+        return LazyOp("-", self, _as_op(other))
+
+    def __rsub__(self, other):
+        return LazyOp("-", _as_op(other), self)
+
+    def __mul__(self, other):
+        if isinstance(other, (int, float)) or (hasattr(other, "ndim") and not isinstance(other, (Field,)) and getattr(other, "ndim", None) in (0, 1)):
+            return Scaled(other, self)
+        return LazyOp("*", self, other)
+
+    def __rmul__(self, other):
+        if isinstance(other, (int, float)) or (hasattr(other, "ndim") and not isinstance(other, (Field,)) and getattr(other, "ndim", None) in (0, 1)):
+            return Scaled(other, self)
+        return LazyOp("*", other, self)
+
+    def __truediv__(self, other):
+        if isinstance(other, (int, float)):
+            return Scaled(1.0 / other, self)
+        return NotImplemented
+
+    def __neg__(self):
+        return Scaled(-1.0, self)
+
+    def __pow__(self, n: int):
+        assert isinstance(n, int)
+        if n == 0:
+            return Id
+        base = self if n > 0 else self.pinv()
+        out = base
+        for _ in range(abs(n) - 1):
+            out = LazyOp("*", out, base)
+        return out
+
+    def __call__(self, theta=None, **kw):
+        """Evaluate at parameters — default: parameter-independent."""
+        return self
+
+
+# =========================================================================
+# Diag
+# =========================================================================
+
+@jax.tree_util.register_pytree_node_class
+class Diag(OpAlgebra):
+    """Diagonal operator: multiply (in the eigen-basis of its diag field)
+    after converting the operand to that basis (src/specialops.jl:9-10)."""
+
+    __slots__ = ("diag",)
+
+    def __init__(self, diag: Field):
+        self.diag = diag
+
+    def tree_flatten(self):
+        return (self.diag,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(ch[0])
+
+    @property
+    def basis(self):
+        return self.diag.basis
+
+    @property
+    def proj(self):
+        return self.diag.proj
+
+    def __matmul__(self, f):
+        if isinstance(f, Field):
+            g = f.to(self.basis)
+            return Field(self.diag.arr * g.arr, self.basis, g.proj)
+        return NotImplemented
+
+    def solve(self, f: Field) -> Field:
+        g = f.to(self.basis)
+        return Field(nan2zero(g.arr / self.diag.arr), self.basis, g.proj)
+
+    @property
+    def H(self):
+        return Diag(self.diag.conj())
+
+    def sqrt(self):
+        return Diag(Field(jnp.sqrt(self.diag.arr), self.basis, self.proj))
+
+    def pinv(self):
+        return Diag(Field(nan2zero(1.0 / self.diag.arr), self.basis, self.proj))
+
+    inv = pinv
+
+    def __mul__(self, other):
+        if isinstance(other, Diag) and other.basis == self.basis:
+            return Diag(Field(self.diag.arr * other.diag.arr, self.basis, self.proj))
+        return super().__mul__(other)
+
+    def __add__(self, other):
+        if isinstance(other, Diag) and other.basis == self.basis:
+            return Diag(Field(self.diag.arr + other.diag.arr, self.basis, self.proj))
+        return super().__add__(other)
+
+    def __sub__(self, other):
+        if isinstance(other, Diag) and other.basis == self.basis:
+            return Diag(Field(self.diag.arr - other.diag.arr, self.basis, self.proj))
+        return super().__sub__(other)
+
+    def __getitem__(self, k):
+        return Diag(self.diag[k])
+
+    def __repr__(self):
+        return f"Diag({self.diag!r})"
+
+
+# =========================================================================
+# Scaled (scalar * op), supporting batched scalars
+# =========================================================================
+
+@jax.tree_util.register_pytree_node_class
+class Scaled(OpAlgebra):
+    __slots__ = ("scalar", "op")
+
+    def __init__(self, scalar, op):
+        self.scalar = scalar
+        self.op = op
+
+    def tree_flatten(self):
+        return (self.scalar, self.op), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch)
+
+    def __matmul__(self, f):
+        g = self.op @ f
+        if isinstance(g, Field):
+            return Field(batch_broadcast(self.scalar, g) * g.arr, g.basis, g.proj)
+        return self.scalar * g
+
+    def solve(self, f):
+        g = self.op.solve(f)
+        if isinstance(g, Field):
+            return Field(g.arr / batch_broadcast(self.scalar, g), g.basis, g.proj)
+        return g / self.scalar
+
+    @property
+    def H(self):
+        return Scaled(jnp.conj(self.scalar) if not isinstance(self.scalar, (int, float)) else self.scalar, self.op.H)
+
+    def sqrt(self):
+        return Scaled(jnp.sqrt(self.scalar) if not isinstance(self.scalar, (int, float)) else float(np.sqrt(self.scalar)), self.op.sqrt())
+
+    def pinv(self):
+        return Scaled(1.0 / self.scalar, self.op.pinv())
+
+    inv = pinv
+
+    def __repr__(self):
+        return f"({self.scalar} * {self.op!r})"
+
+
+# =========================================================================
+# LazyOp (reference LazyBinaryOp, src/specialops.jl:364-412)
+# =========================================================================
+
+@jax.tree_util.register_pytree_node_class
+class LazyOp(OpAlgebra):
+    """Lazy binary composition of operators: (+, -, *)."""
+
+    __slots__ = ("kind", "X", "Y")
+
+    def __init__(self, kind, X, Y):
+        self.kind = kind
+        self.X = X
+        self.Y = Y
+
+    def tree_flatten(self):
+        return (self.X, self.Y), self.kind
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(aux, *ch)
+
+    def __matmul__(self, f):
+        if self.kind == "+":
+            return (self.X @ f) + (self.Y @ f)
+        if self.kind == "-":
+            return (self.X @ f) - (self.Y @ f)
+        if self.kind == "*":
+            return self.X @ (self.Y @ f)
+        raise ValueError(self.kind)
+
+    def solve(self, f):
+        if self.kind == "*":
+            return self.Y.solve(self.X.solve(f))
+        raise ValueError(f"can't invert lazy '{self.kind}' op")
+
+    @property
+    def H(self):
+        if self.kind == "*":
+            return LazyOp("*", self.Y.H, self.X.H)
+        return LazyOp(self.kind, self.X.H, self.Y.H)
+
+    def pinv(self):
+        if self.kind == "*":
+            return LazyOp("*", self.Y.pinv(), self.X.pinv())
+        raise ValueError(f"can't invert lazy '{self.kind}' op")
+
+    inv = pinv
+
+    def __repr__(self):
+        return f"({self.X!r} {self.kind} {self.Y!r})"
+
+
+# =========================================================================
+# FuncOp (reference src/specialops.jl:196-221)
+# =========================================================================
+
+class FuncOp(OpAlgebra):
+    """Operator defined by arbitrary functions (op, opH, opinv, opinvH)."""
+
+    def __init__(self, op=None, opH=None, opinv=None, opinvH=None):
+        self.op = op
+        self.opH = opH
+        self.opinv = opinv
+        self.opinvH = opinvH
+
+    def __matmul__(self, f):
+        if self.op is None:
+            raise ValueError("op*f not implemented")
+        return self.op(f)
+
+    def solve(self, f):
+        if self.opinv is None:
+            raise ValueError("op\\f not implemented")
+        return self.opinv(f)
+
+    @property
+    def H(self):
+        return FuncOp(self.opH, self.op, self.opinvH, self.opinv)
+
+    def inv(self):
+        return FuncOp(self.opinv, self.opinvH, self.op, self.opH)
+
+
+def SymmetricFuncOp(op=None, opinv=None):
+    return FuncOp(op, op, opinv, opinv)
+
+
+jax.tree_util.register_pytree_node(
+    FuncOp,
+    lambda L: ((), (L.op, L.opH, L.opinv, L.opinvH)),
+    lambda aux, ch: FuncOp(*aux),
+)
+
+
+# =========================================================================
+# ParamDependentOp (reference src/specialops.jl:291-355)
+# =========================================================================
+
+@jax.tree_util.register_pytree_node_class
+class ParamDependentOp(OpAlgebra):
+    """An operator depending on parameters theta.
+
+    Unlike the reference (which introspects closure kwargs), the
+    dependencies are explicit pytree children so nothing is baked into
+    jit traces as hidden constants:
+
+        Cf = ParamDependentOp(("r",), lambda deps, r=0.2: deps[0] + (r/0.2)*deps[1],
+                              (Cfs, Cft))
+
+    Calling op(theta) (theta a dict) evaluates; using the op directly
+    applies it at the fiducial parameters.
+    """
+
+    __slots__ = ("params", "fn", "deps", "_fiducial")
+
+    def __init__(self, params, fn, deps=(), _fiducial=None):
+        self.params = tuple(params)
+        self.fn = fn
+        self.deps = tuple(deps)
+        self._fiducial = _fiducial
+
+    def tree_flatten(self):
+        return (self.deps, self._fiducial), (self.params, self.fn)
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(aux[0], aux[1], ch[0], ch[1])
+
+    def __call__(self, theta=None, **kw):
+        theta = dict(theta or {})
+        theta.update(kw)
+        relevant = {k: v for k, v in theta.items() if k in self.params} if self.params else dict(theta)
+        if not relevant:
+            return self.fiducial
+        return self.fn(self.deps, **relevant)
+
+    @property
+    def fiducial(self):
+        if self._fiducial is None:
+            self._fiducial = self.fn(self.deps)
+        return self._fiducial
+
+    def depends_on(self, theta):
+        keys = theta.keys() if hasattr(theta, "keys") else theta
+        return (not self.params) or any(k in self.params for k in keys)
+
+    # applying the un-evaluated op = applying the fiducial
+    def __matmul__(self, f):
+        return self.fiducial @ f
+
+    def solve(self, f):
+        return self.fiducial.solve(f)
+
+    @property
+    def H(self):
+        return self.fiducial.H
+
+    def sqrt(self):
+        return self.fiducial.sqrt()
+
+    def pinv(self):
+        return self.fiducial.pinv()
+
+    inv = pinv
+
+    def __getitem__(self, k):
+        return self.fiducial[k]
+
+
+def evaluate_at(op, theta):
+    """op(theta) for anything — no-op for parameter-independent ops
+    (reference `(ds::DataSet)(θ)` src/dataset.jl:12-18)."""
+    if isinstance(op, ParamDependentOp):
+        return op(theta)
+    return op
+
+
+def depends_on(op, theta):
+    return isinstance(op, ParamDependentOp) and op.depends_on(theta)
+
+
+# =========================================================================
+# BlockDiagIEB (reference src/specialops.jl:61-118)
+# =========================================================================
+
+@jax.tree_util.register_pytree_node_class
+class BlockDiagIEB(OpAlgebra):
+    """A T/E/B covariance with TE cross-correlation:
+
+        [ STT STE  .           stored as four Fourier-diagonal spin-0
+          STE SEE  .           fields (TT, TE, EE) plus BB.
+           .   .  SBB ]
+    """
+
+    __slots__ = ("TT", "TE", "EE", "BB")
+
+    def __init__(self, TT: Field, TE: Field, EE: Field, BB: Field):
+        self.TT, self.TE, self.EE, self.BB = TT, TE, EE, BB
+
+    def tree_flatten(self):
+        return (self.TT, self.TE, self.EE, self.BB), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch)
+
+    @property
+    def proj(self):
+        return self.TT.proj
+
+    def _blocks(self):
+        return self.TT.arr, self.TE.arr, self.EE.arr, self.BB.arr
+
+    def __matmul__(self, f: Field):
+        g = f.to(IEB_FOURIER)
+        tt, te, ee, bb = self._blocks()
+        i = g.arr[..., 0, :, :] * tt[..., 0, :, :] + g.arr[..., 1, :, :] * te[..., 0, :, :]
+        e = g.arr[..., 0, :, :] * te[..., 0, :, :] + g.arr[..., 1, :, :] * ee[..., 0, :, :]
+        b = g.arr[..., 2, :, :] * bb[..., 0, :, :]
+        return Field(jnp.stack([i, e, b], axis=-3), IEB_FOURIER, g.proj)
+
+    def _inv_blocks(self):
+        tt, te, ee, bb = self._blocks()
+        det = tt * ee - te * te
+        itt = nan2zero(ee / det)
+        iee = nan2zero(tt / det)
+        ite = nan2zero(-te / det)
+        ibb = nan2zero(1.0 / bb)
+        return itt, ite, iee, ibb
+
+    def solve(self, f: Field):
+        g = f.to(IEB_FOURIER)
+        itt, ite, iee, ibb = self._inv_blocks()
+        i = g.arr[..., 0, :, :] * itt[..., 0, :, :] + g.arr[..., 1, :, :] * ite[..., 0, :, :]
+        e = g.arr[..., 0, :, :] * ite[..., 0, :, :] + g.arr[..., 1, :, :] * iee[..., 0, :, :]
+        b = g.arr[..., 2, :, :] * ibb[..., 0, :, :]
+        return Field(jnp.stack([i, e, b], axis=-3), IEB_FOURIER, g.proj)
+
+    def pinv(self):
+        itt, ite, iee, ibb = self._inv_blocks()
+        F = lambda a: Field(a, FOURIER, self.proj)
+        return BlockDiagIEB(F(itt), F(ite), F(iee), F(ibb))
+
+    inv = pinv
+
+    @property
+    def H(self):
+        return self  # real symmetric
+
+    def sqrt(self):
+        """Matrix sqrt of the 2x2 TE block per mode (closed form for
+        symmetric 2x2: (A + sqrt(det) I)/sqrt(tr + 2 sqrt(det)))."""
+        tt, te, ee, bb = self._blocks()
+        s = jnp.sqrt(nan2zero(tt * ee - te * te))
+        t = jnp.sqrt(tt + ee + 2 * s)
+        stt = nan2zero((tt + s) / t)
+        ste = nan2zero(te / t)
+        see = nan2zero((ee + s) / t)
+        F = lambda a: Field(a, FOURIER, self.proj)
+        return BlockDiagIEB(F(stt), F(ste), F(see), F(jnp.sqrt(bb)))
+
+    def diag(self) -> Field:
+        return Field(jnp.concatenate([self.TT.arr, self.EE.arr, self.BB.arr], axis=-3),
+                     IEB_FOURIER, self.proj)
+
+    def __getitem__(self, k):
+        if k == "IP":
+            return self
+        if k == "I":
+            return Diag(self.TT)
+        if k == "E":
+            return Diag(self.EE)
+        if k == "B":
+            return Diag(self.BB)
+        if k == "P":
+            return Diag(Field(jnp.concatenate([self.EE.arr, self.BB.arr], axis=-3),
+                              EB_FOURIER, self.proj))
+        raise KeyError(k)
+
+    def __mul__(self, other):
+        if isinstance(other, BlockDiagIEB):
+            tt, te, ee, bb = self._blocks()
+            ott, ote, oee, obb = other._blocks()
+            F = lambda a: Field(a, FOURIER, self.proj)
+            return BlockDiagIEB(F(tt * ott + te * ote), F(tt * ote + te * oee),
+                                F(te * ote + ee * oee), F(bb * obb))
+        return super().__mul__(other)
+
+    def __add__(self, other):
+        F = lambda a: Field(a, FOURIER, self.proj)
+        if isinstance(other, BlockDiagIEB):
+            return BlockDiagIEB(F(self.TT.arr + other.TT.arr), F(self.TE.arr + other.TE.arr),
+                                F(self.EE.arr + other.EE.arr), F(self.BB.arr + other.BB.arr))
+        if isinstance(other, Diag) and other.basis == IEB_FOURIER:
+            o = other.diag.arr
+            return BlockDiagIEB(F(self.TT.arr + o[..., 0:1, :, :]), self.TE,
+                                F(self.EE.arr + o[..., 1:2, :, :]),
+                                F(self.BB.arr + o[..., 2:3, :, :]))
+        return super().__add__(other)
+
+
+# =========================================================================
+# BandPass ops (reference src/specialops.jl:232-242)
+# =========================================================================
+
+def _bandpass_2d(ell, Wl, proj: ProjLambert):
+    W = np.interp(np.asarray(proj.lmag, dtype=np.float64).ravel(),
+                  np.asarray(ell, dtype=np.float64),
+                  np.asarray(Wl, dtype=np.float64),
+                  left=0.0, right=0.0).reshape(proj.shape_fourier)
+    return W.astype(proj.T)
+
+
+class BandPass:
+    """An ell-space filter defined by (ell, Wl); realized as a Diag on a
+    given projection via .on(proj, ncomp)."""
+
+    def __init__(self, ell, Wl):
+        self.ell = np.asarray(ell, dtype=np.float64)
+        self.Wl = np.asarray(Wl, dtype=np.float64)
+
+    def on(self, proj: ProjLambert, pol="I") -> Diag:
+        W = _bandpass_2d(self.ell, self.Wl, proj)
+        b = Basis(pol, "fourier")
+        arr = np.broadcast_to(W[None], (b.ncomp,) + W.shape)
+        return Diag(Field(jnp.asarray(arr, dtype=proj.complex_T.type if False else proj.T.type), b, proj))
+
+    def __call__(self, ell):
+        return np.interp(np.asarray(ell, dtype=np.float64), self.ell, self.Wl, left=0.0, right=0.0)
+
+
+def _cos_ramp_up(n):
+    return (np.cos(np.linspace(np.pi, 0, n)) + 1) / 2
+
+
+def _cos_ramp_down(n):
+    return 1 - _cos_ramp_up(n)
+
+
+def HighPass(ell, dl=50):
+    return BandPass(np.arange(ell, 20001),
+                    np.concatenate([_cos_ramp_up(dl), np.ones(20000 - ell - dl + 1)]))
+
+
+def LowPass(ell, dl=50):
+    return BandPass(np.arange(0, ell + 1),
+                    np.concatenate([np.ones(ell - dl + 1), _cos_ramp_down(dl)]))
+
+
+def MidPass(lmin, lmax, dl=50):
+    return BandPass(np.arange(lmin, lmax + 1),
+                    np.concatenate([_cos_ramp_up(dl), np.ones(lmax - lmin - 2 * dl + 1), _cos_ramp_down(dl)]))
+
+
+def MidPasses(ledges, dl=10):
+    return [MidPass(lo - dl // 2, hi + dl // 2, dl=dl)
+            for lo, hi in zip(ledges[:-1], ledges[1:])]
+
+
+# =========================================================================
+# Derivative operators (reference src/specialops.jl:144-188)
+# =========================================================================
+
+def _ilx(proj):
+    return (1j * jnp.asarray(proj.lx))[None, :]
+
+
+def _ily(proj):
+    return (1j * jnp.asarray(proj.ly))[:, None]
+
+
+def grad_x(f: Field) -> Field:
+    g = f.to_deriv()
+    return Field(g.arr * _ilx(g.proj), g.basis, g.proj)
+
+
+def grad_y(f: Field) -> Field:
+    g = f.to_deriv()
+    return Field(g.arr * _ily(g.proj), g.basis, g.proj)
+
+
+def gradient_ops(proj=None):
+    """The pair (d/dx, d/dy) as FuncOps. Adjoint of d/dx is -d/dx."""
+    gx = FuncOp(op=grad_x, opH=lambda f: -grad_x(f))
+    gy = FuncOp(op=grad_y, opH=lambda f: -grad_y(f))
+    return (gx, gy)
+
+
+def gradient(f: Field):
+    """(df/dx, df/dy) in the deriv basis (tuple of Fields)."""
+    g = f.to_deriv()
+    return (Field(g.arr * _ilx(g.proj), g.basis, g.proj),
+            Field(g.arr * _ily(g.proj), g.basis, g.proj))
+
+
+def gradhess(f: Field):
+    """Gradient and hessian like reference gradhess (src/specialops.jl:184-188).
+    Returns ((gx, gy), ((gxx, gxy), (gxy, gyy))) as Fields in deriv basis."""
+    g = f.to_deriv()
+    ilx, ily = _ilx(g.proj), _ily(g.proj)
+    gx = Field(g.arr * ilx, g.basis, g.proj)
+    gy = Field(g.arr * ily, g.basis, g.proj)
+    gxx = Field(gx.arr * ilx, g.basis, g.proj)
+    gxy = Field(gx.arr * ily, g.basis, g.proj)
+    gyy = Field(gy.arr * ily, g.basis, g.proj)
+    return (gx, gy), ((gxx, gxy), (gxy, gyy))
+
+
+def laplacian(f: Field) -> Field:
+    g = f.to_deriv()
+    l2 = jnp.asarray(g.proj.lx)[None, :] ** 2 + jnp.asarray(g.proj.ly)[:, None] ** 2
+    return Field(-g.arr * l2, g.basis, g.proj)
+
+
+# =========================================================================
+# logdet / trace / simulate
+# =========================================================================
+
+def logdet(op):
+    """Log-determinant, per batch, with rfft degeneracy weights
+    (src/proj_lambert.jl:331-342)."""
+    if isinstance(op, _Identity):
+        return 0.0
+    if isinstance(op, ParamDependentOp):
+        return logdet(op.fiducial)
+    if isinstance(op, Scaled):
+        # n * log(s) + logdet(op): need op dimension; only support Diag
+        inner = op.op
+        ld = logdet(inner)
+        n = _op_dim(inner)
+        s = op.scalar
+        return ld + n * jnp.log(jnp.abs(s))
+    if isinstance(op, BlockDiagIEB):
+        lam = jnp.asarray(op.proj.lam_rfft)
+        tt, te, ee, bb = op._blocks()
+        det2 = tt * ee - te * te
+        v = jnp.log(jnp.abs(det2)) + jnp.log(jnp.abs(bb))
+        v = nan2zero(jnp.real(v)) * lam
+        return jnp.sum(v, axis=(-1, -2, -3))
+    if isinstance(op, Diag):
+        d = op.diag
+        if d.basis.is_fourier:
+            lam = jnp.asarray(d.proj.lam_rfft)
+            v = nan2zero(jnp.log(jnp.abs(d.arr))) * lam
+            return jnp.sum(jnp.real(v), axis=(-1, -2, -3))
+        else:
+            return jnp.sum(jnp.log(jnp.abs(d.arr)), axis=(-1, -2, -3))
+    raise TypeError(f"logdet not implemented for {type(op)}")
+
+
+def _op_dim(op):
+    if isinstance(op, Diag):
+        p = op.diag.proj
+        return p.Ny * p.Nx * op.diag.ncomp
+    if isinstance(op, BlockDiagIEB):
+        p = op.proj
+        return p.Ny * p.Nx * 3
+    raise TypeError(type(op))
+
+
+def logdet_rel(op, theta):
+    """logdet(op(theta)) - logdet(op(fiducial)) if op depends on theta,
+    else 0 (reference src/generic.jl:263-271)."""
+    if depends_on(op, theta):
+        fid = op.fiducial
+        at = op(theta)
+        return logdet(at) - logdet(fid)
+    return 0.0
+
+
+def tr(op):
+    if isinstance(op, Diag):
+        d = op.diag
+        if d.basis.is_fourier:
+            lam = jnp.asarray(d.proj.lam_rfft)
+            return jnp.sum(jnp.real(d.arr * lam), axis=(-1, -2, -3))
+        return jnp.sum(d.arr, axis=(-1, -2, -3))
+    raise TypeError(type(op))
+
+
+def _diag_field_of(op):
+    if isinstance(op, Diag):
+        return op.diag
+    if isinstance(op, BlockDiagIEB):
+        return op.diag()
+    if isinstance(op, ParamDependentOp):
+        return _diag_field_of(op.fiducial)
+    if isinstance(op, Scaled):
+        f = _diag_field_of(op.op)
+        return Field(batch_broadcast(op.scalar, f) * f.arr, f.basis, f.proj)
+    raise TypeError(type(op))
+
+
+def diag_field(op):
+    return _diag_field_of(op)
+
+
+def simulate_op(key, op, batch_shape=()):
+    """Draw xi with <xi xi'> = op: sqrt(op) @ whitenoise
+    (src/specialops.jl:6)."""
+    from .field import white_noise_like, Field as F
+    d = _diag_field_of(op)
+    b_map = d.basis.with_space("map")
+    shape = batch_shape + (d.ncomp, d.proj.Ny, d.proj.Nx)
+    xi = F(jax.random.normal(key, shape, dtype=d.proj.T.type), b_map, d.proj)
+    if isinstance(op, ParamDependentOp):
+        op = op.fiducial
+    return op.sqrt() @ xi

@@ -1,0 +1,322 @@
+"""LenseFlow: ODE-based lensing (Millea, Anderes & Wandelt 2019),
+TPU-native redesign of the reference implementation
+(src/lenseflow.jl, src/flowops.jl).
+
+The lensing operator L(phi) transports a field along the velocity
+
+    df/dt = p(t) . grad(f),    p(t) = (I + t Hess(phi))^-T grad(phi)
+
+integrated t:0->1 with RK4. Design differences vs the reference, all
+motivated by TPU hardware:
+
+* No precomputed per-time dictionaries of p and M^-1
+  (src/lenseflow.jl:45-60). We keep only grad(phi) (2 planes) and
+  Hess(phi) (3 planes, symmetric) and rebuild the 2x2 inverse
+  M^-1(t) = adj(I+tH)/det(I+tH) *inside* each RK stage — a handful of
+  VPU flops per pixel that XLA fuses into the FFT pipeline, instead of
+  15 time-slices of precomputed planes round-tripping through HBM.
+
+* Gradients: a jax.custom_vjp implementing the reference's
+  continuous-adjoint transpose-delta flow (negδvelocityᴴ,
+  src/lenseflow.jl:176-214): the backward pass integrates the coupled
+  (f, delta_f, delta_phi) system t:1->0, re-evolving f backward on the
+  fly — O(1) memory in the number of ODE steps, no checkpointing.
+
+* logdet(L) = 0 by construction (src/lenseflow.jl:16).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.basis import Basis, lense_basis, deriv_basis
+from ..core.field import Field
+from ..core.proj import ProjLambert
+from ..ops import fft as _fft
+
+
+# =========================================================================
+# low-level array kernels (operate on raw (..., ncomp, Ny, Nx) arrays)
+# =========================================================================
+
+def _grids(proj):
+    ilx = (1j * jnp.asarray(proj.lx))[None, :]
+    ily = (1j * jnp.asarray(proj.ly))[:, None]
+    return ilx, ily
+
+
+def _gradhess_phi(phi_map, proj):
+    """grad(phi) (2 planes) and Hess(phi) (3 planes: xx, xy, yy) in map
+    space, from a (..., 1, Ny, Nx) map-basis phi array."""
+    ilx, ily = _grids(proj)
+    PHI = _fft.rfft2(phi_map)
+    gx_f = PHI * ilx
+    gy_f = PHI * ily
+    # batch the 5 irffts into one by stacking on the comp axis
+    stack = jnp.concatenate([gx_f, gy_f, gx_f * ilx, gx_f * ily, gy_f * ily], axis=-3)
+    out = _fft.irfft2(stack, proj.Nx)
+    gx, gy, hxx, hxy, hyy = (out[..., i, :, :] for i in range(5))
+    return (gx, gy), (hxx, hxy, hyy)
+
+
+def _p_t(t, g, h):
+    """p(t) = M^-1(t)^T grad(phi) with M(t) = I + t*Hess(phi), built
+    in-flight (2x2 symmetric inverse in closed form)."""
+    gx, gy = g
+    hxx, hxy, hyy = h
+    a = 1 + t * hxx
+    b = t * hxy
+    d = 1 + t * hyy
+    det = a * d - b * b
+    # M^-1 = [[d, -b], [-b, a]] / det ; symmetric so transpose is itself
+    px = (d * gx - b * gy) / det
+    py = (-b * gx + a * gy) / det
+    return px, py
+
+
+def _Minv_t(t, h):
+    hxx, hxy, hyy = h
+    a = 1 + t * hxx
+    b = t * hxy
+    d = 1 + t * hyy
+    det = a * d - b * b
+    return (d / det, -b / det, a / det)  # (m11, m12, m22) symmetric
+
+
+def _grad_f(f_map, proj):
+    """Spatial gradient of each component of a map-space array:
+    returns (df/dx, df/dy), each same shape as f_map."""
+    ilx, ily = _grids(proj)
+    F = _fft.rfft2(f_map)
+    stack = jnp.concatenate([F * ilx, F * ily], axis=-3)
+    out = _fft.irfft2(stack, proj.Nx)
+    n = f_map.shape[-3]
+    return out[..., :n, :, :], out[..., n:, :, :]
+
+
+def _div(vx, vy, proj):
+    """Divergence d/dx vx + d/dy vy of map-space arrays (map output)."""
+    ilx, ily = _grids(proj)
+    V = _fft.rfft2(jnp.concatenate([vx, vy], axis=-3))
+    n = vx.shape[-3]
+    D = V[..., :n, :, :] * ilx + V[..., n:, :, :] * ily
+    return _fft.irfft2(D, proj.Nx)
+
+
+def _velocity(t, f_map, g, h, proj):
+    """df/dt = p(t) . grad(f)  (reference velocity, src/lenseflow.jl:150-161)."""
+    px, py = _p_t(t, g, h)
+    fx, fy = _grad_f(f_map, proj)
+    return px[..., None, :, :] * fx + py[..., None, :, :] * fy
+
+
+def _velocity_adj(t, f_map, g, h, proj):
+    """Adjoint-flow velocity (reference velocityᴴ,
+    src/lenseflow.jl:163-174): v = -grad' . (p f) = +div(p f), since
+    the adjoint of each derivative is its negative."""
+    px, py = _p_t(t, g, h)
+    return _div(px[..., None, :, :] * f_map, py[..., None, :, :] * f_map, proj)
+
+
+# =========================================================================
+# RK4 over (t0,t1) with scan, array state
+# =========================================================================
+
+def _rk4(F, y0, t0, t1, nsteps):
+    h = (t1 - t0) / nsteps
+
+    def step(y, i):
+        t = t0 + i * h
+        k1 = F(t, y)
+        k2 = F(t + h / 2, jax.tree_util.tree_map(lambda a, b: a + (h / 2) * b, y, k1))
+        k3 = F(t + h / 2, jax.tree_util.tree_map(lambda a, b: a + (h / 2) * b, y, k2))
+        k4 = F(t + h, jax.tree_util.tree_map(lambda a, b: a + h * b, y, k3))
+        y = jax.tree_util.tree_map(
+            lambda yy, a, b, c, d: yy + (h / 6) * (a + 2 * (b + c) + d), y, k1, k2, k3, k4)
+        return y, None
+
+    y, _ = jax.lax.scan(step, y0, jnp.arange(nsteps))
+    return y
+
+
+# =========================================================================
+# the differentiable primitive
+# =========================================================================
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _lenseflow_apply(phi_map, f_map, t0, t1, nsteps, proj):
+    """Integrate f from t0 to t1 under the LenseFlow velocity.
+    phi_map: (..., 1, Ny, Nx); f_map: (..., ncomp, Ny, Nx) map arrays."""
+    g, h = _gradhess_phi(phi_map, proj)
+    return _rk4(lambda t, y: _velocity(t, y, g, h, proj), f_map, t0, t1, nsteps)
+
+
+def _lenseflow_fwd(phi_map, f_map, t0, t1, nsteps, proj):
+    out = _lenseflow_apply(phi_map, f_map, t0, t1, nsteps, proj)
+    return out, (phi_map, out)
+
+
+def _lenseflow_bwd(t0, t1, nsteps, proj, res, dy):
+    """Continuous adjoint: integrate the coupled (f, delta_f, delta_phi)
+    system backward t1->t0 (reference negδvelocityᴴ,
+    src/lenseflow.jl:176-214), starting from (f(t1), cotangent, 0)."""
+    phi_map, f1 = res
+    g, h = _gradhess_phi(phi_map, proj)
+    ilx, ily = _grids(proj)
+
+    def vel(t, state):
+        f, df, dphi = state
+        px, py = _p_t(t, g, h)
+        m11, m12, m22 = _Minv_t(t, h)
+
+        # d(delta_f)/dt = -grad' . (p delta_f) = +div(p * delta_f)
+        ddf = _div(px[..., None, :, :] * df, py[..., None, :, :] * df, proj)
+
+        # df/dt = p . grad f
+        fx, fy = _grad_f(f, proj)
+        dfdt = px[..., None, :, :] * fx + py[..., None, :, :] * fy
+
+        # d(delta_phi)/dt:
+        #   w_i = sum_comp delta_f * (grad f)_i          (2 planes)
+        #   u = M^-1 w
+        #   ddphi = +div(u) + sum_ij d_i d_j ( t p_j u_i )
+        wx = jnp.sum(df * fx, axis=-3)
+        wy = jnp.sum(df * fy, axis=-3)
+        ux = m11 * wx + m12 * wy
+        uy = m12 * wx + m22 * wy
+        # first term: -grad'.(u) = +div(u)  [phi-type, single comp]
+        ddphi = _div(ux[..., None, :, :], uy[..., None, :, :], proj)
+        # second term: sum_{i,j} d_i d_j (t * p_j * u_i)
+        # components: s_ij = t * p_j * u_i
+        s = jnp.stack([
+            t * px * ux, t * py * ux,     # j=x,i=x ; j=y,i=x
+            t * px * uy, t * py * uy,     # j=x,i=y ; j=y,i=y
+        ], axis=-3)
+        S = _fft.rfft2(s)
+        # apply d_i d_j: for entry (i,j): multiply by il_i * il_j where
+        # i indexes u (first deriv applied outer), j indexes p
+        D = (S[..., 0, :, :] * ilx * ilx + S[..., 1, :, :] * ilx * ily
+             + S[..., 2, :, :] * ily * ilx + S[..., 3, :, :] * ily * ily)
+        ddphi = ddphi + _fft.irfft2(D[..., None, :, :], proj.Nx)
+
+        return (dfdt, ddf, ddphi)
+
+    dphi0 = jnp.zeros_like(phi_map)
+    f0, df0, dphi = _rk4(vel, (f1, dy, dphi0), t1, t0, nsteps)
+    return (dphi, df0)
+
+
+_lenseflow_apply.defvjp(_lenseflow_fwd, _lenseflow_bwd)
+
+
+def _lenseflow_apply_adjoint(phi_map, f_map, t0, t1, nsteps, proj):
+    """Apply L(phi)^dagger (or its inverse-adjoint depending on t0/t1
+    direction): integrate the adjoint velocity backward
+    (reference flowops.jl:12)."""
+    g, h = _gradhess_phi(phi_map, proj)
+    return _rk4(lambda t, y: _velocity_adj(t, y, g, h, proj), f_map, t1, t0, nsteps)
+
+
+# =========================================================================
+# public operator
+# =========================================================================
+
+@jax.tree_util.register_pytree_node_class
+class LenseFlow:
+    """LenseFlow lensing operator L(phi).
+
+    L @ f          lense (t:0->1)
+    L.solve(f)     inverse lense (t:1->0)
+    L.H @ f        adjoint
+    L.H.solve(f)   inverse adjoint
+    logdet = 0 for all phi (src/lenseflow.jl:16).
+    """
+
+    __slots__ = ("phi", "nsteps", "t0", "t1", "_adjoint")
+
+    def __init__(self, phi: Field, nsteps: int = 7, t0=0.0, t1=1.0, _adjoint=False):
+        self.phi = phi
+        self.nsteps = nsteps
+        self.t0 = t0
+        self.t1 = t1
+        self._adjoint = _adjoint
+
+    def tree_flatten(self):
+        return (self.phi,), (self.nsteps, self.t0, self.t1, self._adjoint)
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(ch[0], *aux)
+
+    def __call__(self, phi_or_theta):
+        """L(phi') re-binds phi (reference `(Lϕ::CachedLenseFlow)(ϕ)`),
+        L(theta-dict) is a no-op."""
+        if isinstance(phi_or_theta, Field):
+            return LenseFlow(phi_or_theta, self.nsteps, self.t0, self.t1, self._adjoint)
+        return self
+
+    @property
+    def H(self):
+        return LenseFlow(self.phi, self.nsteps, self.t0, self.t1, not self._adjoint)
+
+    def _phi_map(self):
+        return self.phi.to(self.phi.basis.with_space("map")).arr
+
+    def _go(self, f: Field, t0, t1, adjoint):
+        B = f.basis
+        fl = f.to(lense_basis(B))
+        phi_map = self._phi_map()
+        if adjoint:
+            out = _lenseflow_apply_adjoint(phi_map, fl.arr, t0, t1, self.nsteps, f.proj)
+        else:
+            out = _lenseflow_apply(phi_map, fl.arr, t0, t1, self.nsteps, f.proj)
+        return Field(out, fl.basis, f.proj).to(B)
+
+    def __matmul__(self, f: Field) -> Field:
+        if self._adjoint:
+            # L' f: adjoint flow integrated t1->t0 (flowops.jl:12)
+            return self._go(f, self.t0, self.t1, adjoint=True)
+        return self._go(f, self.t0, self.t1, adjoint=False)
+
+    def solve(self, f: Field) -> Field:
+        if self._adjoint:
+            return self._go(f, self.t1, self.t0, adjoint=True)
+        return self._go(f, self.t1, self.t0, adjoint=False)
+
+    def inv(self):
+        return LenseFlow(self.phi, self.nsteps, self.t1, self.t0, self._adjoint)
+
+    pinv = inv
+
+    def __repr__(self):
+        return f"LenseFlow(nsteps={self.nsteps}{', adjoint' if self._adjoint else ''})"
+
+
+def lense(phi: Field, f: Field, nsteps: int = 7) -> Field:
+    """Functional form: lense f by phi."""
+    return LenseFlow(phi, nsteps) @ f
+
+
+def get_max_lensing_step(phi: Field, eta: Field):
+    """Max alpha s.t. I + Hess(phi + alpha*eta) keeps positive
+    discriminant everywhere (weak-lensing guard,
+    src/lenseflow.jl:232-256)."""
+    from ..core.ops import gradhess
+    _, H = gradhess(phi)
+    _, He = gradhess(eta)
+    to_map = lambda x: x.to(x.basis.with_space("map")).arr
+    pxx, pxy, pyy = to_map(H[0][0]), to_map(H[0][1]), to_map(H[1][1])
+    exx, exy, eyy = to_map(He[0][0]), to_map(He[0][1]), to_map(He[1][1])
+    a = exx * eyy - exy ** 2
+    b = exx * (1 + pyy) + eyy * (1 + pxx) - 2 * exy * pxy
+    c = (1 + pxx) * (1 + pyy) - pxy ** 2
+    disc = jnp.sqrt(b ** 2 - 4 * a * c)
+    a1 = (-b + disc) / (2 * a)
+    a2 = (-b - disc) / (2 * a)
+    big = jnp.asarray(np.inf, a1.dtype)
+    pos_min = lambda x: jnp.min(jnp.where(x > 0, x, big))
+    return jnp.minimum(pos_min(a1), pos_min(a2))

@@ -1,0 +1,165 @@
+"""FFT backend for flat-sky fields.
+
+The reference reaches FFTW/CUFFT through memoized plans
+(src/util_fft.jl:20-44). On TPU there are two ways to run a 2-D rFFT
+and we support both behind one interface:
+
+  * "xla"    — jnp.fft.rfft2/irfft2, lowered to the XLA TPU FFT.
+  * "matmul" — DFT as two tensor contractions with precomputed DFT
+               matrices. O(N^3) FLOPs instead of O(N^2 log N), but the
+               FLOPs run on the MXU systolic array which has an order
+               of magnitude more throughput than the VPU path the
+               built-in FFT uses; for the small-to-medium grids used
+               in CMB lensing this often wins outright, and it fuses
+               with neighboring elementwise work.
+  * "auto"   — picks per-size (matmul for N <= _MATMUL_MAX).
+
+All transforms are *unnormalized* forward (like FFTW), with the
+inverse carrying the 1/(Ny*Nx), matching the reference conventions so
+spectra/logpdf values agree.
+
+Transforms act on the last two axes of (..., Ny, Nx) arrays.
+"""
+from __future__ import annotations
+
+import functools
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_MODE = "auto"
+_MATMUL_MAX = 1024  # grids with max(Ny,Nx) <= this use matmul DFT in auto mode
+
+
+def set_fft_mode(mode: str):
+    """Set global FFT backend: 'xla', 'matmul', or 'auto'."""
+    global _MODE
+    assert mode in ("xla", "matmul", "auto")
+    global_cache_clear()
+    _MODE = mode
+
+
+def get_fft_mode() -> str:
+    return _MODE
+
+
+def _use_matmul(Ny, Nx):
+    if _MODE == "xla":
+        return False
+    if _MODE == "matmul":
+        return True
+    return max(Ny, Nx) <= _MATMUL_MAX
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_mats(n: int, dtype_str: str):
+    """Forward DFT matrix W[k,j] = exp(-2πi k j / n) (full), and the
+    half-plane rfft version, as numpy constants."""
+    j = np.arange(n)
+    k = np.arange(n)
+    W = np.exp(-2j * np.pi * np.outer(k, j) / n)
+    return W
+
+
+def _cdtype(rdtype):
+    return jnp.complex64 if jnp.dtype(rdtype) == jnp.float32 else jnp.complex128
+
+
+def global_cache_clear():
+    _dft_mats.cache_clear()
+
+
+def _matmul_rfft2(x):
+    """rfft2 over last two axes via MXU contractions.
+
+    x: real (..., Ny, Nx) -> complex (..., Ny, Nx//2+1)
+
+    Implemented as: rFFT along x via one real-to-complex contraction
+    (split into two real matmuls so the MXU sees real operands), then
+    full complex FFT along y via complex matmuls.
+    """
+    Ny, Nx = x.shape[-2], x.shape[-1]
+    rdt = x.dtype
+    Wx = _dft_mats(Nx, str(rdt))[: Nx // 2 + 1]          # (Nxh, Nx)
+    Wy = _dft_mats(Ny, str(rdt))                         # (Ny, Ny)
+    WxT_re = jnp.asarray(Wx.real.T, dtype=rdt)           # (Nx, Nxh)
+    WxT_im = jnp.asarray(Wx.imag.T, dtype=rdt)
+    # x-axis rfft: (..., Ny, Nx) @ (Nx, Nxh)
+    re = jnp.matmul(x, WxT_re, preferred_element_type=rdt)
+    im = jnp.matmul(x, WxT_im, preferred_element_type=rdt)
+    # y-axis full complex fft: contract over Ny (axis -2):
+    Wy_re = jnp.asarray(Wy.real, dtype=rdt)
+    Wy_im = jnp.asarray(Wy.imag, dtype=rdt)
+    # out[k,m] = sum_j Wy[k,j] z[j,m]
+    out_re = jnp.einsum("kj,...jm->...km", Wy_re, re) - jnp.einsum("kj,...jm->...km", Wy_im, im)
+    out_im = jnp.einsum("kj,...jm->...km", Wy_re, im) + jnp.einsum("kj,...jm->...km", Wy_im, re)
+    return jax.lax.complex(out_re, out_im)
+
+
+def _matmul_irfft2(X, Nx: int):
+    """Inverse of _matmul_rfft2 (normalized by 1/(Ny*Nx)).
+
+    X: complex (..., Ny, Nxh) -> real (..., Ny, Nx)
+    """
+    Ny, Nxh = X.shape[-2], X.shape[-1]
+    rdt = jnp.float32 if X.dtype == jnp.complex64 else jnp.float64
+    # inverse fft along y (complex): conj(Wy)/Ny; Wy is symmetric so no
+    # transpose is needed
+    Wy = _dft_mats(Ny, str(rdt))
+    Wyi_re = jnp.asarray(Wy.real / Ny, dtype=rdt)
+    Wyi_im = jnp.asarray(-Wy.imag / Ny, dtype=rdt)
+    Xre, Xim = jnp.real(X), jnp.imag(X)
+    z_re = jnp.einsum("kj,...jm->...km", Wyi_re, Xre) - jnp.einsum("kj,...jm->...km", Wyi_im, Xim)
+    z_im = jnp.einsum("kj,...jm->...km", Wyi_re, Xim) + jnp.einsum("kj,...jm->...km", Wyi_im, Xre)
+    # irfft along x: real result = sum_k lam_k Re(conj-expanded)
+    # Build (Nxh, Nx) matrices: out[j] = (1/Nx) * sum_k w_k [Re X_k cos(2πkj/Nx) - Im X_k sin(2πkj/Nx)]
+    k = np.arange(Nxh)
+    j = np.arange(Nx)
+    lam = np.where((k == 0) | ((Nx % 2 == 0) & (k == Nxh - 1)), 1.0, 2.0)
+    ang = 2 * np.pi * np.outer(k, j) / Nx
+    C = (lam[:, None] * np.cos(ang)) / Nx                # (Nxh, Nx)
+    S = (lam[:, None] * np.sin(ang)) / Nx
+    C = jnp.asarray(C, dtype=rdt)
+    S = jnp.asarray(S, dtype=rdt)
+    return jnp.matmul(z_re, C, preferred_element_type=rdt) - jnp.matmul(z_im, S, preferred_element_type=rdt)
+
+
+def rfft2(x):
+    """Unnormalized forward real FFT over last two axes."""
+    Ny, Nx = x.shape[-2], x.shape[-1]
+    if _use_matmul(Ny, Nx):
+        return _matmul_rfft2(x)
+    return jnp.fft.rfft2(x)
+
+
+def irfft2(X, Nx: int):
+    """Normalized (1/(Ny*Nx)) inverse real FFT over last two axes."""
+    Ny = X.shape[-2]
+    if _use_matmul(Ny, Nx):
+        return _matmul_irfft2(X, Nx)
+    return jnp.fft.irfft2(X, s=(Ny, Nx))
+
+
+def fft2(x):
+    return jnp.fft.fft2(x)
+
+
+def ifft2(X):
+    return jnp.fft.ifft2(X)
+
+
+def unfold(X, Ny=None):
+    """Expand a half-plane rfft2 array (..., Ny, Nx//2+1) to the full
+    plane (..., Ny, Nx) using conjugate symmetry (src/util_fft.jl:81-97,
+    transposed layout). Nx is inferred assuming even Nx unless given."""
+    Nyh = X.shape[-2]
+    Nxh = X.shape[-1]
+    Nx = 2 * (Nxh - 1)
+    # full-plane entry at (ky, kx) for kx > Nx/2 equals conj of entry at (-ky, Nx-kx)
+    rest = X[..., :, 1:-1] if Nx % 2 == 0 else X[..., :, 1:]
+    rest = jnp.conj(rest[..., ::-1])          # reverse kx
+    # reverse ky (with wrap: row 0 stays)
+    rest = jnp.concatenate([rest[..., :1, :], rest[..., 1:, :][..., ::-1, :]], axis=-2)
+    return jnp.concatenate([X, rest], axis=-1)

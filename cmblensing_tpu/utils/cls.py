@@ -1,0 +1,310 @@
+"""Angular power spectra containers and theory-spectrum sources.
+
+TPU-native analog of the reference's Cls layer (src/cls.jl): a `Cls`
+container with ell-interpolation and arithmetic, the (host-side) CAMB
+interface with a cached fiducial-spectra file, analytic noise/beam
+spectra, and CAMB-file loaders. All host-side numpy — spectra are
+input preparation, not hot path (SURVEY.md 2.3)."""
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+
+_DAT = os.path.join(os.path.dirname(__file__), "..", "dat")
+
+
+class Cls:
+    """A power spectrum with ell labels; interpolates to any ell
+    (reference Cℓs, src/cls.jl:11-35)."""
+
+    def __init__(self, ell, Cl, concrete=True):
+        ell = np.asarray(ell, dtype=np.float64)
+        Cl = np.asarray(Cl, dtype=np.float64)
+        mask = ~np.isnan(Cl)
+        self.ell = ell[mask]
+        self.Cl = Cl[mask]
+        self.concrete = concrete
+
+    def __call__(self, ell):
+        """Linear interpolation; NaN->0 outside support is applied by
+        consumers (Cl_to_2D)."""
+        ell = np.asarray(ell, dtype=np.float64)
+        out = np.interp(ell, self.ell, self.Cl, left=np.nan, right=np.nan)
+        return out
+
+    def __getitem__(self, idx):
+        if isinstance(idx, slice):
+            return self(np.arange(idx.start or 0, idx.stop))
+        return self(idx)
+
+    # arithmetic (src/cls.jl:67-81)
+    def _binop(self, other, op):
+        if isinstance(other, Cls):
+            if self.concrete and other.concrete:
+                ell = np.union1d(self.ell, other.ell)
+            elif self.concrete:
+                ell = self.ell
+            elif other.concrete:
+                ell = other.ell
+            else:
+                ell = np.union1d(self.ell, other.ell)
+            return Cls(ell, op(self(ell), other(ell)), concrete=self.concrete or other.concrete)
+        if callable(other):
+            return Cls(self.ell, op(self.Cl, other(self.ell)), concrete=self.concrete)
+        return Cls(self.ell, op(self.Cl, other), concrete=self.concrete)
+
+    def __add__(self, o):
+        return self._binop(o, np.add)
+
+    def __radd__(self, o):
+        return self._binop(o, lambda a, b: b + a)
+
+    def __sub__(self, o):
+        return self._binop(o, np.subtract)
+
+    def __rsub__(self, o):
+        return self._binop(o, lambda a, b: b - a)
+
+    def __mul__(self, o):
+        return self._binop(o, np.multiply)
+
+    def __rmul__(self, o):
+        return self._binop(o, lambda a, b: b * a)
+
+    def __truediv__(self, o):
+        return self._binop(o, np.divide)
+
+    def __pow__(self, p):
+        return Cls(self.ell, self.Cl ** p, concrete=self.concrete)
+
+    def sqrt(self):
+        return Cls(self.ell, np.sqrt(self.Cl), concrete=self.concrete)
+
+    def __repr__(self):
+        return f"Cls(ell={self.ell[0]:.0f}..{self.ell[-1]:.0f}, n={len(self.ell)})"
+
+
+class FuncCls:
+    """Lazy functional spectrum, e.g. ell^2 (reference FuncCℓs,
+    src/cls.jl:50-60)."""
+
+    def __init__(self, f):
+        self.f = f
+        self.concrete = False
+
+    def __call__(self, ell):
+        return self.f(np.asarray(ell, dtype=np.float64))
+
+    def __mul__(self, o):
+        if isinstance(o, Cls):
+            return Cls(o.ell, self.f(o.ell) * o.Cl, concrete=o.concrete)
+        if isinstance(o, FuncCls):
+            return FuncCls(lambda l: self.f(l) * o.f(l))
+        return FuncCls(lambda l: self.f(l) * o)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        if isinstance(o, Cls):
+            return Cls(o.ell, self.f(o.ell) / o.Cl, concrete=o.concrete)
+        return FuncCls(lambda l: self.f(l) / o)
+
+
+ell2 = FuncCls(lambda l: l ** 2)
+ell4 = FuncCls(lambda l: l ** 4)
+toDl = FuncCls(lambda l: l * (l + 1) / (2 * np.pi))
+toCl = FuncCls(lambda l: 2 * np.pi / (l * (l + 1)))
+
+
+def extrapolate_cls(ell_out, ell_in, Cl_in):
+    """Power-law extrapolate spectra to high ell (src/cls.jl:102-111)."""
+    ell_out = np.asarray(ell_out, dtype=np.float64)
+    ell_in = np.asarray(ell_in, dtype=np.float64)
+    Cl_in = np.asarray(Cl_in, dtype=np.float64)
+    if np.all(Cl_in > 0):
+        logC = np.interp(np.log(ell_out), np.log(ell_in), np.log(Cl_in))
+        # linear extrapolation in log-log beyond support
+        lo, hi = np.log(ell_in[0]), np.log(ell_in[-1])
+        slope_lo = (np.log(Cl_in[1]) - np.log(Cl_in[0])) / (np.log(ell_in[1]) - np.log(ell_in[0]))
+        slope_hi = (np.log(Cl_in[-1]) - np.log(Cl_in[-2])) / (np.log(ell_in[-1]) - np.log(ell_in[-2]))
+        lout = np.log(ell_out)
+        logC = np.where(lout < lo, np.log(Cl_in[0]) + slope_lo * (lout - lo), logC)
+        logC = np.where(lout > hi, np.log(Cl_in[-1]) + slope_hi * (lout - hi), logC)
+        out = np.exp(logC)
+    else:
+        out = np.interp(ell_out, ell_in, Cl_in, left=0.0, right=0.0)
+    return Cls(ell_out, out, concrete=False)
+
+
+class CMBSpectra(dict):
+    """Dict of spectrum-component dicts: keys unlensed_scalar,
+    lensed_scalar, tensor, unlensed_total, total; each a dict with
+    TT/EE/BB/TE/pp Cls plus .params."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError:
+            raise AttributeError(k)
+
+
+class SpecSet(dict):
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError:
+            raise AttributeError(k)
+
+
+_DEFAULT_PARAMS = dict(r=0.2, ombh2=0.0224567, omch2=0.118489, tau=0.055, mnu=0.06,
+                       theta_s=0.0104098, H0=None, logA=3.043, ns=0.968602,
+                       AL=1, k_pivot=0.002)
+
+
+@functools.lru_cache(maxsize=None)
+def _load_default_cls():
+    path = os.path.join(_DAT, "default_camb_cls.npz")
+    z = np.load(path)
+    out = CMBSpectra()
+    for comp in ["unlensed_scalar", "lensed_scalar", "tensor", "unlensed_total", "total"]:
+        d = SpecSet()
+        for spec in ["TT", "EE", "BB", "TE", "pp"]:
+            ell = z[f"{comp}_{spec}_l"]
+            Cl = z[f"{comp}_{spec}"]
+            d[spec] = Cls(ell, Cl)
+        d["phiphi"] = d["pp"]
+        out[comp] = d
+    out["params"] = SpecSet({k.replace("param_", ""): float(z[k]) for k in z.files if k.startswith("param_")})
+    return out
+
+
+def camb(lmax=6000, r=0.2, ombh2=0.0224567, omch2=0.118489, tau=0.055, mnu=0.06,
+         theta_s=0.0104098, H0=None, logA=3.043, ns=0.968602, nt=None,
+         AL=1, k_pivot=0.002):
+    """CMB theory spectra (reference src/cls.jl:135-200).
+
+    Returns the cached fiducial spectra (shipped in dat/, computed with
+    pycamb at the reference's fiducial parameters) when called at
+    defaults; otherwise calls pycamb on host (gated on availability)."""
+    if nt is None:
+        nt = -r / 8
+    asked = dict(r=r, ombh2=ombh2, omch2=omch2, tau=tau, mnu=mnu, theta_s=theta_s,
+                 H0=H0, logA=logA, ns=ns, AL=AL, k_pivot=k_pivot)
+    cached = _load_default_cls()
+    p = cached["params"]
+    if (lmax <= p.get("lmax", 0)
+            and all(asked[k] == _DEFAULT_PARAMS[k] for k in asked)):
+        return cached
+    return _camb_live(lmax=lmax, nt=nt, **asked)
+
+
+def _camb_live(lmax, r, ombh2, omch2, tau, mnu, theta_s, H0, logA, ns, nt, AL, k_pivot):
+    try:
+        import camb as pycamb
+    except ImportError:
+        raise RuntimeError(
+            "Non-fiducial theory parameters require pycamb, which is not "
+            "installed in this environment. Use the fiducial parameters, "
+            "pass Cl explicitly, or use load_camb_cls() with CAMB output files."
+        )
+    lmax_p = min(5000, lmax)
+    cp = pycamb.set_params(
+        ombh2=ombh2, omch2=omch2, tau=tau, mnu=mnu, cosmomc_theta=theta_s,
+        H0=H0, ns=ns, nt=nt, As=np.exp(logA) * 1e-10, pivot_scalar=k_pivot,
+        pivot_tensor=k_pivot, lmax=lmax_p, r=r, Alens=AL,
+    )
+    cp.max_l_tensor = 2 * lmax_p
+    cp.max_eta_k_tensor = 4 * lmax_p
+    cp.WantScalars = True
+    cp.WantTensors = True
+    cp.DoLensing = True
+    pycamb.model.has_cl_2D_array = True
+    res = pycamb.get_results(cp)
+    ell = np.arange(2, lmax)
+    ellp = np.arange(2, lmax_p)
+    alpha = (1e6 * cp.TCMB) ** 2
+    toClp = 1 / (ellp * (ellp + 1) / (2 * np.pi))
+    powers = res.get_cmb_power_spectra(cp)
+    out = CMBSpectra()
+    Clpp_raw = res.get_lens_potential_cls(lmax_p)[2:lmax_p, 0]
+    Clpp = extrapolate_cls(ell, ellp, 2 * np.pi * Clpp_raw / ellp ** 4)
+    for k in ["unlensed_scalar", "lensed_scalar", "tensor", "unlensed_total", "total"]:
+        d = SpecSet()
+        for i, x in enumerate(["TT", "EE", "BB", "TE"]):
+            d[x] = extrapolate_cls(ell, ellp, alpha * powers[k][2:lmax_p, i] * toClp)
+        d["pp"] = Clpp
+        d["phiphi"] = Clpp
+        out[k] = d
+    out["params"] = SpecSet(r=r, ombh2=ombh2, omch2=omch2, tau=tau, mnu=mnu,
+                            theta_s=theta_s, H0=H0, logA=logA, ns=ns, nt=nt,
+                            AL=AL, k_pivot=k_pivot, lmax=lmax)
+    return out
+
+
+def load_camb_cls(path_prefix, lmax=None,
+                  unlensed_scalar_postfix="scalCls.dat",
+                  unlensed_tensor_postfix="tensCls.dat",
+                  lensed_scalar_postfix="lensedCls.dat",
+                  lenspotential_postfix="lenspotentialCls.dat"):
+    """Load spectra from CAMB output text files (src/cls.jl:219-276)."""
+    def _ext(ell, Cl):
+        return Cls(ell, Cl, concrete=False) if lmax is None else extrapolate_cls(np.arange(2, lmax), ell, Cl)
+
+    lp = np.loadtxt(path_prefix + lenspotential_postfix, skiprows=1)
+    ell = lp[:, 0]
+    Clpp = lp[:, 5] / ((ell * (ell + 1)) ** 2 / (2 * np.pi))
+    Clpp = _ext(ell, Clpp)
+
+    us = np.loadtxt(path_prefix + unlensed_scalar_postfix, skiprows=1)
+    ell = us[:, 0]
+    fac = ell * (ell + 1) / (2 * np.pi)
+    unlensed_scalar = SpecSet(
+        TT=_ext(ell, us[:, 1] / fac), EE=_ext(ell, us[:, 2] / fac),
+        TE=_ext(ell, us[:, 3] / fac), BB=_ext(ell, 0 * ell), pp=Clpp, phiphi=Clpp)
+
+    ls = np.loadtxt(path_prefix + lensed_scalar_postfix, skiprows=1)
+    ell = ls[:, 0]
+    fac = ell * (ell + 1) / (2 * np.pi)
+    lensed_scalar = SpecSet(
+        TT=_ext(ell, ls[:, 1] / fac), EE=_ext(ell, ls[:, 2] / fac),
+        BB=_ext(ell, ls[:, 3] / fac), TE=_ext(ell, ls[:, 4] / fac), pp=Clpp, phiphi=Clpp)
+
+    ts = np.loadtxt(path_prefix + unlensed_tensor_postfix, skiprows=1)
+    ell = ts[:, 0]
+    fac = ell * (ell + 1) / (2 * np.pi)
+    tensor = SpecSet(
+        TT=_ext(ell, ts[:, 1] / fac), EE=_ext(ell, ts[:, 2] / fac),
+        BB=_ext(ell, ts[:, 3] / fac), TE=_ext(ell, ts[:, 4] / fac), pp=Clpp, phiphi=Clpp)
+
+    unlensed_total = SpecSet({k: unlensed_scalar[k] + tensor[k] for k in ["TT", "EE", "BB", "TE"]},
+                             pp=Clpp, phiphi=Clpp)
+    total = SpecSet({k: lensed_scalar[k] + tensor[k] for k in ["TT", "EE", "BB", "TE"]},
+                    pp=Clpp, phiphi=Clpp)
+    return CMBSpectra(unlensed_scalar=unlensed_scalar, tensor=tensor,
+                      lensed_scalar=lensed_scalar, unlensed_total=unlensed_total,
+                      total=total, params=SpecSet())
+
+
+def noise_cls(muKarcminT, beamFWHM=0, lmax=8000, lknee=100, alphaknee=3):
+    """White + 1/f noise spectra; polarization noise scaled by sqrt(2)
+    (reference src/cls.jl:288-299)."""
+    ell = np.arange(2, lmax + 1)
+    Bl = beam_cls(beamFWHM=beamFWHM, lmax=lmax)(ell)
+    Nl1f = 1 + (lknee / ell) ** alphaknee
+    out = SpecSet()
+    for x in ["TT", "EE", "BB"]:
+        fac = 1 if x == "TT" else 2
+        out[x] = Cls(ell, fac * np.deg2rad(muKarcminT / 60) ** 2 / Bl * Nl1f)
+    out["TE"] = Cls(ell, np.zeros_like(ell, dtype=np.float64))
+    return out
+
+
+def beam_cls(beamFWHM, lmax=8000):
+    """Gaussian beam power spectrum W_ell (src/cls.jl:307-309)."""
+    ell = np.arange(2, lmax + 1)
+    return Cls(ell, np.exp(-ell ** 2 * np.deg2rad(beamFWHM / 60) ** 2 / (8 * np.log(2))))
+
+
+from ..core.proj import pixwin  # noqa: E402,F401  (re-export)

@@ -1,0 +1,70 @@
+"""Label-based timing registry — TPU analog of the reference's
+TimerOutputs @⌛ macros (src/util.jl:332-390). Wraps jitted calls with
+block_until_ready so timings are real device times; also integrates
+with the jax profiler for deep traces."""
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+
+import jax
+
+_timers = defaultdict(lambda: [0.0, 0])
+_enabled = True
+
+
+def set_timing_enabled(flag: bool):
+    global _enabled
+    _enabled = flag
+
+
+@contextlib.contextmanager
+def timed(label: str, sync=True):
+    """Context manager accumulating wall time under label."""
+    if not _enabled:
+        yield
+        return
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        if sync:
+            try:
+                jax.effects_barrier()
+            except Exception:
+                pass
+        dt = time.perf_counter() - t0
+        _timers[label][0] += dt
+        _timers[label][1] += 1
+
+
+def timed_fn(label: str):
+    def deco(fn):
+        def wrapper(*a, **kw):
+            with timed(label):
+                out = fn(*a, **kw)
+                out = jax.block_until_ready(out) if _enabled else out
+            return out
+        return wrapper
+    return deco
+
+
+def timer_report():
+    lines = ["label                              total(s)   calls    avg(ms)"]
+    for k, (tot, n) in sorted(_timers.items(), key=lambda kv: -kv[1][0]):
+        lines.append(f"{k:<34s} {tot:8.3f} {n:7d} {1e3 * tot / max(n, 1):9.2f}")
+    return "\n".join(lines)
+
+
+def reset_timers():
+    _timers.clear()
+
+
+@contextlib.contextmanager
+def profiler_trace(logdir="/tmp/jax-trace"):
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
