@@ -29,6 +29,20 @@ def nan2zero(x):
     return jnp.where(jnp.isfinite(x), x, jnp.zeros_like(x))
 
 
+def safe_divide(num, den):
+    """num/den with 0 where den==0, safe under AD (double-where trick so
+    no inf*0=NaN leaks into cotangents)."""
+    ok = den != 0
+    den_safe = jnp.where(ok, den, jnp.ones_like(den))
+    return jnp.where(ok, num / den_safe, jnp.zeros_like(num / den_safe))
+
+
+def safe_reciprocal(den):
+    ok = den != 0
+    den_safe = jnp.where(ok, den, jnp.ones_like(den))
+    return jnp.where(ok, 1.0 / den_safe, jnp.zeros_like(den))
+
+
 # =========================================================================
 # Identity
 # =========================================================================
@@ -182,7 +196,7 @@ class Diag(OpAlgebra):
 
     def solve(self, f: Field) -> Field:
         g = f.to(self.basis)
-        return Field(nan2zero(g.arr / self.diag.arr), self.basis, g.proj)
+        return Field(safe_divide(g.arr, self.diag.arr), self.basis, g.proj)
 
     @property
     def H(self):
@@ -192,7 +206,7 @@ class Diag(OpAlgebra):
         return Diag(Field(jnp.sqrt(self.diag.arr), self.basis, self.proj))
 
     def pinv(self):
-        return Diag(Field(nan2zero(1.0 / self.diag.arr), self.basis, self.proj))
+        return Diag(Field(safe_reciprocal(self.diag.arr), self.basis, self.proj))
 
     inv = pinv
 
@@ -490,10 +504,10 @@ class BlockDiagIEB(OpAlgebra):
     def _inv_blocks(self):
         tt, te, ee, bb = self._blocks()
         det = tt * ee - te * te
-        itt = nan2zero(ee / det)
-        iee = nan2zero(tt / det)
-        ite = nan2zero(-te / det)
-        ibb = nan2zero(1.0 / bb)
+        itt = safe_divide(ee, det)
+        iee = safe_divide(tt, det)
+        ite = safe_divide(-te, det)
+        ibb = safe_reciprocal(bb)
         return itt, ite, iee, ibb
 
     def solve(self, f: Field):
@@ -519,11 +533,11 @@ class BlockDiagIEB(OpAlgebra):
         """Matrix sqrt of the 2x2 TE block per mode (closed form for
         symmetric 2x2: (A + sqrt(det) I)/sqrt(tr + 2 sqrt(det)))."""
         tt, te, ee, bb = self._blocks()
-        s = jnp.sqrt(nan2zero(tt * ee - te * te))
+        s = jnp.sqrt(jnp.maximum(tt * ee - te * te, 0.0))
         t = jnp.sqrt(tt + ee + 2 * s)
-        stt = nan2zero((tt + s) / t)
-        ste = nan2zero(te / t)
-        see = nan2zero((ee + s) / t)
+        stt = safe_divide(tt + s, t)
+        ste = safe_divide(te, t)
+        see = safe_divide(ee + s, t)
         F = lambda a: Field(a, FOURIER, self.proj)
         return BlockDiagIEB(F(stt), F(ste), F(see), F(jnp.sqrt(bb)))
 

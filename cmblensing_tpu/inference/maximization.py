@@ -1,0 +1,291 @@
+"""Wiener filtering and MAP estimation.
+
+TPU-native analog of src/maximization.jl: the f-step is a batched
+preconditioned CG fully inside jit; the phi-step is preconditioned
+gradient ascent on the mixed posterior with a host-driven Brent line
+search around a jitted objective.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.field import Field, dot as field_dot, norm as field_norm, zeros_like_field
+from ..core.ops import Diag, BlockDiagIEB, ParamDependentOp, nan2zero, _Identity
+from ..ops.solvers import conjugate_gradient
+from ..models.dataset import DataSet, Mixed, mix, unmix
+from ..utils.timing import timed
+
+
+# =========================================================================
+# preconditioners
+# =========================================================================
+
+def _fid(op):
+    return op.fiducial if isinstance(op, ParamDependentOp) else op
+
+
+def _eager_chain_mul(*ops):
+    """Eagerly multiply Fourier-diagonal ops (Diag same-basis /
+    BlockDiagIEB / Identity)."""
+    out = None
+    for op in ops:
+        if isinstance(op, _Identity):
+            continue
+        out = op if out is None else out * op
+    return out if out is not None else _Identity()
+
+
+def hessian_f_preconditioner(ds: DataSet):
+    """pinv(Cf) + B' M' pinv(Cn_hat) M B, eagerly composed from
+    Fourier-diagonal approximations (reference
+    Hessian_logpdf_preconditioner, src/dataset.jl:129-132)."""
+    Cf = _fid(ds.Cf)
+    Bh, Mh, Cnh = _fid(ds.B_hat), _fid(ds.M_hat), _fid(ds.Cn_hat)
+    term = _eager_chain_mul(Bh.H, Mh.H, Cnh.pinv(), Mh, Bh)
+    if term is None or isinstance(term, _Identity):
+        term = Cnh.pinv()
+    return Cf.pinv() + term
+
+
+def hessian_phimix_preconditioner(ds: DataSet):
+    """pinv(Cphi) + pinv(Nphi) (src/dataset.jl:134-137)."""
+    Cphi = _fid(ds.Cphi)
+    Nphi = _fid(ds.Nphi)
+    cp = Cphi.pinv()
+    np_ = Nphi.pinv()
+    g = np_.diag.to(cp.diag.basis)
+    return Diag(Field(cp.diag.arr + g.arr, cp.diag.basis, cp.diag.proj))
+
+
+# =========================================================================
+# Wiener filter (reference argmaxf_logpdf, src/maximization.jl:17-42)
+# =========================================================================
+
+def argmaxf_logpdf(ds: DataSet, phi=None, theta=None, d=None, fstart=None,
+                   conjgrad_kwargs=None, offset=False):
+    """Maximize logpdf over f at fixed (phi, theta): solves the Gaussian
+    system by preconditioned CG with the Hessian applied via the
+    analytic f-gradient (src/maximization.jl:30-40)."""
+    theta = theta or {}
+    cg = dict(tol=1e-1, nsteps=500)
+    cg.update(conjgrad_kwargs or {})
+    if d is None:
+        d = ds.d
+
+    precond = hessian_f_preconditioner(ds)
+    Cfop = _fid(ds.Cf)
+    dfield = Cfop.diag if isinstance(Cfop, Diag) else Cfop.diag()
+    zero_f = zeros_like_field(dfield).to(dfield.basis.with_space("map"))
+    if isinstance(d, Field) and d.batch_shape:
+        from ..core.field import repeat_batch
+        zero_f = repeat_batch(zero_f, d.batch_shape[0])
+    zero_d = zeros_like_field(d)
+
+    # gradientf(f, d) = b - H f with H SPD; so b = gradientf(0, d) and
+    # H f = -(gradientf(f, 0) - a0)  (cf. src/maximization.jl:34-38,
+    # which solves the overall-negated system)
+    b = ds.gradientf_logpdf(zero_f, phi=phi, theta=theta, d=d)
+    a0 = ds.gradientf_logpdf(zero_f, phi=phi, theta=theta, d=zero_d)
+    if offset:
+        b = b - a0
+
+    Bb = b.basis
+
+    def Hess(f):
+        return -(ds.gradientf_logpdf(f, phi=phi, theta=theta, d=zero_d) - a0).to(Bb)
+
+    x0 = fstart.to(Bb) if fstart is not None else None
+    x, info = conjugate_gradient(precond, Hess, b, x0=x0, **cg)
+    return x, info
+
+
+def sample_f(key, ds: DataSet, phi=None, theta=None, d=None, **kwargs):
+    """Posterior sample of f via the constrained-simulation trick
+    (src/maximization.jl:56-62)."""
+    theta = theta or {}
+    if d is None:
+        d = ds.d
+    sim = ds.simulate(key, theta=theta, phi=phi)
+    df, info = argmaxf_logpdf(ds, phi=phi, theta=theta, d=d - sim["d"],
+                              offset=True, **kwargs)
+    return sim["f"] + df.to(sim["f"].basis), info
+
+
+# =========================================================================
+# MAP_joint (reference src/maximization.jl:116-233)
+# =========================================================================
+
+def _brent_min(f, a, b, abs_tol=1e-4, maxiter=50):
+    """Scalar bounded minimization (Brent) on host; f returns floats."""
+    from scipy.optimize import minimize_scalar
+    res = minimize_scalar(f, bounds=(a, b), method="bounded",
+                          options=dict(xatol=abs_tol, maxiter=maxiter))
+    return float(res.x), int(res.nfev)
+
+
+def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
+              phistart=None, alpha_tol=1e-4, gradtol=0.0, alpha_max=None,
+              conjgrad_kwargs=None, quasi_sample=False, key=None,
+              progress=False, history_keys=("logpdf",)):
+    """Joint MAP estimate of (f, phi) by coordinate descent
+    (src/maximization.jl:116-233): alternate an exact f-step (CG) with a
+    preconditioned-gradient phi-step + Brent line search over the mixed
+    posterior. Set quasi_sample=True (with key) to iterate
+    quasi-samples instead of maximizing."""
+    theta = theta or {}
+    cg = dict(tol=1e-1, nsteps=500)
+    cg.update(conjgrad_kwargs or {})
+
+    dstheta = ds.at(theta)
+    from ..core.ops import Id
+    dstheta = dstheta.replace(G=Id)  # MAP invariant to G (maximization.jl:146)
+
+    Cphi = _fid(dstheta.Cphi)
+    phi = phistart if phistart is not None else zeros_like_field(Cphi.diag).to(
+        Cphi.diag.basis.with_space("map"))
+    f = fstart
+    Hpre = hessian_phimix_preconditioner(dstheta) if dstheta.Nphi is not None else Cphi.pinv()
+    Hpre_inv = Hpre.pinv()
+
+    mixed = Mixed(dstheta)
+
+    @jax.jit
+    def phi_grad_and_fmix(f, phi):
+        fm = mix(dstheta, f=f, phi=phi, theta=theta)
+        f_mix = fm["f_mix"]
+        def obj(phi_mix):
+            return jnp.sum(mixed.logpdf(f_mix=f_mix, phi_mix=phi_mix, theta=theta))
+        g = jax.grad(obj)(fm["phi_mix"])
+        return f_mix, fm["phi_mix"], g
+
+    @jax.jit
+    def mixed_logpdf_alpha(f_mix, phi_mix, dphi, alpha):
+        return jnp.sum(mixed.logpdf(f_mix=f_mix,
+                                    phi_mix=phi_mix + alpha * dphi,
+                                    theta=theta))
+
+    history = []
+    alpha = 1.0
+    alpha_max0 = alpha_max
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    for step in range(1, nsteps + 1):
+        # f-step
+        with timed("MAP_joint/f_step"):
+            if quasi_sample:
+                key, sk = jax.random.split(key)
+                f, cg_info = sample_f(sk, dstheta, phi=phi, theta=theta,
+                                      fstart=f, conjgrad_kwargs=cg)
+            else:
+                f, cg_info = argmaxf_logpdf(dstheta, phi=phi, theta=theta,
+                                            fstart=f, conjgrad_kwargs=cg)
+
+        # phi-step
+        with timed("MAP_joint/phi_step"):
+            f_mix, phi_mix, g = phi_grad_and_fmix(f, phi)
+            dphi = Hpre_inv @ g
+            amax = alpha_max0 if alpha_max0 is not None else 2 * alpha
+            alpha, nfev = _brent_min(
+                lambda a: -float(mixed_logpdf_alpha(f_mix, phi_mix, dphi, a)),
+                0.0, amax, abs_tol=alpha_tol)
+            phi_mix = phi_mix + alpha * dphi
+
+        lp = float(mixed_logpdf_alpha(f_mix, phi_mix, dphi, 0.0))
+        u = unmix(dstheta, f_mix=f_mix, phi_mix=phi_mix, theta=theta)
+        phi = u["phi"]
+        dnorm = float(field_norm(dphi))
+        if progress:
+            print(f"MAP_joint step {step}: logpdf={lp:.2f} alpha={alpha:.3g} "
+                  f"CG={int(cg_info['iterations'])} linesearch={nfev}")
+        entry = {}
+        if "logpdf" in history_keys:
+            entry["logpdf"] = lp
+        if "phi" in history_keys:
+            entry["phi"] = phi
+        if "f" in history_keys:
+            entry["f"] = f
+        if "alpha" in history_keys:
+            entry["alpha"] = alpha
+        history.append(entry)
+        if step > minsteps and dnorm * alpha < gradtol:
+            break
+
+    return dict(f=f, phi=phi, history=history)
+
+
+# =========================================================================
+# MAP_marg (reference src/maximization.jl:247-343)
+# =========================================================================
+
+def MAP_marg(ds: DataSet, theta=None, key=None, phistart=None, nsteps=10,
+             nsteps_with_meanfield_update=4, conjgrad_kwargs=None,
+             alpha=0.2, Nsims=50, progress=False):
+    """MAP of the marginal posterior P(phi | d) via mean-field-subtracted
+    gradients: the expectation over f is approximated with Nsims
+    vmapped+sharded simulations whose mean gradient is subtracted
+    from the data gradient (src/maximization.jl:286-336). The sims run
+    as one batched CG/gradient — the TPU-native replacement for the
+    reference's pmap over workers."""
+    theta = theta or {}
+    cg = dict(tol=1e-1, nsteps=500)
+    cg.update(conjgrad_kwargs or {})
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    dstheta = ds.at(theta)
+    from ..core.ops import Id
+    dstheta = dstheta.replace(G=Id)
+    Cphi = _fid(dstheta.Cphi)
+    Nphi = _fid(dstheta.Nphi)
+    Hinv = Diag(Field(nan2zero(1.0 / (nan2zero(1.0 / Cphi.diag.arr)
+                                      + nan2zero(1.0 / Nphi.diag.to(Cphi.diag.basis).arr))),
+                      Cphi.diag.basis, Cphi.diag.proj))
+
+    phi = phistart if phistart is not None else zeros_like_field(Cphi.diag).to(
+        Cphi.diag.basis.with_space("map"))
+
+    @jax.jit
+    def phi_gradient(phi, f, d):
+        def lp(phi):
+            return jnp.sum(dstheta.logpdf(f=f, phi=phi, theta=theta, d=d))
+        return jax.grad(lp)(phi)
+
+    from ..core.field import repeat_batch
+
+    history = []
+    f_wf_prev = None
+    f_wf_sims_prev = None
+    gbar = None
+
+    for step in range(1, nsteps + 1):
+        key, ksim = jax.random.split(key)
+        # data gradient
+        f_wf, _ = argmaxf_logpdf(dstheta, phi=phi, theta=theta,
+                                 fstart=f_wf_prev, conjgrad_kwargs=cg)
+        f_wf_prev = f_wf
+        g_data = phi_gradient(phi, f_wf, dstheta.d)
+
+        if step <= nsteps_with_meanfield_update:
+            # batched sims at current phi
+            phi_b = repeat_batch(phi, Nsims)
+            sims = dstheta.simulate(ksim, theta=theta, phi=phi_b, batch_shape=(Nsims,))
+            d_sims = sims["d"]
+            ds_b = dstheta.replace(d=d_sims)
+            f_wf_sims, _ = argmaxf_logpdf(ds_b, phi=phi_b, theta=theta,
+                                          fstart=f_wf_sims_prev, conjgrad_kwargs=cg)
+            f_wf_sims_prev = f_wf_sims
+            g_sims = phi_gradient(phi_b, f_wf_sims, d_sims)
+            gbar = Field(jnp.mean(g_sims.arr, axis=0), g_sims.basis, g_sims.proj)
+
+        g = g_data - gbar.to(g_data.basis) - Cphi.solve(phi).to(g_data.basis)
+        phi = phi + float(alpha) * (Hinv @ g).to(phi.basis)
+        history.append(dict(step=step, phi=phi))
+        if progress:
+            print(f"MAP_marg step {step}: |g|={float(field_norm(g)):.3g}")
+
+    return phi, history

@@ -1,0 +1,530 @@
+"""Problem-definition containers and the simulated-dataset factory.
+
+TPU-native analog of src/dataset.jl: the data model is
+
+    d = M(theta) B(theta) L(phi) f + n
+    f ~ N(0, Cf(theta)),  phi ~ N(0, Cphi(theta)),  n ~ N(0, Cn(theta))
+
+(src/dataset.jl:59-66). DataSets are registered pytrees: operators and
+fields are children (so nothing gets baked into jit traces as hidden
+constants), the lensing-operator factory and prior are static aux.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field as dfield
+from functools import partial
+from typing import Any, Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.basis import Basis, MAP
+from ..core.field import Field, dot as field_dot, from_maps, repeat_batch
+from ..core.ops import (
+    Diag, Id, Identity, _Identity, BlockDiagIEB, ParamDependentOp, Scaled,
+    logdet as op_logdet, logdet_rel, nan2zero, evaluate_at, simulate_op,
+)
+from ..core.cov import Cl_to_Cov
+from ..core.proj import ProjLambert
+from ..utils.cls import camb as camb_cls, noise_cls, beam_cls
+from .distributions import MvNormal
+from .lenseflow import LenseFlow
+
+
+def _op_call(op, theta):
+    """Evaluate a (possibly parameter-dependent) operator at theta."""
+    if isinstance(op, ParamDependentOp):
+        return op(theta)
+    return op
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DataSet:
+    """Base dataset: all operators of the data model
+    (reference BaseDataSet, src/dataset.jl:49-57)."""
+    d: Any = None              # data
+    Cf: Any = None             # unlensed field covariance
+    Cn: Any = None             # noise covariance
+    Cn_hat: Any = None         # approx. noise covariance (fourier diag)
+    M: Any = Id                # mask
+    M_hat: Any = Id            # approx. (fourier-diagonal) mask
+    B: Any = Id                # beam / transfer function
+    B_hat: Any = Id            # approx. beam
+    Cphi: Any = None           # phi covariance
+    Cf_tilde: Any = None       # lensed field covariance
+    D: Any = Id                # mixing matrix for mixed parametrization
+    G: Any = Id                # phi reparametrization
+    Nphi: Any = None           # phi noise estimate (preconditioning)
+    L: Any = LenseFlow         # lensing operator factory (static)
+    logprior: Any = None       # callable (static)
+
+    _static_fields = ("L", "logprior")
+
+    def tree_flatten(self):
+        ch = tuple(getattr(self, f.name) for f in dataclasses.fields(self)
+                   if f.name not in self._static_fields)
+        aux = tuple(getattr(self, f.name) for f in dataclasses.fields(self)
+                    if f.name in self._static_fields)
+        return ch, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        names = [f.name for f in dataclasses.fields(cls) if f.name not in cls._static_fields]
+        snames = [f.name for f in dataclasses.fields(cls) if f.name in cls._static_fields]
+        return cls(**dict(zip(names, ch)), **dict(zip(snames, aux)))
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+    def at(self, theta):
+        """Evaluate every parameter-dependent operator at theta
+        (reference `(ds::DataSet)(θ)`, src/dataset.jl:12-18)."""
+        if not theta:
+            return self
+        kw = {}
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if isinstance(v, ParamDependentOp):
+                kw[f.name] = v(theta)
+        return self.replace(**kw) if kw else self
+
+    # --- generative model (reference @fwdmodel, src/dataset.jl:59-66) ----
+    def model(self, theta=None, sample=None):
+        theta = theta or {}
+        f = sample("f", MvNormal(0, _op_call(self.Cf, theta)))
+        phi = sample("phi", MvNormal(0, _op_call(self.Cphi, theta)))
+        ft = self.L(phi) @ f
+        mu = _op_call(self.M, theta) @ (_op_call(self.B, theta) @ ft)
+        d = sample("d", MvNormal(mu, _op_call(self.Cn, theta)))
+        return dict(f=f, phi=phi, ft=ft, d=d)
+
+    def logpdf(self, f=None, phi=None, theta=None, d=None):
+        theta = theta or {}
+        if d is None:
+            d = self.d
+        lp = MvNormal(0, _op_call(self.Cf, theta)).logpdf(f)
+        lp = lp + MvNormal(0, _op_call(self.Cphi, theta)).logpdf(phi)
+        ft = self.L(phi) @ f
+        mu = _op_call(self.M, theta) @ (_op_call(self.B, theta) @ ft)
+        lp = lp + MvNormal(mu, _op_call(self.Cn, theta)).logpdf(d)
+        if self.logprior is not None:
+            lp = lp + self.logprior(theta=theta, f=f, phi=phi)
+        return lp
+
+    def simulate(self, key, theta=None, phi=None, f=None, batch_shape=None):
+        theta = theta or {}
+        if batch_shape is None:
+            batch_shape = self.d.batch_shape if isinstance(self.d, Field) else ()
+        k1, k2, k3 = jax.random.split(key, 3)
+        if f is None:
+            f = MvNormal(0, _op_call(self.Cf, theta)).sample(k1, batch_shape)
+        if phi is None:
+            phi = MvNormal(0, _op_call(self.Cphi, theta)).sample(k2, batch_shape)
+        ft = self.L(phi) @ f
+        mu = _op_call(self.M, theta) @ (_op_call(self.B, theta) @ ft)
+        n = MvNormal(0, _op_call(self.Cn, theta)).sample(k3, batch_shape)
+        d = mu + n
+        return dict(f=f, phi=phi, ft=ft, n=n, d=d)
+
+    # fast analytic gradient wrt f (reference src/dataset.jl:76-80)
+    def gradientf_logpdf(self, f, phi=None, theta=None, d=None):
+        theta = theta or {}
+        if d is None:
+            d = self.d
+        Lphi = self.L(phi)
+        M = _op_call(self.M, theta)
+        B = _op_call(self.B, theta)
+        Cn = _op_call(self.Cn, theta)
+        Cf = _op_call(self.Cf, theta)
+        r = d - M @ (B @ (Lphi @ f))
+        return (Lphi.H @ (B.H @ (M.H @ Cn.solve(r)))) - Cf.solve(f)
+
+
+BaseDataSet = DataSet
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class NoLensingDataSet:
+    """Dataset without lensing (reference src/dataset.jl:37-47)."""
+    d: Any = None
+    Cf: Any = None
+    Cn: Any = None
+    Cn_hat: Any = None
+    M: Any = Id
+    M_hat: Any = Id
+    B: Any = Id
+    B_hat: Any = Id
+    logprior: Any = None
+
+    _static_fields = ("logprior",)
+
+    tree_flatten = DataSet.tree_flatten
+    tree_unflatten = classmethod(DataSet.tree_unflatten.__func__)
+    replace = DataSet.replace
+    at = DataSet.at
+
+    def logpdf(self, f=None, theta=None, d=None):
+        theta = theta or {}
+        if d is None:
+            d = self.d
+        lp = MvNormal(0, _op_call(self.Cf, theta)).logpdf(f)
+        mu = _op_call(self.M, theta) @ (_op_call(self.B, theta) @ f)
+        lp = lp + MvNormal(mu, _op_call(self.Cn, theta)).logpdf(d)
+        return lp
+
+    def simulate(self, key, theta=None, f=None, batch_shape=()):
+        theta = theta or {}
+        k1, k3 = jax.random.split(key, 2)
+        if f is None:
+            f = MvNormal(0, _op_call(self.Cf, theta)).sample(k1, batch_shape)
+        mu = _op_call(self.M, theta) @ (_op_call(self.B, theta) @ f)
+        n = MvNormal(0, _op_call(self.Cn, theta)).sample(k3, batch_shape)
+        return dict(f=f, n=n, d=mu + n)
+
+    def gradientf_logpdf(self, f, theta=None, d=None, **_):
+        theta = theta or {}
+        if d is None:
+            d = self.d
+        M = _op_call(self.M, theta)
+        B = _op_call(self.B, theta)
+        Cn = _op_call(self.Cn, theta)
+        Cf = _op_call(self.Cf, theta)
+        r = d - M @ (B @ f)
+        return (B.H @ (M.H @ Cn.solve(r))) - Cf.solve(f)
+
+
+# =========================================================================
+# mixed parametrization (reference src/dataset.jl:28, 84-117)
+# =========================================================================
+
+@dataclass
+class Mixed:
+    """Wrapper marking the mixed parametrization (f°, phi°)."""
+    ds: DataSet
+
+    def logpdf(self, f_mix=None, phi_mix=None, theta=None, d=None):
+        ds = self.ds
+        theta = theta or {}
+        u = unmix(ds, f_mix=f_mix, phi_mix=phi_mix, theta=theta)
+        lp = ds.logpdf(f=u["f"], phi=u["phi"], theta=theta, d=d)
+        return lp - logdet_rel(ds.D, theta) - logdet_rel(ds.G, theta)
+
+
+def mix(ds: DataSet, f=None, phi=None, theta=None):
+    """(f, phi) -> (f°, phi°): f° = L(phi) D(theta) f, phi° = G(theta) phi
+    (src/dataset.jl:96-101)."""
+    theta = theta or {}
+    D = _op_call(ds.D, theta)
+    G = _op_call(ds.G, theta)
+    f_mix = ds.L(phi) @ (D @ f)
+    phi_mix = G @ phi
+    return dict(f_mix=f_mix, phi_mix=phi_mix, theta=theta)
+
+
+def unmix(ds: DataSet, f_mix=None, phi_mix=None, theta=None):
+    """(f°, phi°) -> (f, phi) (src/dataset.jl:112-117)."""
+    theta = theta or {}
+    D = _op_call(ds.D, theta)
+    G = _op_call(ds.G, theta)
+    phi = G.solve(phi_mix)
+    f = D.solve(ds.L(phi).solve(f_mix))
+    return dict(f=f, phi=phi, theta=theta)
+
+
+# =========================================================================
+# module-level functional API
+# =========================================================================
+
+def simulate(key, ds, **kw):
+    return ds.simulate(key, **kw)
+
+
+def logpdf(ds, **kw):
+    if isinstance(ds, Mixed):
+        return ds.logpdf(**kw)
+    return ds.logpdf(**kw)
+
+
+def gradientf_logpdf(ds, **kw):
+    return ds.gradientf_logpdf(**kw)
+
+
+def Hessian_logpdf_preconditioner(which, ds):
+    """Fast approximate Hessian of logpdf wrt `which`
+    (reference src/dataset.jl:127-137)."""
+    if which == "f":
+        Cf = ds.Cf
+        Bh, Mh, Cnh = ds.B_hat, ds.M_hat, ds.Cn_hat
+        # pinv(Cf) + B' M' pinv(Cn̂) M B, all fourier-diagonal
+        from ..core.ops import LazyOp
+        op_cf = Cf.fiducial if isinstance(Cf, ParamDependentOp) else Cf
+        term = LazyOp("*", Bh.H, LazyOp("*", Mh.H, LazyOp("*", FuncSolve(Cnh), LazyOp("*", Mh, Bh))))
+        return LazyOp("+", op_cf.pinv(), term)
+    if which in ("phi_mix", ("phi_mix",)):
+        Cphi, Nphi = ds.Cphi, ds.Nphi
+        op_cphi = Cphi.fiducial if isinstance(Cphi, ParamDependentOp) else Cphi
+        return _diag_add(op_cphi.pinv(), Nphi.pinv())
+    raise ValueError(which)
+
+
+class FuncSolve:
+    """Wrap an operator so that `@` applies its solve (pinv action)."""
+
+    def __init__(self, op):
+        self.op = op
+
+    def __matmul__(self, f):
+        return self.op.solve(f)
+
+    @property
+    def H(self):
+        return FuncSolve(self.op.H)
+
+
+jax.tree_util.register_pytree_node(
+    FuncSolve, lambda s: ((s.op,), None), lambda aux, ch: FuncSolve(ch[0]))
+
+
+def _diag_add(a: Diag, b: Diag) -> Diag:
+    gb = b.diag.to(a.diag.basis)
+    return Diag(Field(a.diag.arr + gb.arr, a.diag.basis, a.diag.proj))
+
+
+def _add_scalar_identity(op, s):
+    """op + s*I for Diag / BlockDiagIEB."""
+    if isinstance(op, Diag):
+        return Diag(Field(op.diag.arr + s, op.diag.basis, op.diag.proj))
+    if isinstance(op, BlockDiagIEB):
+        F = lambda a: Field(a, op.TT.basis, op.proj)
+        return BlockDiagIEB(F(op.TT.arr + s), op.TE, F(op.EE.arr + s), F(op.BB.arr + s))
+    raise TypeError(type(op))
+
+
+# =========================================================================
+# load_sim (reference src/dataset.jl:186-338)
+# =========================================================================
+
+def _mask_cov(pol, proj, bandpass, zero_TE=True):
+    """Fourier mask operator from a BandPass, with TE block zero for IP."""
+    from ..core.ops import BandPass as BP
+    W = bandpass.on(proj, pol="I").diag.arr  # (1, Ny, Nxh)
+    if pol == "I":
+        return Diag(Field(W, Basis("I", "fourier"), proj))
+    if pol == "P":
+        W2 = jnp.concatenate([W, W], axis=-3)
+        return Diag(Field(W2, Basis("EB", "fourier"), proj))
+    if pol == "IP":
+        F = lambda a: Field(a, Basis("I", "fourier"), proj)
+        return BlockDiagIEB(F(W), F(jnp.zeros_like(W)), F(W), F(W))
+    raise ValueError(pol)
+
+
+def load_sim(
+    thetapix,
+    Nside,
+    pol,
+    T=np.float32,
+    Nbatch=None,
+    # noise
+    muKarcminT=3,
+    lknee=100,
+    alphaknee=3,
+    Cln=None,
+    Cn=None,
+    # beam
+    beamFWHM=0,
+    B=None, B_hat=None,
+    # mask
+    pixel_mask_kwargs=None,
+    bandpass_mask=None,
+    M=None, M_hat=None,
+    # theory
+    Cl=None,
+    fiducial_theta=None,
+    seed=0,
+    key=None,
+    D=None,
+    G=None,
+    Nphi_fac=2,
+    L=None,
+    rotator=(0.0, 90.0, 0.0),
+):
+    """End-to-end simulated-dataset factory (reference load_sim,
+    src/dataset.jl:186-338). Returns a dict with f, ft, phi, d, ds,
+    ds0 (fiducial-evaluated), Cl, proj."""
+    from ..core.ops import LowPass
+    from .quadratic_estimate import quadratic_estimate
+
+    fiducial_theta = dict(fiducial_theta or {})
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+    if L is None:
+        L = partial(LenseFlow, nsteps=7)
+    if bandpass_mask is None:
+        bandpass_mask = LowPass(3000)
+
+    Ny, Nx = (Nside, Nside) if np.isscalar(Nside) else Nside
+    proj = ProjLambert(Ny, Nx, thetapix=thetapix, T=T, rotator=rotator)
+    lmax = int(np.ceil(np.sqrt(2) * float(proj.nyquist)) + 1)
+
+    # theory spectra
+    Aphi0 = float(fiducial_theta.pop("Aphi", 1.0))
+    if Cl is None:
+        Cl = camb_cls(lmax=lmax, **fiducial_theta)
+    r0 = float(Cl["params"].get("r", 0.2))
+
+    if Cln is None:
+        Cln = noise_cls(muKarcminT=muKarcminT, beamFWHM=0, lknee=lknee,
+                        alphaknee=alphaknee, lmax=lmax)
+
+    pol = str(pol)
+    ks = {"I": ("TT",), "P": ("EE", "BB"), "IP": ("TT", "EE", "BB", "TE")}[pol]
+
+    # covariances
+    Cphi0 = Cl_to_Cov("I", proj, Cl["total"]["pp"])
+    Cfs = Cl_to_Cov(pol, proj, *[Cl["unlensed_scalar"][k] for k in ks])
+    Cft = Cl_to_Cov(pol, proj, *[Cl["tensor"][k] for k in ks])
+    Cf_tilde = Cl_to_Cov(pol, proj, *[Cl["total"][k] for k in ks])
+    Cn_hat = Cl_to_Cov(pol, proj, *[Cln[k] for k in ks])
+    if Cn is None:
+        Cn = Cn_hat
+
+    def _cf_fn(deps, r=r0):
+        Cfs, Cft = deps
+        return _op_axpy(Cfs, float(np.float32(1.0)) if False else (r / r0), Cft)
+
+    Cf = ParamDependentOp(("r",), lambda deps, r=r0: _op_lincomb(deps[0], r / r0, deps[1]), (Cfs, Cft))
+    Cphi = ParamDependentOp(("Aphi",), lambda deps, Aphi=Aphi0: _op_scale(Aphi, deps[0]), (Cphi0,))
+
+    # masks
+    if M is None:
+        Mfourier = _mask_cov(pol, proj, bandpass_mask)
+        if pixel_mask_kwargs is not None:
+            from ..utils.masking import make_mask
+            mask_arr = make_mask((Ny, Nx), thetapix,
+                                 rng=np.random.default_rng(seed), **pixel_mask_kwargs)
+            ncomp = {"I": 1, "P": 2, "IP": 3}[pol]
+            pix = np.broadcast_to(mask_arr[None], (ncomp, Ny, Nx))
+            bmap = {"I": "I", "P": "QU", "IP": "IQU"}[pol]
+            Mpix = Diag(Field(jnp.asarray(pix.copy()), Basis(bmap, "map"), proj))
+            from ..core.ops import LazyOp
+            M = LazyOp("*", Mfourier, Mpix)
+        else:
+            M = Mfourier
+        if M_hat is None:
+            M_hat = Mfourier
+    elif M_hat is None:
+        M_hat = M
+
+    # beam
+    if B is None:
+        Bl = beam_cls(beamFWHM=beamFWHM, lmax=lmax).sqrt()
+        from ..core.ops import BandPass as BPcls
+        bp = BPcls(Bl.ell, Bl.Cl)
+        B = _mask_cov(pol, proj, bp)
+    if B_hat is None:
+        B_hat = B
+
+    ds = DataSet(Cn=Cn, Cn_hat=Cn_hat, Cf=Cf, Cf_tilde=Cf_tilde, Cphi=Cphi,
+                 M=M, M_hat=M_hat, B=B, B_hat=B_hat, D=D or Id, G=G or Id, L=L)
+
+    # simulate data
+    sim = ds.simulate(key, batch_shape=())
+    ds = ds.replace(d=sim["d"])
+
+    # Nphi from quadratic estimate
+    qe = quadratic_estimate(ds)
+    Nphi = _op_scale(1.0 / Nphi_fac, qe["Nphi"])
+    ds = ds.replace(Nphi=Nphi)
+
+    # G mixing (src/dataset.jl:317-320)
+    if G is None:
+        def _G_of(Cphi_at):
+            # sqrt(I + 2 Nphi pinv(Cphi))
+            from ..core.ops import safe_reciprocal
+            cp = Cphi_at.diag if isinstance(Cphi_at, Diag) else Cphi_at
+            arr = 1.0 + 2.0 * Nphi.diag.arr * safe_reciprocal(cp.arr)
+            return Diag(Field(jnp.sqrt(arr), cp.basis, cp.proj))
+
+        G0 = _G_of(Cphi(dict(Aphi=Aphi0)))
+
+        def g_fn(deps, Aphi=Aphi0):
+            (G0, Cphi) = deps
+            Ga = _G_of(Cphi(dict(Aphi=Aphi)))
+            return Diag(Field(Ga.diag.arr / G0.diag.arr, Ga.diag.basis, Ga.diag.proj))
+
+        ds = ds.replace(G=ParamDependentOp(("Aphi",), g_fn, (G0, Cphi)))
+
+    # D mixing (src/dataset.jl:321-329)
+    if D is None:
+        sigma2len = float(np.deg2rad(5 / 60) ** 2)
+
+        def d_fn(deps, r=r0):
+            (Cf, Cn_hat) = deps
+            Cfr = Cf(dict(r=r))
+            num = _add_scalar_identity(_op_lincomb(Cfr, 2.0, Cn_hat), sigma2len)
+            return _op_mul_sqrt_pinv(num, Cfr)
+
+        ds = ds.replace(D=ParamDependentOp(("r",), d_fn, (Cf, Cn_hat)))
+
+    if Nbatch is not None:
+        d_b = repeat_batch(sim["d"], Nbatch)
+        ds = ds.replace(d=d_b)
+
+    return dict(f=sim["f"], ft=sim["ft"], phi=sim["phi"], d=ds.d,
+                ds=ds, ds0=ds.at({}), Cl=Cl, proj=proj)
+
+
+def load_nolensing_sim(lensed_covariance=False, **kwargs):
+    """Reference load_nolensing_sim (src/dataset.jl:341-352)."""
+    out = load_sim(**kwargs)
+    ds = out["ds"]
+    Cf_nl = ds.Cf_tilde if lensed_covariance else ds.Cf
+    ds_nl = NoLensingDataSet(d=ds.d, Cf=Cf_nl, Cn=ds.Cn, Cn_hat=ds.Cn_hat,
+                             M=ds.M, M_hat=ds.M_hat, B=ds.B, B_hat=ds.B_hat)
+    out = dict(out)
+    out["ds"] = ds_nl
+    out["ds0"] = ds_nl.at({})
+    return out
+
+
+# --- small eager operator helpers (keep Diag/BlockDiagIEB eager) ---------
+
+def _op_scale(s, op):
+    if isinstance(op, Diag):
+        return Diag(Field(s * op.diag.arr, op.diag.basis, op.diag.proj))
+    if isinstance(op, BlockDiagIEB):
+        F = lambda a: Field(s * a.arr, a.basis, a.proj)
+        return BlockDiagIEB(F(op.TT), F(op.TE), F(op.EE), F(op.BB))
+    return Scaled(s, op)
+
+
+def _op_lincomb(a, s, b):
+    """a + s*b for Diag/BlockDiagIEB of matching type."""
+    if isinstance(a, Diag) and isinstance(b, Diag):
+        gb = b.diag.to(a.diag.basis)
+        return Diag(Field(a.diag.arr + s * gb.arr, a.diag.basis, a.diag.proj))
+    if isinstance(a, BlockDiagIEB) and isinstance(b, BlockDiagIEB):
+        F = lambda x, y: Field(x.arr + s * y.arr, x.basis, x.proj)
+        return BlockDiagIEB(F(a.TT, b.TT), F(a.TE, b.TE), F(a.EE, b.EE), F(a.BB, b.BB))
+    raise TypeError((type(a), type(b)))
+
+
+def _op_mul_sqrt_pinv(num, den):
+    """sqrt(num * pinv(den)) for Diag/BlockDiagIEB."""
+    from ..core.ops import safe_divide
+    if isinstance(num, Diag) and isinstance(den, Diag):
+        arr = safe_divide(num.diag.arr, den.diag.arr)
+        return Diag(Field(jnp.sqrt(arr), num.diag.basis, num.diag.proj))
+    if isinstance(num, BlockDiagIEB) and isinstance(den, BlockDiagIEB):
+        prod = num * den.pinv()
+        return prod.sqrt()
+    raise TypeError((type(num), type(den)))
+
+
+def _op_axpy(a, s, b):
+    return _op_lincomb(a, s, b)

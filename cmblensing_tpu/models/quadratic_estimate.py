@@ -1,0 +1,271 @@
+"""Hu-Okamoto flat-sky quadratic estimators for the lensing potential.
+
+TPU-native analog of src/quadratic_estimate.jl:29-199, implementing
+the TT, EE and EB estimators with analytic normalization A_L and
+N0 = A_L. All math is Fourier-diagonal products and a handful of
+FFTs, expressed directly on raw (Ny, Nx//2+1) arrays and jit-able.
+
+Each estimator term is built from memoized "legs"
+
+    QE_leg(C, brackets, hats) = Map( C * prod_i (i l_bi) * prod_j lhat_hj )
+
+where lhat_j = (i l_j)/|l| (reference QE_leg, src/quadratic_estimate.jl:83-93).
+"""
+from __future__ import annotations
+
+from itertools import product
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.basis import Basis, FOURIER
+from ..core.field import Field
+from ..core.ops import Diag, nan2zero
+from ..ops import fft as _fft
+
+
+def _eps(i, j):
+    """2-D Levi-Civita (the reference's epsilon(m, p, 3) with both
+    indices in {1,2})."""
+    return {(0, 1): 1.0, (1, 0): -1.0}.get((i, j), 0.0)
+
+
+class _LegFactory:
+    """Memoized legs for one projection. C may be a real 2-D (Ny,Nxh)
+    spectral weight or a complex data array of the same shape."""
+
+    def __init__(self, proj):
+        self.proj = proj
+        cdt = proj.complex_T
+        lx = np.asarray(proj.lx, dtype=np.float64)[None, :]
+        ly = np.asarray(proj.ly, dtype=np.float64)[:, None]
+        self.il = (jnp.asarray((1j * np.broadcast_to(lx, proj.shape_fourier)).astype(cdt)),
+                   jnp.asarray((1j * np.broadcast_to(ly, proj.shape_fourier)).astype(cdt)))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lhx = np.nan_to_num(lx / np.hypot(lx, ly))
+            lhy = np.nan_to_num(ly / np.hypot(lx, ly))
+        self.ilh = (jnp.asarray((1j * np.broadcast_to(lhx, proj.shape_fourier)).astype(cdt)),
+                    jnp.asarray((1j * np.broadcast_to(lhy, proj.shape_fourier)).astype(cdt)))
+        self._cache = {}
+
+    def __call__(self, C, brackets=(), hats=()):
+        key = (id(C), tuple(sorted(brackets)), tuple(sorted(hats)))
+        if key not in self._cache:
+            X = C.astype(jnp.complex64 if self.proj.T == np.dtype(np.float32) else jnp.complex128)
+            for b in brackets:
+                X = X * self.il[b]
+            for h in hats:
+                X = X * self.ilh[h]
+            self._cache[key] = _fft.irfft2(X[None], self.proj.Nx)[0]
+        return self._cache[key]
+
+
+def _wf_and_norm(proj, phiqe_unnorm_fourier, AL_arr, Cphi, wiener_filtered, AL_given):
+    Fq = Field(phiqe_unnorm_fourier[None], FOURIER, proj)
+    AL = Diag(Field(AL_arr[None], FOURIER, proj)) if AL_given is None else AL_given
+    Nphi = AL
+    phiqe = AL @ Fq
+    if wiener_filtered:
+        cp = Cphi.diag.arr if isinstance(Cphi, Diag) else Cphi
+        w = nan2zero(cp / (cp + AL.diag.arr))
+        phiqe = Field(w * phiqe.arr, FOURIER, proj)
+    return dict(phiqe=phiqe, AL=AL, Nphi=Nphi)
+
+
+def _qe_TT(proj, d1, d2, Cf, Cft, Cn, Cphi, TF, wiener_filtered, weights, AL=None):
+    """TT estimator (src/quadratic_estimate.jl:95-120). All C* args are
+    real (Ny,Nxh) arrays; d1,d2 complex (Ny,Nxh)."""
+    leg = _LegFactory(proj)
+    Sig = TF ** 2 * Cft + Cn
+    CT = Cf if weights == "unlensed" else Cft
+    isig = nan2zero(1.0 / Sig)
+
+    A = isig * (TF * d1)
+    Bc = CT * isig * (TF * d2)
+
+    # unnormalized estimate: -sum_i (i l_i) * rfft( leg(A) * leg(B,[i]) )
+    qe = 0.0
+    for i in range(2):
+        prod_map = leg(A) * leg(Bc, brackets=(i,))
+        qe = qe - leg.il[i] * _fft.rfft2(prod_map[None])[0]
+
+    if AL is None:
+        W1 = TF ** 2 * CT ** 2 * isig
+        W2 = TF ** 2 * isig
+        W3 = TF ** 2 * CT * isig
+        AL_inv = 0.0
+        for i, j in product(range(2), range(2)):
+            Aij = (leg(W1, brackets=(i, j)) * leg(W2)
+                   + leg(W3, brackets=(i,)) * leg(W3, brackets=(j,)))
+            AL_inv = AL_inv + jnp.abs(leg.il[i] * leg.il[j] * _fft.rfft2(Aij[None])[0])
+        AL_arr = nan2zero(1.0 / AL_inv)
+    else:
+        AL_arr = None
+    return _wf_and_norm(proj, qe, AL_arr, Cphi, wiener_filtered, AL)
+
+
+def _qe_EE(proj, d1E, d2E, CfE, CftE, CnE, Cphi, TFE, wiener_filtered, weights, AL=None):
+    """EE estimator (src/quadratic_estimate.jl:123-160)."""
+    leg = _LegFactory(proj)
+    TF2 = TFE ** 2
+    Sig = TF2 * CftE + CnE
+    CE = CfE if weights == "unlensed" else CftE
+    isig = nan2zero(1.0 / Sig)
+
+    A = CE * isig * (TFE * d1E)
+    B = isig * (TFE * d2E)
+
+    qe = 0.0
+    for i in range(2):
+        I_i = 0.0
+        for j, k in product(range(2), range(2)):
+            I_i = I_i + 2 * leg(A, brackets=(i,), hats=(j, k)) * leg(B, hats=(j, k))
+        I_i = I_i - leg(A, brackets=(i,)) * leg(B)
+        qe = qe + leg.il[i] * _fft.rfft2((-I_i)[None])[0]
+
+    if AL is None:
+        W1 = TF2 * CE ** 2 * isig
+        W2 = TF2 * isig
+        W3 = TF2 * CE * isig
+        AL_inv = 0.0
+        for i, j in product(range(2), range(2)):
+            A1 = 0.0
+            for k, l, m, n, p, q in product(*[range(2)] * 6):
+                e = _eps(m, p) * _eps(n, q)
+                if e == 0.0:
+                    continue
+                A1 = A1 + (-4.0) * e * (
+                    leg(W1, brackets=(i, j), hats=(k, l, m, n)) * leg(W2, hats=(k, l, p, q))
+                    + leg(W3, brackets=(i,), hats=(k, l, m, n)) * leg(W3, brackets=(j,), hats=(k, l, p, q)))
+            A2 = (leg(W1, brackets=(i, j)) * leg(W2)
+                  + leg(W3, brackets=(i,)) * leg(W3, brackets=(j,)))
+            AL_inv = AL_inv + jnp.abs(leg.il[i] * leg.il[j] * _fft.rfft2((A1 + A2)[None])[0])
+        AL_arr = nan2zero(1.0 / AL_inv)
+    else:
+        AL_arr = None
+    return _wf_and_norm(proj, qe, AL_arr, Cphi, wiener_filtered, AL)
+
+
+def _qe_EB(proj, d1E, d2B, CfE, CfB, CftE, CftB, CnE, CnB, Cphi, TFE, TFB,
+           wiener_filtered, weights, AL=None, zeroB=False):
+    """EB estimator (src/quadratic_estimate.jl:163-199)."""
+    leg = _LegFactory(proj)
+    CE = CfE if weights == "unlensed" else CftE
+    CB = CfB if weights == "unlensed" else CftB
+    TF2E, TF2B = TFE ** 2, TFB ** 2
+    SigE = TF2E * CftE + CnE
+    SigB = TF2B * CftB + CnB
+    isigE = nan2zero(1.0 / SigE)
+    isigB = nan2zero(1.0 / SigB)
+
+    AE = CE * isigE * (TFE * d1E)
+    BE = isigE * (TFE * d1E)
+    AB = isigB * (TFB * d2B)
+    BB = CB * isigB * (TFB * d2B)
+
+    qe = 0.0
+    for i in range(2):
+        I_i = 0.0
+        for j, k, l in product(range(2), range(2), range(2)):
+            e = _eps(k, l)
+            if e == 0.0:
+                continue
+            term = leg(AE, brackets=(i,), hats=(j, k)) * leg(AB, hats=(j, l))
+            if not zeroB:
+                term = term - leg(BE, hats=(j, k)) * leg(BB, brackets=(i,), hats=(j, l))
+            I_i = I_i + 2 * e * term
+        qe = qe + leg.il[i] * _fft.rfft2(I_i[None])[0]
+
+    if AL is None:
+        W1 = TF2E * CE ** 2 * isigE
+        W2 = TF2B * isigB
+        W3 = TF2E * CE * isigE
+        W4 = TF2B * CB * isigB
+        W5 = TF2E * isigE
+        W6 = TF2B * CB ** 2 * isigB
+        AL_inv = 0.0
+        for i, j in product(range(2), range(2)):
+            Aij = 0.0
+            for k, l, m, n, p, q in product(*[range(2)] * 6):
+                e = _eps(m, p) * _eps(n, q)
+                if e == 0.0:
+                    continue
+                t = leg(W1, brackets=(i, j), hats=(k, l, m, n)) * leg(W2, hats=(k, l, p, q))
+                if not zeroB:
+                    t = t - 2 * leg(W3, brackets=(i,), hats=(k, l, m, n)) * leg(W4, brackets=(j,), hats=(k, l, p, q))
+                    t = t + leg(W5, hats=(k, l, m, n)) * leg(W6, brackets=(i, j), hats=(k, l, p, q))
+                Aij = Aij + 4 * e * t
+            AL_inv = AL_inv + jnp.abs(leg.il[i] * leg.il[j] * _fft.rfft2(Aij[None])[0])
+        AL_arr = nan2zero(1.0 / AL_inv)
+    else:
+        AL_arr = None
+    return _wf_and_norm(proj, qe, AL_arr, Cphi, wiener_filtered, AL)
+
+
+def _spin0_arr(x):
+    """Raw (Ny,Nxh) array from a spin-0 Fourier-diag op or Field."""
+    if isinstance(x, Diag):
+        x = x.diag
+    if isinstance(x, Field):
+        a = x.arr
+        return a[..., 0, :, :] if a.ndim >= 3 else a
+    return x
+
+
+def quadratic_estimate(ds, which=None, wiener_filtered=True, AL=None,
+                       weights="unlensed", ds2=None):
+    """Quadratic estimate of phi from data (reference
+    src/quadratic_estimate.jl:29-47). Only the Fourier-diagonal
+    approximations B_hat, M_hat, Cn_hat enter.
+
+    Returns dict(phiqe, AL, Nphi)."""
+    assert weights in ("lensed", "unlensed")
+    ds1 = ds
+    if ds2 is None:
+        ds2 = ds1
+    if which is None:
+        which = "TT" if ds1.d.basis.pol == "I" else "EB"
+    assert which in ("TT", "EE", "EB")
+
+    ds1f = ds1.at({})
+    proj = ds1f.d.proj
+    Cf, Cft, Cn, Cphi = ds1f.Cf, ds1f.Cf_tilde, ds1f.Cn_hat, ds1f.Cphi
+    from ..core.ops import ParamDependentOp, LazyOp, _Identity
+    def fid(op):
+        return op.fiducial if isinstance(op, ParamDependentOp) else op
+    Cf, Cft, Cn, Cphi = fid(Cf), fid(Cft), fid(Cn), fid(Cphi)
+
+    # TF = (M_hat * B_hat)[pol] — both Fourier-diagonal
+    def tf_component(comp):
+        def comp_arr(op):
+            if isinstance(op, _Identity):
+                return 1.0
+            sub = op[comp]
+            return _spin0_arr(sub)
+        return comp_arr(ds1f.M_hat) * comp_arr(ds1f.B_hat)
+
+    Cphi_arr = _spin0_arr(Cphi["I"] if hasattr(Cphi, "__getitem__") and not isinstance(Cphi, Diag) else Cphi)
+
+    if which == "TT":
+        d1 = _spin0_arr(ds1.d["I"].to(FOURIER))
+        d2 = _spin0_arr(ds2.d["I"].to(FOURIER))
+        out = _qe_TT(proj, d1, d2, _spin0_arr(Cf["I"]), _spin0_arr(Cft["I"]),
+                     _spin0_arr(Cn["I"]), Cphi_arr, tf_component("I"),
+                     wiener_filtered, weights, AL)
+    elif which == "EE":
+        d1 = _spin0_arr(ds1.d["E"])
+        d2 = _spin0_arr(ds2.d["E"])
+        out = _qe_EE(proj, d1, d2, _spin0_arr(Cf["E"]), _spin0_arr(Cft["E"]),
+                     _spin0_arr(Cn["E"]), Cphi_arr, tf_component("E"),
+                     wiener_filtered, weights, AL)
+    else:
+        d1 = _spin0_arr(ds1.d["E"])
+        d2 = _spin0_arr(ds2.d["B"])
+        out = _qe_EB(proj, d1, d2, _spin0_arr(Cf["E"]), _spin0_arr(Cf["B"]),
+                     _spin0_arr(Cft["E"]), _spin0_arr(Cft["B"]),
+                     _spin0_arr(Cn["E"]), _spin0_arr(Cn["B"]), Cphi_arr,
+                     tf_component("E"), tf_component("B"),
+                     wiener_filtered, weights, AL)
+    out["Nphi"] = out["Nphi"] if isinstance(out["Nphi"], Diag) else Diag(out["Nphi"])
+    return out

@@ -82,16 +82,17 @@ def _matmul_rfft2(x):
     """
     Ny, Nx = x.shape[-2], x.shape[-1]
     rdt = x.dtype
+    ndt = np.dtype(str(rdt))
     Wx = _dft_mats(Nx, str(rdt))[: Nx // 2 + 1]          # (Nxh, Nx)
     Wy = _dft_mats(Ny, str(rdt))                         # (Ny, Ny)
-    WxT_re = jnp.asarray(Wx.real.T, dtype=rdt)           # (Nx, Nxh)
-    WxT_im = jnp.asarray(Wx.imag.T, dtype=rdt)
+    WxT_re = jnp.asarray(Wx.real.T.astype(ndt))          # (Nx, Nxh)
+    WxT_im = jnp.asarray(Wx.imag.T.astype(ndt))
     # x-axis rfft: (..., Ny, Nx) @ (Nx, Nxh)
     re = jnp.matmul(x, WxT_re, preferred_element_type=rdt)
     im = jnp.matmul(x, WxT_im, preferred_element_type=rdt)
     # y-axis full complex fft: contract over Ny (axis -2):
-    Wy_re = jnp.asarray(Wy.real, dtype=rdt)
-    Wy_im = jnp.asarray(Wy.imag, dtype=rdt)
+    Wy_re = jnp.asarray(Wy.real.astype(ndt))
+    Wy_im = jnp.asarray(Wy.imag.astype(ndt))
     # out[k,m] = sum_j Wy[k,j] z[j,m]
     out_re = jnp.einsum("kj,...jm->...km", Wy_re, re) - jnp.einsum("kj,...jm->...km", Wy_im, im)
     out_im = jnp.einsum("kj,...jm->...km", Wy_re, im) + jnp.einsum("kj,...jm->...km", Wy_im, re)
@@ -105,11 +106,12 @@ def _matmul_irfft2(X, Nx: int):
     """
     Ny, Nxh = X.shape[-2], X.shape[-1]
     rdt = jnp.float32 if X.dtype == jnp.complex64 else jnp.float64
+    ndt = np.float32 if X.dtype == jnp.complex64 else np.float64
     # inverse fft along y (complex): conj(Wy)/Ny; Wy is symmetric so no
     # transpose is needed
     Wy = _dft_mats(Ny, str(rdt))
-    Wyi_re = jnp.asarray(Wy.real / Ny, dtype=rdt)
-    Wyi_im = jnp.asarray(-Wy.imag / Ny, dtype=rdt)
+    Wyi_re = jnp.asarray((Wy.real / Ny).astype(ndt))
+    Wyi_im = jnp.asarray((-Wy.imag / Ny).astype(ndt))
     Xre, Xim = jnp.real(X), jnp.imag(X)
     z_re = jnp.einsum("kj,...jm->...km", Wyi_re, Xre) - jnp.einsum("kj,...jm->...km", Wyi_im, Xim)
     z_im = jnp.einsum("kj,...jm->...km", Wyi_re, Xim) + jnp.einsum("kj,...jm->...km", Wyi_im, Xre)
@@ -121,8 +123,8 @@ def _matmul_irfft2(X, Nx: int):
     ang = 2 * np.pi * np.outer(k, j) / Nx
     C = (lam[:, None] * np.cos(ang)) / Nx                # (Nxh, Nx)
     S = (lam[:, None] * np.sin(ang)) / Nx
-    C = jnp.asarray(C, dtype=rdt)
-    S = jnp.asarray(S, dtype=rdt)
+    C = jnp.asarray(C.astype(ndt))
+    S = jnp.asarray(S.astype(ndt))
     return jnp.matmul(z_re, C, preferred_element_type=rdt) - jnp.matmul(z_im, S, preferred_element_type=rdt)
 
 
