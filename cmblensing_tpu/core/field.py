@@ -353,6 +353,50 @@ def sum_field(f: Field):
     return jnp.sum(fm.arr, axis=(-1, -2, -3))
 
 
+# --- gradients w.r.t. fields ----------------------------------------------
+#
+# The mathematical gradient of a functional wrt a field satisfies
+# dL = <g, df> under the *field* inner product (pixel-space dot). For a
+# MAP-basis Field the raw-array cotangent from jax.grad coincides with
+# that gradient; for a Fourier-stored field it differs by rfft
+# degeneracy/normalization factors (the reference burns ~60 lines of
+# adjoint bookkeeping on exactly this, src/autodiff.jl:27-57). We adopt
+# the convention: field-gradients are taken wrt the map-space pixel
+# DOF. fgrad/fvalue_and_grad convert the primal to its map basis, take
+# jax.grad there, and return an honest gradient Field.
+
+def _map_basis_of(f):
+    return f.basis.with_space("map")
+
+
+def fgrad(fn):
+    """Gradient of scalar fn(field) as a map-basis gradient Field."""
+
+    def gradfn(f: Field, *args, **kwargs):
+        fm = f.to(_map_basis_of(f))
+
+        def fa(arr):
+            return fn(Field(arr, fm.basis, fm.proj), *args, **kwargs)
+
+        g = jax.grad(fa)(fm.arr)
+        return Field(g, fm.basis, fm.proj)
+
+    return gradfn
+
+
+def fvalue_and_grad(fn):
+    def vg(f: Field, *args, **kwargs):
+        fm = f.to(_map_basis_of(f))
+
+        def fa(arr):
+            return fn(Field(arr, fm.basis, fm.proj), *args, **kwargs)
+
+        v, g = jax.value_and_grad(fa)(fm.arr)
+        return v, Field(g, fm.basis, fm.proj)
+
+    return vg
+
+
 # --- batching (reference src/batching.jl, src/proj_lambert.jl:436-459) ----
 
 def batch(fs):

@@ -157,12 +157,16 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
 
     @jax.jit
     def phi_grad_and_fmix(f, phi):
+        from ..core.field import fgrad
         fm = mix(dstheta, f=f, phi=phi, theta=theta)
         f_mix = fm["f_mix"]
+
         def obj(phi_mix):
             return jnp.sum(mixed.logpdf(f_mix=f_mix, phi_mix=phi_mix, theta=theta))
-        g = jax.grad(obj)(fm["phi_mix"])
-        return f_mix, fm["phi_mix"], g
+
+        phi_mix = fm["phi_mix"].to(fm["phi_mix"].basis.with_space("map"))
+        g = fgrad(obj)(phi_mix)
+        return f_mix, phi_mix, g
 
     @jax.jit
     def mixed_logpdf_alpha(f_mix, phi_mix, dphi, alpha):
@@ -251,9 +255,12 @@ def MAP_marg(ds: DataSet, theta=None, key=None, phistart=None, nsteps=10,
 
     @jax.jit
     def phi_gradient(phi, f, d):
+        from ..core.field import fgrad
+
         def lp(phi):
             return jnp.sum(dstheta.logpdf(f=f, phi=phi, theta=theta, d=d))
-        return jax.grad(lp)(phi)
+
+        return fgrad(lp)(phi)
 
     from ..core.field import repeat_batch
 

@@ -1,0 +1,100 @@
+"""Device-mesh parallelism for batched lensing analyses.
+
+The TPU-native replacement for the reference's Julia-Distributed
+process parallelism (src/util_parallel.jl, pmap at src/sampling.jl:292
+and src/maximization.jl:320): the simulation/chain batch axis of
+Fields is a *sharded leading array axis* over a jax.sharding.Mesh.
+Because every operator in this framework is elementwise or FFT over
+the (unsharded) minor axes, XLA keeps the batch axis sharded through
+entire posterior computations with zero collectives; reductions
+(mean-field averages in MAP_marg, chain statistics) become psums that
+ride the ICI.
+
+Multi-host: call distributed_initialize() (jax.distributed) before
+building meshes — the analog of the reference's MPI worker init
+(src/util_parallel.jl:4-56).
+"""
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.field import Field
+
+
+def distributed_initialize(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Initialize multi-host JAX (reference init_MPI_workers,
+    src/util_parallel.jl:4-56). No-op if already initialized or
+    single-process."""
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (RuntimeError, ValueError):
+        pass
+
+
+def make_mesh(n_devices=None, axis_name="batch", devices=None):
+    """1-D mesh over the batch axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def local_mesh(axis_name="batch"):
+    return make_mesh(axis_name=axis_name)
+
+
+def batch_sharding(mesh, axis_name="batch"):
+    """Sharding placing the leading (batch) axis across the mesh,
+    everything else replicated."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(f, mesh=None, axis_name="batch"):
+    """Shard a batched Field's leading axis over the mesh. Operators and
+    un-batched fields stay replicated; XLA propagates the sharding
+    through every elementwise/FFT op."""
+    if mesh is None:
+        mesh = make_mesh(axis_name=axis_name)
+    if isinstance(f, Field):
+        if not f.batch_shape:
+            return replicate(f, mesh)
+        spec = P(axis_name, *([None] * (f.arr.ndim - 1)))
+        arr = jax.device_put(f.arr, NamedSharding(mesh, spec))
+        return Field(arr, f.basis, f.proj)
+    # generic pytree: shard any leaf whose leading dim is divisible
+    def _shard(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % mesh.size == 0:
+            spec = P(axis_name, *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return x
+    return jax.tree_util.tree_map(_shard, f)
+
+
+def replicate(x, mesh=None, axis_name="batch"):
+    """Fully replicate a pytree over the mesh."""
+    if mesh is None:
+        mesh = make_mesh(axis_name=axis_name)
+
+    def _rep(leaf):
+        if hasattr(leaf, "ndim"):
+            return jax.device_put(leaf, NamedSharding(mesh, P(*([None] * leaf.ndim))))
+        return leaf
+
+    return jax.tree_util.tree_map(_rep, x)
+
+
+def proc_info():
+    """(process_index, process_count, local/global device counts) —
+    reference proc_info (src/util_parallel.jl:110)."""
+    return dict(process_index=jax.process_index(),
+                process_count=jax.process_count(),
+                local_device_count=jax.local_device_count(),
+                device_count=jax.device_count())

@@ -1,0 +1,134 @@
+"""Field algebra, basis conversions, FFT backends — mirrors the
+reference's algebra/transform testsets (test/runtests.jl:116-245)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cmblensing_tpu.core.proj import ProjLambert, rfft_degeneracy_fac
+from cmblensing_tpu.core import field as F
+from cmblensing_tpu.core.basis import (
+    MAP, FOURIER, QU_MAP, QU_FOURIER, EB_MAP, EB_FOURIER,
+    IQU_MAP, IQU_FOURIER, IEB_MAP, IEB_FOURIER,
+)
+from cmblensing_tpu.ops import fft as cfft
+
+NSIDES = [(8, 8), (4, 8), (8, 4)]
+
+
+def _proj(Ny, Nx):
+    return ProjLambert(Ny, Nx, thetapix=3, T=np.float32)
+
+
+@pytest.mark.parametrize("Ny,Nx", NSIDES)
+def test_fft_roundtrip(Ny, Nx):
+    proj = _proj(Ny, Nx)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, Ny, Nx))
+    for mode in ["xla", "matmul"]:
+        cfft.set_fft_mode(mode)
+        assert jnp.max(jnp.abs(cfft.irfft2(cfft.rfft2(x), Nx) - x)) < 1e-5
+    cfft.set_fft_mode("auto")
+
+
+@pytest.mark.parametrize("Ny,Nx", NSIDES)
+def test_fft_backends_agree(Ny, Nx):
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, Ny, Nx))
+    cfft.set_fft_mode("xla")
+    a = cfft.rfft2(x)
+    cfft.set_fft_mode("matmul")
+    b = cfft.rfft2(x)
+    cfft.set_fft_mode("auto")
+    assert jnp.max(jnp.abs(a - b)) < 1e-4
+
+
+def test_unfold_matches_full_fft():
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 8))
+    full = jnp.fft.fft2(x)
+    assert jnp.max(jnp.abs(cfft.unfold(jnp.fft.rfft2(x)) - full)) < 1e-4
+
+
+@pytest.mark.parametrize("Ny,Nx", NSIDES)
+@pytest.mark.parametrize("pol,bases", [
+    ("I", [MAP, FOURIER]),
+    ("QU", [QU_MAP, QU_FOURIER, EB_MAP, EB_FOURIER]),
+    ("IQU", [IQU_MAP, IQU_FOURIER, IEB_MAP, IEB_FOURIER]),
+])
+def test_basis_conversion_roundtrips(Ny, Nx, pol, bases):
+    proj = _proj(Ny, Nx)
+    f = F.randn(jax.random.PRNGKey(0), proj, pol=pol)
+    for b in bases:
+        g = f.to(b).to(f.basis)
+        assert jnp.max(jnp.abs(g.arr - f.arr)) < 1e-4, b
+
+
+@pytest.mark.parametrize("Ny,Nx", NSIDES)
+def test_parseval(Ny, Nx):
+    proj = _proj(Ny, Nx)
+    f = F.randn(jax.random.PRNGKey(0), proj, pol="QU")
+    g = F.randn(jax.random.PRNGKey(1), proj, pol="QU")
+    d_map = F.dot(f, g)
+    d_fourier = F.dot(f.to(QU_FOURIER), g.to(QU_FOURIER))
+    d_eb = F.dot(f.to(EB_FOURIER), g.to(EB_FOURIER))
+    assert abs(d_map - d_fourier) < 1e-3 * abs(d_map) + 1e-5
+    assert abs(d_map - d_eb) < 1e-3 * abs(d_map) + 1e-5
+
+
+def test_rfft_degeneracy_fac():
+    # identity from src/util_fft.jl:135: sum|fft|^2 == sum lam |rfft|^2
+    x = np.random.default_rng(0).normal(size=(8, 8))
+    lam = rfft_degeneracy_fac(8)
+    assert np.allclose(np.sum(np.abs(np.fft.fft2(x)) ** 2),
+                       np.sum(lam[None, :] * np.abs(np.fft.rfft2(x)) ** 2))
+
+
+def test_field_arithmetic_and_promotion():
+    proj = _proj(8, 8)
+    f = F.randn(jax.random.PRNGKey(0), proj, pol="I")
+    g = f.to(FOURIER)
+    h = f + g          # map + fourier promotes to map
+    assert h.basis == MAP
+    assert jnp.max(jnp.abs(h.arr - 2 * f.arr)) < 1e-5
+    assert ((2.0 * f - f) - f).arr.max() < 1e-6
+
+
+def test_batching():
+    proj = _proj(8, 8)
+    fs = [F.randn(jax.random.PRNGKey(i), proj, pol="I") for i in range(3)]
+    fb = F.batch(fs)
+    assert fb.batch_shape == (3,)
+    assert F.batch_length(fb) == 3
+    parts = F.unbatch(fb)
+    for a, b in zip(parts, fs):
+        assert jnp.array_equal(a.arr, b.arr)
+    assert jnp.array_equal(F.batch_index(fb, 1).arr, fs[1].arr)
+    # batched scalar broadcast (BatchedReal semantics)
+    s = jnp.asarray([1.0, 2.0, 3.0])
+    fb2 = fb * s
+    assert jnp.allclose(fb2.arr[2], 3 * fb.arr[2])
+
+
+def test_component_indexing():
+    proj = _proj(8, 8)
+    f = F.randn(jax.random.PRNGKey(0), proj, pol="IQU")
+    assert f["I"].arr.shape == (1, 8, 8)
+    assert f["P"].basis == QU_MAP
+    E = f["E"]
+    assert E.basis == FOURIER
+    # roundtrip E/B: build EB field, extract components
+    eb = f.to(IEB_FOURIER)
+    assert jnp.max(jnp.abs(eb["E"].arr - E.arr)) < 1e-4
+
+
+def test_vmap_and_jit_through_fields():
+    proj = _proj(8, 8)
+    f = F.randn(jax.random.PRNGKey(0), proj, pol="I", batch_shape=(4,))
+
+    @jax.jit
+    def energy(f):
+        return F.dot(f, f)
+
+    e = energy(f)
+    assert e.shape == (4,)
+    # grad through conversion + dot
+    g = jax.grad(lambda f: jnp.sum(F.dot(f.to(FOURIER), f.to(FOURIER))))(f)
+    assert jnp.allclose(g.arr, 2 * f.arr, atol=1e-4)

@@ -1,0 +1,147 @@
+"""Operator algebra: Diag, BlockDiagIEB, logdet/tr identities, bandpass,
+gradients — mirrors test/runtests.jl:137-285."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cmblensing_tpu.core.proj import ProjLambert
+from cmblensing_tpu.core import field as F
+from cmblensing_tpu.core.basis import MAP, FOURIER, EB_FOURIER, IEB_FOURIER
+from cmblensing_tpu.core.field import Field
+from cmblensing_tpu.core.ops import (
+    Diag, Id, BlockDiagIEB, LazyOp, ParamDependentOp, logdet, tr,
+    HighPass, LowPass, MidPass, gradient, gradhess, laplacian, simulate_op,
+)
+from cmblensing_tpu.core.cov import Cl_to_Cov
+from cmblensing_tpu.utils.cls import camb
+from cmblensing_tpu.ops.fft import unfold
+
+
+def _proj(Ny=16, Nx=16):
+    return ProjLambert(Ny, Nx, thetapix=3, T=np.float32)
+
+
+def test_diag_apply_and_solve():
+    proj = _proj()
+    f = F.randn(jax.random.PRNGKey(0), proj, pol="I")
+    Dop = Diag(Field(2.0 + jnp.abs(f.arr), MAP, proj))
+    g = Dop @ f
+    h = Dop.solve(g)
+    assert jnp.max(jnp.abs(h.arr - f.arr)) < 1e-5
+    # sqrt and pinv
+    s = Dop.sqrt()
+    assert jnp.max(jnp.abs((s * s).diag.arr - Dop.diag.arr)) < 1e-4
+    assert jnp.max(jnp.abs((Dop.pinv() * Dop).diag.arr - 1.0)) < 1e-5
+
+
+def test_lazy_ops():
+    proj = _proj()
+    f = F.randn(jax.random.PRNGKey(0), proj, pol="I")
+    A = Diag(Field(2.0 + 0 * f.arr, MAP, proj))
+    B = Diag(Field(3.0 + 0 * f.arr, MAP, proj))
+    assert jnp.allclose(((A + B) @ f).arr, 5 * f.arr, atol=1e-5)
+    L = LazyOp("*", A, B)
+    assert jnp.allclose((L @ f).arr, 6 * f.arr, atol=1e-5)
+    assert jnp.allclose(L.solve(f).arr, f.arr / 6, atol=1e-6)
+    assert jnp.allclose(((2.0 * A) @ f).arr, 4 * f.arr, atol=1e-5)
+    assert jnp.allclose(((A ** 2) @ f).arr, 4 * f.arr, atol=1e-5)
+
+
+def test_logdet_fourier_vs_dense():
+    """logdet of a Fourier-diagonal covariance equals the sum over the
+    full plane (reference logdet identity, runtests.jl:249-285)."""
+    proj = _proj(8, 8)
+    Cl = camb()
+    C = Cl_to_Cov("I", proj, Cl["unlensed_scalar"]["TT"] + 1.0)
+    ld = float(logdet(C))
+    full = np.asarray(unfold(C.diag.arr[0])).real
+    nz = full != 0  # modes outside the spectrum support are excluded
+    expected = np.sum(np.log(np.abs(full[nz])))
+    assert abs(ld - expected) < 1e-3 * abs(expected)
+
+
+def test_tr_fourier():
+    proj = _proj(8, 8)
+    arr = jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (1,) + proj.shape_fourier)) + 1.0
+    C = Diag(Field(arr.astype(jnp.complex64), FOURIER, proj))
+    t = float(tr(C))
+    expected = float(jnp.sum(jnp.real(unfold(arr[0]))))
+    assert abs(t - expected) < 1e-2 * abs(expected)
+
+
+def test_block_diag_ieb():
+    proj = _proj()
+    Cl = camb()
+    C = Cl_to_Cov("IP", proj, Cl["total"]["TT"], Cl["total"]["EE"],
+                  Cl["total"]["BB"], Cl["total"]["TE"])
+    f = F.randn(jax.random.PRNGKey(0), proj, pol="IQU").to(IEB_FOURIER)
+    g = C @ f
+    h = C.solve(g)
+    # solve(C @ f) == f on modes where C is nonsingular
+    mask = jnp.abs(C.TT.arr) > 0
+    assert jnp.max(jnp.abs(jnp.where(mask, h.arr[..., 0:1, :, :] - f.arr[..., 0:1, :, :], 0))) < 1e-3
+    # sqrt(C) @ sqrt(C) == C
+    s = C.sqrt()
+    C2 = s * s
+    assert jnp.max(jnp.abs(C2.TT.arr - C.TT.arr)) < 1e-2 * float(jnp.max(jnp.abs(C.TT.arr)))
+    assert jnp.max(jnp.abs(C2.TE.arr - C.TE.arr)) < 1e-2 * float(jnp.max(jnp.abs(C.TT.arr)))
+    # logdet finite
+    assert np.isfinite(float(logdet(C)))
+
+
+def test_param_dependent_op():
+    proj = _proj()
+    Cl = camb()
+    C0 = Cl_to_Cov("I", proj, Cl["unlensed_scalar"]["TT"])
+    Cf = ParamDependentOp(("A",), lambda deps, A=1.0: Diag(Field(A * deps[0].diag.arr,
+                                                                 FOURIER, proj)), (C0,))
+    f = F.randn(jax.random.PRNGKey(0), proj, pol="I")
+    a = Cf(dict(A=2.0)) @ f
+    b = Cf({}) @ f
+    assert jnp.allclose(a.arr, 2 * b.arr, atol=1e-4)
+    assert Cf.depends_on(dict(A=1.0))
+    assert not Cf.depends_on(dict(B=1.0))
+
+
+def test_bandpass():
+    proj = ProjLambert(64, 64, thetapix=3, T=np.float32)
+    lp = LowPass(1000).on(proj, pol="I")
+    hp = HighPass(1000).on(proj, pol="I")
+    lmag = np.asarray(proj.lmag)
+    w_lp = np.asarray(lp.diag.arr[0].real)
+    assert np.all(w_lp[lmag > 1100] == 0)
+    assert np.all(w_lp[(lmag < 900) & (lmag > 0)] == 1)
+    w_hp = np.asarray(hp.diag.arr[0].real)
+    assert np.all(w_hp[(lmag < 900)] == 0)
+
+
+def test_gradient_ops():
+    """d/dx of sin(kx) is k cos(kx)."""
+    proj = ProjLambert(32, 32, thetapix=3, T=np.float32)
+    dx = float(proj.deltax)
+    x = np.arange(32) * dx
+    k = 2 * np.pi / (32 * dx) * 4     # 4th harmonic
+    f = F.from_maps(np.broadcast_to(np.sin(k * x)[None, :], (32, 32)).astype(np.float32), proj)
+    gx, gy = gradient(f)
+    expected = k * np.cos(k * x)[None, :]
+    got = gx.to(MAP).arr[0]
+    assert np.max(np.abs(np.asarray(got) - expected)) < 1e-2 * k
+    assert np.max(np.abs(np.asarray(gy.to(MAP).arr[0]))) < 1e-3 * k
+    # laplacian
+    lap = laplacian(f).to(MAP)
+    assert np.max(np.abs(np.asarray(lap.arr[0]) + k * k * np.sin(k * x)[None, :])) < 2e-2 * k * k
+
+
+def test_simulate_op_spectrum():
+    """Simulated field has roughly the covariance's spectrum."""
+    proj = ProjLambert(64, 64, thetapix=1, T=np.float32)
+    arr = jnp.full((1,) + proj.shape_fourier, 10.0, dtype=jnp.complex64)
+    C = Diag(Field(arr, FOURIER, proj))
+    keys = jax.random.split(jax.random.PRNGKey(0), 50)
+    tot = 0.0
+    for k in keys:
+        xi = simulate_op(k, C).to(FOURIER)
+        tot = tot + jnp.mean(jnp.abs(xi.arr[..., :, 1:-1]) ** 2)
+    var = float(tot / len(keys)) / (64 * 64)
+    assert abs(var - 10.0) < 1.0
