@@ -1,0 +1,275 @@
+"""HEALPix fields and sphere <-> flat projection.
+
+TPU-native analog of src/proj_healpix.jl: HealpixField holds a RING
+map; `project` maps between the sphere and ProjLambert flat patches by
+bilinear interpolation, with polarization-angle flattening. Projector
+precomputation (pixel-center coordinate maps, psi_pol) is host numpy;
+the interpolation applies as jnp gathers so it jits and differentiates.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .basis import Basis
+from .field import Field
+from .proj import ProjLambert
+from . import healpix_pix as hp
+
+
+class ProjHealpix:
+    """Healpix projection metadata (src/proj_healpix.jl:6-8)."""
+
+    _cache = {}
+
+    def __new__(cls, nside):
+        if nside in cls._cache:
+            return cls._cache[nside]
+        self = super().__new__(cls)
+        self.Nside = int(nside)
+        self.npix = 12 * nside * nside
+        cls._cache[nside] = self
+        return self
+
+    def __repr__(self):
+        return f"ProjHealpix(Nside={self.Nside})"
+
+    def __hash__(self):
+        return hash((ProjHealpix, self.Nside))
+
+    def __eq__(self, other):
+        return self is other
+
+
+@jax.tree_util.register_pytree_node_class
+class HealpixField:
+    """(ncomp, npix) RING-scheme map field; pol in {I, QU, IQU}."""
+
+    __slots__ = ("arr", "pol", "proj")
+
+    def __init__(self, arr, pol, proj):
+        self.arr = arr
+        self.pol = pol
+        self.proj = proj
+
+    def tree_flatten(self):
+        return (self.arr,), (self.pol, self.proj)
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(ch[0], *aux)
+
+    @classmethod
+    def from_map(cls, m, pol=None):
+        m = jnp.atleast_2d(jnp.asarray(m))
+        pol = pol or {1: "I", 2: "QU", 3: "IQU"}[m.shape[0]]
+        return cls(m, pol, ProjHealpix(hp.npix2nside(m.shape[-1])))
+
+    def __getitem__(self, k):
+        comp = {"I": 0, "Q": {"QU": 0, "IQU": 1}, "U": {"QU": 1, "IQU": 2}}[k]
+        if isinstance(comp, dict):
+            comp = comp[self.pol]
+        return HealpixField(self.arr[comp:comp + 1], "I", self.proj)
+
+    def __repr__(self):
+        return f"HealpixField({self.pol}, Nside={self.proj.Nside})"
+
+
+# --- coordinate maps (src/proj_healpix.jl:89-119) --------------------------
+
+def _rot_zyx(rotator):
+    """R = Rz(a) Ry(b) Rx(c), rotator in degrees (matching the
+    reference's RotZYX(deg2rad.(rotator)))."""
+    a, b, c = np.deg2rad(rotator)
+
+    def Rz(t):
+        return np.array([[np.cos(t), -np.sin(t), 0],
+                         [np.sin(t), np.cos(t), 0], [0, 0, 1]])
+
+    def Ry(t):
+        return np.array([[np.cos(t), 0, np.sin(t)], [0, 1, 0],
+                         [-np.sin(t), 0, np.cos(t)]])
+
+    def Rx(t):
+        return np.array([[1, 0, 0], [0, np.cos(t), -np.sin(t)],
+                         [0, np.sin(t), np.cos(t)]])
+
+    return Rz(a) @ Ry(b) @ Rx(c)
+
+
+def _sph_to_cart(theta, phi):
+    st = np.sin(theta)
+    return np.stack([st * np.cos(phi), st * np.sin(phi), np.cos(theta)], axis=0)
+
+
+def _cart_to_sph(v):
+    x, y, z = v
+    r = np.sqrt(x * x + y * y + z * z)
+    theta = np.arccos(np.clip(z / r, -1, 1))
+    phi = np.arctan2(y, x)
+    return theta, phi
+
+
+def ij_to_thetaphi(proj: ProjLambert, i, j):
+    """(theta, phi) on the sphere of (fractional, 1-based) pixel indices
+    of a Lambert patch (src/proj_healpix.jl:89-99)."""
+    dx = float(proj.deltax)
+    x = dx * (np.asarray(j) - proj.Nx // 2 - 0.5)
+    y = dx * (np.asarray(i) - proj.Ny // 2 - 0.5)
+    r = np.sqrt(x ** 2 + y ** 2)
+    theta = 2 * np.arccos(np.clip(r / 2, 0, 1))
+    phi = np.arctan2(-x, -y)
+    R = _rot_zyx(proj.rotator)
+    v = _sph_to_cart(theta, phi)
+    vr = np.linalg.solve(R, v.reshape(3, -1)).reshape(v.shape)
+    return _cart_to_sph(vr)
+
+
+def thetaphi_to_ij(proj: ProjLambert, theta, phi):
+    """Inverse map (src/proj_healpix.jl:101-112)."""
+    R = _rot_zyx(proj.rotator)
+    v = _sph_to_cart(np.asarray(theta), np.asarray(phi))
+    vr = (R @ v.reshape(3, -1)).reshape(v.shape)
+    th, ph = _cart_to_sph(vr)
+    r = 2 * np.cos(th / 2)
+    x = -r * np.sin(ph)
+    y = -r * np.cos(ph)
+    dx = float(proj.deltax)
+    i = y / dx + proj.Ny // 2 + 0.5
+    j = x / dx + proj.Nx // 2 + 0.5
+    return i, j
+
+
+def get_psipol(proj: ProjLambert, theta, phi, eps=1e-6):
+    """Rotation angle of the coordinate basis between sphere and
+    projection (src/proj_healpix.jl:114-119), via FD jacobian."""
+    theta = np.asarray(theta, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    i_t1, j_t1 = thetaphi_to_ij(proj, theta + eps, phi)
+    i_t0, j_t0 = thetaphi_to_ij(proj, theta - eps, phi)
+    i_p1, j_p1 = thetaphi_to_ij(proj, theta, phi + eps)
+    i_p0, j_p0 = thetaphi_to_ij(proj, theta, phi - eps)
+    J11 = (i_t1 - i_t0) / (2 * eps)   # di/dtheta
+    J21 = (j_t1 - j_t0) / (2 * eps)   # dj/dtheta
+    J12 = (i_p1 - i_p0) / (2 * eps)   # di/dphi
+    J22 = (j_p1 - j_p0) / (2 * eps)   # dj/dphi
+    return (np.arctan2(J11, J21) + np.arctan2(-J22, J12) - np.pi) / 2
+
+
+# --- Projector precomputation (src/proj_healpix.jl:254-294) ----------------
+
+class Projector:
+    _cache = {}
+
+    def __new__(cls, hpx_proj: ProjHealpix, cart_proj: ProjLambert):
+        key = (hpx_proj.Nside, hash(cart_proj))
+        if key in cls._cache:
+            return cls._cache[key]
+        self = super().__new__(cls)
+        self._init(hpx_proj, cart_proj)
+        cls._cache[key] = self
+        return self
+
+    def _init(self, hpx_proj, cart_proj):
+        self.hpx_proj = hpx_proj
+        self.cart_proj = cart_proj
+        Ny, Nx = cart_proj.Ny, cart_proj.Nx
+        nside = hpx_proj.Nside
+
+        # theta/phi of cartesian pixel centers (1-based indices)
+        ii, jj = np.meshgrid(np.arange(1, Ny + 1), np.arange(1, Nx + 1), indexing="ij")
+        ths, phs = ij_to_thetaphi(cart_proj, ii, jj)
+        self.thetas = ths
+        self.phis = phs
+        self.psipol_thetaphi = get_psipol(cart_proj, ths, phs).astype(cart_proj.T)
+
+        # interpolation weights sphere -> cart (gather on device)
+        idxs, wgts = hp.get_interp_weights(nside, ths.ravel(), phs.ravel())
+        self.sph2cart_idx = jnp.asarray(idxs.astype(np.int32))
+        self.sph2cart_w = jnp.asarray(wgts.astype(cart_proj.T))
+
+        # fractional (i,j) of healpix pixel centers in the patch
+        th_h, ph_h = hp.pix2ang_ring(nside, np.arange(hp.nside2npix(nside)))
+        is_, js_ = thetaphi_to_ij(cart_proj, th_h, ph_h)
+        self.is_ = is_
+        self.js_ = js_
+        self.psipol_ij_full = get_psipol(cart_proj, th_h, ph_h).astype(cart_proj.T)
+        inpatch = (is_ >= 1) & (is_ <= Ny) & (js_ >= 1) & (js_ <= Nx)
+        self.hpx_idxs_in_patch = jnp.asarray(np.nonzero(inpatch)[0].astype(np.int32))
+        # clamp bilinear stencil inside patch (0-based)
+        i0 = np.clip(np.floor(is_ - 1), 0, Ny - 2).astype(np.int32)
+        j0 = np.clip(np.floor(js_ - 1), 0, Nx - 2).astype(np.int32)
+        wi = np.clip((is_ - 1) - i0, 0, 1).astype(cart_proj.T)
+        wj = np.clip((js_ - 1) - j0, 0, 1).astype(cart_proj.T)
+        self.cart2sph = (jnp.asarray(i0), jnp.asarray(j0),
+                         jnp.asarray(wi), jnp.asarray(wj))
+
+
+# --- projection (src/proj_healpix.jl:217-341) ------------------------------
+
+def _project_sph_to_cart_comp(projector, m):
+    """One spin-0 healpix component (npix,) -> (Ny, Nx)."""
+    idx, w = projector.sph2cart_idx, projector.sph2cart_w
+    vals = jnp.sum(m[idx] * w, axis=0)
+    return vals.reshape(projector.cart_proj.Ny, projector.cart_proj.Nx)
+
+
+def _project_cart_to_sph_comp(projector, arr):
+    """One spin-0 (Ny, Nx) map -> (npix,), zeros off-patch."""
+    i0, j0, wi, wj = projector.cart2sph
+    Nx = projector.cart_proj.Nx
+    flat = arr.reshape(-1)
+    g = lambda di, dj: flat[(i0 + di) * Nx + (j0 + dj)]
+    vals = ((1 - wi) * (1 - wj) * g(0, 0) + (1 - wi) * wj * g(0, 1)
+            + wi * (1 - wj) * g(1, 0) + wi * wj * g(1, 1))
+    npix = projector.hpx_proj.npix
+    out = jnp.zeros(npix, dtype=arr.dtype)
+    sel = projector.hpx_idxs_in_patch
+    return out.at[sel].set(vals[sel])
+
+
+def project(field, to, method="bilinear"):
+    """Project a HealpixField to a ProjLambert patch, or a flat Field up
+    to a ProjHealpix sphere, with polarization flattening
+    (src/proj_healpix.jl:217-341)."""
+    assert method == "bilinear", "only bilinear implemented (NFFT: todo)"
+    if isinstance(field, HealpixField) and isinstance(to, ProjLambert):
+        projector = Projector(field.proj, to)
+        psi = jnp.asarray(projector.psipol_thetaphi)
+        comps = [_project_sph_to_cart_comp(projector, field.arr[c])
+                 for c in range(field.arr.shape[0])]
+        if field.pol == "I":
+            arr = jnp.stack(comps, axis=0)
+            return Field(arr, Basis("I", "map"), to)
+        off = 1 if field.pol == "IQU" else 0
+        Q, U = comps[off], comps[off + 1]
+        c2, s2 = jnp.cos(2 * psi), jnp.sin(2 * psi)
+        Qf = Q * c2 - U * s2
+        Uf = U * c2 + Q * s2
+        parts = ([comps[0]] if off else []) + [Qf, Uf]
+        return Field(jnp.stack(parts, axis=0), Basis(field.pol, "map"), to)
+
+    if isinstance(field, Field) and isinstance(to, ProjHealpix):
+        projector = Projector(to, field.proj)
+        fm = field.to(field.basis.with_space("map"))
+        psi = jnp.asarray(projector.psipol_ij_full)
+        pol = fm.basis.pol
+        if pol in ("EB", "IEB"):
+            fm = fm.to(fm.basis.with_pol("QU" if pol == "EB" else "IQU"))
+            pol = fm.basis.pol
+        comps = [_project_cart_to_sph_comp(projector, fm.arr[..., c, :, :])
+                 for c in range(fm.arr.shape[-3])]
+        if pol == "I":
+            return HealpixField(jnp.stack(comps, axis=0), "I", to)
+        off = 1 if pol == "IQU" else 0
+        Q, U = comps[off], comps[off + 1]
+        c2, s2 = jnp.cos(2 * psi), jnp.sin(2 * psi)
+        Qf = Q * c2 + U * s2
+        Uf = U * c2 - Q * s2
+        parts = ([comps[0]] if off else []) + [Qf, Uf]
+        return HealpixField(jnp.stack(parts, axis=0), pol, to)
+
+    raise TypeError(f"can't project {type(field)} -> {type(to)}")
