@@ -40,11 +40,21 @@ def main():
 
     results = {}
     for pol in ["I", "P"]:
-        out = load_sim(thetapix=3, Nside=256, pol=pol, T=np.float32, seed=0)
-        ds = out["ds"]
-        f = out["f"].to(out["f"].basis.with_space("map"))
-        phi = out["phi"].to(out["phi"].basis.with_space("map"))
+        # build the dataset eagerly on CPU (remote-tunnel eager dispatch
+        # is slow), then ship the pytrees to the benchmark device; only
+        # jitted code touches the accelerator
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            out = load_sim(thetapix=3, Nside=256, pol=pol, T=np.float32, seed=0)
+            ds = out["ds"]
+            f = out["f"].to(out["f"].basis.with_space("map"))
+            phi = out["phi"].to(out["phi"].basis.with_space("map"))
+            m = mix(ds, f=f, phi=phi)
+            f_mix, phi_mix = m["f_mix"], m["phi_mix"].to(phi.basis)
         proj = out["proj"]
+        dev = jax.devices()[0]
+        from cmblensing_tpu.utils.transfer import device_put_safe
+        ds, f, phi, f_mix, phi_mix = device_put_safe((ds, f, phi, f_mix, phi_mix), dev)
 
         def _scal(x):
             return jnp.sum(jnp.abs(x))
@@ -55,8 +65,6 @@ def main():
         gradlense = jax.jit(
             lambda p, f: _scal(fgrad(lambda p: jnp.sum(fdot(LenseFlow(p, 7) @ f,
                                                             LenseFlow(p, 7) @ f)) / 2)(p).arr))
-        m = mix(ds, f=f, phi=phi)
-        f_mix, phi_mix = m["f_mix"], m["phi_mix"].to(phi.basis)
         # pass ds as a jit argument (it's a pytree) so data/covariances
         # are not baked into the HLO as constants
         lnP = jax.jit(lambda ds, fm, pm: jnp.sum(Mixed(ds).logpdf(f_mix=fm, phi_mix=pm)))

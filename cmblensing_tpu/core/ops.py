@@ -43,6 +43,14 @@ def safe_reciprocal(den):
     return jnp.where(ok, 1.0 / den_safe, jnp.zeros_like(den))
 
 
+def safe_log_abs(x):
+    """log|x| with 0 where x==0, AD-safe (used in logdets which must be
+    differentiable wrt theta scalings of singular covariances)."""
+    ok = x != 0
+    x_safe = jnp.where(ok, x, jnp.ones_like(x))
+    return jnp.where(ok, jnp.log(jnp.abs(x_safe)), jnp.zeros_like(jnp.real(x)))
+
+
 # =========================================================================
 # Identity
 # =========================================================================
@@ -393,20 +401,19 @@ class ParamDependentOp(OpAlgebra):
     applies it at the fiducial parameters.
     """
 
-    __slots__ = ("params", "fn", "deps", "_fiducial")
+    __slots__ = ("params", "fn", "deps")
 
-    def __init__(self, params, fn, deps=(), _fiducial=None):
+    def __init__(self, params, fn, deps=()):
         self.params = tuple(params)
         self.fn = fn
         self.deps = tuple(deps)
-        self._fiducial = _fiducial
 
     def tree_flatten(self):
-        return (self.deps, self._fiducial), (self.params, self.fn)
+        return (self.deps,), (self.params, self.fn)
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
-        return cls(aux[0], aux[1], ch[0], ch[1])
+        return cls(aux[0], aux[1], ch[0])
 
     def __call__(self, theta=None, **kw):
         theta = dict(theta or {})
@@ -418,9 +425,9 @@ class ParamDependentOp(OpAlgebra):
 
     @property
     def fiducial(self):
-        if self._fiducial is None:
-            self._fiducial = self.fn(self.deps)
-        return self._fiducial
+        # NOTE deliberately not cached: a memoized value computed inside
+        # a jit trace would leak tracers into later calls
+        return self.fn(self.deps)
 
     def depends_on(self, theta):
         keys = theta.keys() if hasattr(theta, "keys") else theta
@@ -716,17 +723,16 @@ def logdet(op):
         lam = jnp.asarray(op.proj.lam_rfft)
         tt, te, ee, bb = op._blocks()
         det2 = tt * ee - te * te
-        v = jnp.log(jnp.abs(det2)) + jnp.log(jnp.abs(bb))
-        v = nan2zero(jnp.real(v)) * lam
-        return jnp.sum(v, axis=(-1, -2, -3))
+        v = (safe_log_abs(det2) + safe_log_abs(bb)) * lam
+        return jnp.sum(jnp.real(v), axis=(-1, -2, -3))
     if isinstance(op, Diag):
         d = op.diag
         if d.basis.is_fourier:
             lam = jnp.asarray(d.proj.lam_rfft)
-            v = nan2zero(jnp.log(jnp.abs(d.arr))) * lam
+            v = safe_log_abs(d.arr) * lam
             return jnp.sum(jnp.real(v), axis=(-1, -2, -3))
         else:
-            return jnp.sum(jnp.log(jnp.abs(d.arr)), axis=(-1, -2, -3))
+            return jnp.sum(safe_log_abs(d.arr), axis=(-1, -2, -3))
     raise TypeError(f"logdet not implemented for {type(op)}")
 
 

@@ -393,9 +393,13 @@ def Cl_to_Cov_EquiRect(pol, proj: ProjEquiRect, *Cls, lmax=3000, units=1):
                 gam_c = (lam_n * (CE + CB)[:, None]).T @ lam_n    # <Pbar(-m) ...>
                 blocks[m, :nT, :nT] += gam
                 blocks[m, :nT, nT:] += xi
-                blocks[m, nT:, :nT] += xi.conj().T if False else xi.T.conj()
+                blocks[m, nT:, :nT] += xi.T.conj()
                 blocks[m, nT:, nT:] += gam_c
-        blocks *= nP
+        # factor 1/2: the P = Q+iU white-noise convention used by
+        # simulate (QU map randn) has <xi xi^H> = 2I, so operator
+        # blocks are half the P-covariance (matching the reference's
+        # CirculantCov normalization so simulate() reproduces C_l)
+        blocks *= nP / 2
         return BlockDiagEquiRect(jnp.asarray(blocks.astype(proj.complex_T)), "qu_az", proj)
 
     raise ValueError(pol)

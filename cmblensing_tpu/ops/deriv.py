@@ -1,0 +1,175 @@
+"""Spectral derivative backends.
+
+Two ways to apply exact (spectral) spatial derivatives on the flat
+torus:
+
+  'fft'    — rfft2 -> (i l) multiply -> irfft2 (XLA TPU FFT). FFT ops
+             are fusion barriers, so each derivative costs several HBM
+             round trips of the plane.
+
+  'matmul' — the same linear operator expressed as a *real dense
+             circulant matrix* applied along one axis:
+                 d/dx f = f @ Dx^T ,  d/dy f = Dy @ f
+             One real matmul per derivative, straight onto the MXU,
+             no complex arithmetic, and XLA fuses all surrounding
+             elementwise work into it. O(N^3) FLOPs instead of
+             O(N^2 log N), but on TPU the MXU's throughput advantage
+             and the removed fusion barriers win for N up to ~1k.
+
+  'auto'   — matmul for max(Ny, Nx) <= _MATMUL_MAX else fft.
+
+These feed LenseFlow's velocity/adjoint flows (the hot kernels of the
+whole framework; reference call stack SURVEY.md section 3.2).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import fft as _fft
+
+_MODE = "auto"
+_MATMUL_MAX = 1024
+
+
+def set_deriv_mode(mode):
+    global _MODE
+    assert mode in ("fft", "matmul", "auto")
+    _MODE = mode
+
+
+def get_deriv_mode():
+    return _MODE
+
+
+def _use_matmul(proj):
+    if _MODE == "fft":
+        return False
+    if _MODE == "matmul":
+        return True
+    return max(proj.Ny, proj.Nx) <= _MATMUL_MAX
+
+
+@functools.lru_cache(maxsize=None)
+def _deriv_matrices(n: int, delta: float, dtype_str: str):
+    """(D1, D2): real n x n circulant matrices applying d/dx and d^2/dx^2
+    along an axis with grid spacing delta. D[:, j] = deriv of e_j."""
+    lx_full = np.fft.fftfreq(n, d=delta) * 2 * np.pi
+    if n % 2 == 0:
+        lx_full[n // 2] = 0.0  # Nyquist derivative := 0 (see _grids_np)
+    eye = np.eye(n)
+    F = np.fft.fft(eye, axis=0)
+    D1 = np.real(np.fft.ifft((1j * lx_full)[:, None] * F, axis=0))
+    D2 = np.real(np.fft.ifft((-lx_full ** 2)[:, None] * F, axis=0))
+    dt = np.dtype(dtype_str)
+    return D1.astype(dt), D2.astype(dt)
+
+
+def _mats(proj, order=1):
+    dt = proj.T.str
+    d = float(proj.deltax)
+    Dx1, Dx2 = _deriv_matrices(proj.Nx, d, dt)
+    Dy1, Dy2 = _deriv_matrices(proj.Ny, d, dt)
+    if order == 1:
+        return jnp.asarray(Dx1), jnp.asarray(Dy1)
+    return (jnp.asarray(Dx1), jnp.asarray(Dx2),
+            jnp.asarray(Dy1), jnp.asarray(Dy2))
+
+
+@functools.lru_cache(maxsize=None)
+def _grids_np(proj):
+    """Derivative multipliers with the Nyquist line zeroed: the first
+    derivative is an odd operator, so the (self-aliased) Nyquist mode's
+    derivative is identically zero — this is also what the real
+    circulant matrices produce, keeping both backends exactly equal."""
+    lx = np.asarray(proj.lx, dtype=np.float64).copy()
+    ly = np.asarray(proj.ly, dtype=np.float64).copy()
+    if proj.Nx % 2 == 0:
+        lx[-1] = 0.0
+    if proj.Ny % 2 == 0:
+        ly[proj.Ny // 2] = 0.0
+    return lx, ly
+
+
+def _grids(proj):
+    lx, ly = _grids_np(proj)
+    cdt = proj.complex_T
+    ilx = jnp.asarray((1j * lx).astype(cdt))[None, :]
+    ily = jnp.asarray((1j * ly).astype(cdt))[:, None]
+    return ilx, ily
+
+
+# --- public primitives (operate on (..., ncomp, Ny, Nx) map arrays) -------
+
+def grad_xy(f_map, proj):
+    """(df/dx, df/dy) of each component."""
+    if _use_matmul(proj):
+        Dx, Dy = _mats(proj, 1)
+        fx = jnp.matmul(f_map, Dx.T, preferred_element_type=f_map.dtype)
+        fy = jnp.einsum("ij,...jk->...ik", Dy, f_map)
+        return fx, fy
+    ilx, ily = _grids(proj)
+    F = _fft.rfft2(f_map)
+    stack = jnp.concatenate([F * ilx, F * ily], axis=-3)
+    out = _fft.irfft2(stack, proj.Nx)
+    n = f_map.shape[-3]
+    return out[..., :n, :, :], out[..., n:, :, :]
+
+
+def div_xy(vx, vy, proj):
+    """d/dx vx + d/dy vy."""
+    if _use_matmul(proj):
+        Dx, Dy = _mats(proj, 1)
+        return (jnp.matmul(vx, Dx.T, preferred_element_type=vx.dtype)
+                + jnp.einsum("ij,...jk->...ik", Dy, vy))
+    ilx, ily = _grids(proj)
+    V = _fft.rfft2(jnp.concatenate([vx, vy], axis=-3))
+    n = vx.shape[-3]
+    D = V[..., :n, :, :] * ilx + V[..., n:, :, :] * ily
+    return _fft.irfft2(D, proj.Nx)
+
+
+def gradhess(phi_map, proj):
+    """((gx, gy), (hxx, hxy, hyy)) of a (..., 1, Ny, Nx) map."""
+    if _use_matmul(proj):
+        Dx1, Dx2, Dy1, Dy2 = _mats(proj, 2)
+        mm = lambda a, M: jnp.matmul(a, M.T, preferred_element_type=a.dtype)
+        my = lambda M, a: jnp.einsum("ij,...jk->...ik", M, a)
+        gx = mm(phi_map, Dx1)
+        gy = my(Dy1, phi_map)
+        hxx = mm(phi_map, Dx2)
+        hyy = my(Dy2, phi_map)
+        hxy = my(Dy1, gx)
+        return (gx[..., 0, :, :], gy[..., 0, :, :]), \
+               (hxx[..., 0, :, :], hxy[..., 0, :, :], hyy[..., 0, :, :])
+    ilx, ily = _grids(proj)
+    PHI = _fft.rfft2(phi_map)
+    gx_f = PHI * ilx
+    gy_f = PHI * ily
+    stack = jnp.concatenate([gx_f, gy_f, gx_f * ilx, gx_f * ily, gy_f * ily], axis=-3)
+    out = _fft.irfft2(stack, proj.Nx)
+    gx, gy, hxx, hxy, hyy = (out[..., i, :, :] for i in range(5))
+    return (gx, gy), (hxx, hxy, hyy)
+
+
+def dij_sum(s, proj):
+    """sum_{i,j} d_i d_j s_ij for s stacked (..., 4, Ny, Nx) in order
+    (xx, yx, xy, yy) — i.e. s[0]: d_x d_x, s[1]: d_x d_y, s[2]:
+    d_y d_x, s[3]: d_y d_y (matching the lenseflow backward flow)."""
+    if _use_matmul(proj):
+        Dx, Dy = _mats(proj, 1)
+        mm = lambda a: jnp.matmul(a, Dx.T, preferred_element_type=a.dtype)
+        my = lambda a: jnp.einsum("ij,...jk->...ik", Dy, a)
+        s0 = s[..., 0, :, :]
+        s1 = s[..., 1, :, :]
+        s2 = s[..., 2, :, :]
+        s3 = s[..., 3, :, :]
+        return (mm(mm(s0)) + mm(my(s1)) + my(mm(s2)) + my(my(s3)))[..., None, :, :]
+    ilx, ily = _grids(proj)
+    S = _fft.rfft2(s)
+    D = (S[..., 0, :, :] * ilx * ilx + S[..., 1, :, :] * ilx * ily
+         + S[..., 2, :, :] * ily * ilx + S[..., 3, :, :] * ily * ily)
+    return _fft.irfft2(D[..., None, :, :], proj.Nx)

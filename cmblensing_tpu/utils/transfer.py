@@ -1,0 +1,50 @@
+"""Device transfer helpers.
+
+Some TPU attachment paths (e.g. remote-tunneled chips) cannot transfer
+complex arrays host<->device. device_put_safe moves any pytree by
+splitting complex leaves into (real, imag) float pairs for the wire
+and recombining them on the target device with a trivial jitted op.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _is_complex(x):
+    return hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.complexfloating)
+
+
+@jax.jit
+def _recombine(re, im):
+    return jax.lax.complex(re, im)
+
+
+def device_put_safe(tree, device):
+    """jax.device_put that works even when complex transfers are
+    unsupported by the backend."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out = []
+    for leaf in leaves:
+        if _is_complex(leaf):
+            re = jax.device_put(jnp.real(leaf), device)
+            im = jax.device_put(jnp.imag(leaf), device)
+            out.append(_recombine(re, im))
+        else:
+            out.append(jax.device_put(leaf, device))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def device_get_safe(tree):
+    """jax.device_get that splits complex leaves on device first."""
+    import numpy as np
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out = []
+    for leaf in leaves:
+        if _is_complex(leaf):
+            re = np.asarray(jnp.real(leaf))
+            im = np.asarray(jnp.imag(leaf))
+            out.append(re + 1j * im)
+        else:
+            out.append(np.asarray(leaf) if hasattr(leaf, "dtype") else leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)

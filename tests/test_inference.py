@@ -1,0 +1,132 @@
+"""Inference algorithms: MAP_joint, MAP_marg, HMC/Gibbs sampling,
+chains, MUSE — integration-level tests on tiny grids."""
+import os
+import tempfile
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cmblensing_tpu.models.dataset import load_sim
+from cmblensing_tpu.inference.maximization import MAP_joint, MAP_marg
+from cmblensing_tpu.inference.sampling import (
+    sample_joint, symplectic_integrate, hmc_step, grid_and_sample, mass_matrix_phi,
+)
+from cmblensing_tpu.inference.chains import (
+    load_chains, Chain, Chains, effective_sample_size, mean_std_and_errors,
+)
+from cmblensing_tpu.core import field as F
+from cmblensing_tpu.core.ops import Diag
+from cmblensing_tpu.core.field import Field
+from cmblensing_tpu.core.basis import MAP
+
+
+@pytest.fixture(scope="module")
+def sim32():
+    return load_sim(thetapix=3, Nside=32, pol="I", T=np.float32, seed=3)
+
+
+def test_MAP_joint_increases_logpdf(sim32):
+    ds, phi = sim32["ds"], sim32["phi"]
+    res = MAP_joint(ds, nsteps=4, conjgrad_kwargs=dict(tol=1e-1, nsteps=50))
+    lps = [h["logpdf"] for h in res["history"]]
+    assert lps[-1] >= lps[0]
+    corr = float(F.dot(res["phi"].to(phi.basis), phi) / (F.norm(phi) * F.norm(res["phi"])))
+    assert corr > 0.3
+
+
+def test_MAP_marg_runs(sim32):
+    ds = sim32["ds"]
+    phi, hist = MAP_marg(ds, nsteps=2, Nsims=4, nsteps_with_meanfield_update=1,
+                         conjgrad_kwargs=dict(tol=1e-1, nsteps=30))
+    assert np.isfinite(float(F.norm(phi)))
+
+
+def test_symplectic_integrate_energy():
+    """Leapfrog on a Gaussian conserves the Hamiltonian to O(eps^2)."""
+    from cmblensing_tpu.core.proj import ProjLambert
+    proj = ProjLambert(16, 16, thetapix=3, T=np.float32)
+    key = jax.random.PRNGKey(0)
+    x = F.randn(key, proj, pol="I")
+    p = F.randn(jax.random.fold_in(key, 1), proj, pol="I")
+    Lam = Diag(Field(jnp.ones_like(x.arr), MAP, proj))
+
+    def U(x):
+        return -F.dot(x, x) / 2
+
+    from cmblensing_tpu.core.field import fgrad
+    dH, x1, p1 = symplectic_integrate(x, p, Lam, fgrad(lambda x: jnp.sum(U(x))),
+                                      N=50, eps=0.05, U=U)
+    assert abs(float(dH)) < 1.0
+
+
+def test_hmc_step_batched(sim32):
+    ds = sim32["ds"]
+    from cmblensing_tpu.core.field import repeat_batch
+    phi = repeat_batch(sim32["phi"].to(sim32["phi"].basis.with_space("map")), 2)
+
+    def U(p):
+        return ds.logpdf(f=repeat_batch(sim32["f"], 2), phi=p)
+
+    Lam = mass_matrix_phi({}, ds)
+    x1, dH, accept = hmc_step(jax.random.PRNGKey(0), U, phi, Lam, N=3, eps=1e-3)
+    assert x1.batch_shape == (2,)
+    assert np.shape(np.asarray(dH)) == (2,)
+
+
+def test_grid_and_sample():
+    key = jax.random.PRNGKey(0)
+    xs = np.linspace(-4, 4, 81)
+    samp, interp, lps = grid_and_sample(key, lambda x: -x ** 2 / 2, xs, nsamples=200)
+    samp = np.asarray(samp)
+    assert abs(samp.mean()) < 0.3
+    assert abs(samp.std() - 1.0) < 0.3
+
+
+def test_sample_joint_checkpoint_resume(sim32, tmp_path):
+    ds = sim32["ds"]
+    fn = str(tmp_path / "chain")
+    sample_joint(ds, nsamps_per_chain=2, nchains=2, filename=fn, nfilewrite=1,
+                 symp_kwargs=[dict(N=3, eps=0.01)],
+                 conjgrad_kwargs=dict(tol=1e-1, nsteps=20))
+    loaded = load_chains(fn)
+    assert len(loaded) == 2 and len(loaded[0]) == 2
+    sample_joint(ds, nsamps_per_chain=3, nchains=2, filename=fn, resume=True,
+                 symp_kwargs=[dict(N=3, eps=0.01)],
+                 conjgrad_kwargs=dict(tol=1e-1, nsteps=20))
+    loaded2 = load_chains(fn)
+    assert len(loaded2[0]) == 3
+    # fields unbatch per chain
+    assert loaded2[0][0]["phi"].batch_shape == ()
+
+
+def test_chain_stats():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=2000)
+    ess = effective_sample_size(x)
+    assert 500 < ess <= 2100
+    st = mean_std_and_errors(x)
+    assert abs(st["mean"]) < 0.1 and abs(st["std"] - 1) < 0.1
+
+
+def test_theta_gradient(sim32):
+    """logpdf is differentiable wrt theta scalings (needed for MUSE).
+    FD in float32 is noise-limited here, so compare against the
+    analytic d/dA of the Gaussian:  (phi' (A Cphi)^-1 phi - n_eff)/2A."""
+    ds, f, phi = sim32["ds"], sim32["f"], sim32["phi"]
+
+    def lp(a):
+        return jnp.sum(ds.logpdf(f=f, phi=phi, theta=dict(Aphi=a)))
+
+    g = float(jax.grad(lp)(1.0))
+    assert np.isfinite(g)
+
+    from cmblensing_tpu.inference.maximization import _fid
+    Cphi = _fid(ds.Cphi)
+    quad = float(F.dot(phi, Cphi.solve(phi)))
+    lam = np.asarray(Cphi.diag.proj.lam_rfft)
+    nz = np.abs(np.asarray(Cphi.diag.arr)) > 0
+    n_eff = float((nz * lam[None, None, :]).sum())
+    expected = (quad - n_eff) / 2
+    assert abs(g - expected) < 1e-2 * max(abs(expected), 10.0)
