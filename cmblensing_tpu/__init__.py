@@ -39,40 +39,37 @@ from .utils.spectra import get_Cl, get_Dl
 from .utils.ud_grade import ud_grade
 from .ops.solvers import rk4_integrate, conjugate_gradient, gmres
 from .models.lenseflow import LenseFlow, lense, get_max_lensing_step
+from .models.powerlens import PowerLens, antilensing
+from .models.taylens import Taylens
+from .models.bilinearlens import BilinearLens
+from .models.dataset import (
+    DataSet, NoLensingDataSet, BaseDataSet, Mixed,
+    mix, unmix, load_sim, load_nolensing_sim, simulate, logpdf,
+    gradientf_logpdf, Hessian_logpdf_preconditioner,
+)
+from .models.distributions import MvNormal
+from .models.quadratic_estimate import quadratic_estimate
+from .models import fwdmodel
+from .inference.maximization import argmaxf_logpdf, sample_f, MAP_joint, MAP_marg
+from .inference.sampling import (
+    symplectic_integrate, hmc_step, grid_and_sample, sample_joint, mass_matrix_phi,
+)
+from .inference.chains import (
+    Chain, Chains, load_chains, mean_std_and_errors, effective_sample_size, kde,
+)
+from .inference.muse import muse
+from .parallel.mesh import (
+    make_mesh, shard_batch, replicate, local_mesh, distributed_initialize, proc_info,
+)
+from .core.field import fgrad, fvalue_and_grad
+from .core.field_tuple import FieldTuple, DiagFieldTuple
+from .core.proj_equirect import (
+    ProjEquiRect, EquiRectField, BlockDiagEquiRect, Cl_to_Cov_EquiRect,
+    Cl_to_Beam_EquiRect, mapblocks,
+)
+from .core.proj_healpix import ProjHealpix, HealpixField, project
+from .utils.cls import smooth, get_rho_l
 from .utils.timing import timed, timer_report, reset_timers
-
-# modules below land progressively; import lazily so partial builds work
-def _optional_imports():
-    pass
-
-
-try:
-    from .models.powerlens import PowerLens, antilensing
-    from .models.taylens import Taylens
-    from .models.bilinearlens import BilinearLens
-except ImportError:
-    pass
-try:
-    from .models.dataset import (
-        DataSet, NoLensingDataSet, BaseDataSet, Mixed,
-        mix, unmix, load_sim, load_nolensing_sim, simulate, logpdf,
-        gradientf_logpdf,
-    )
-    from .models.distributions import MvNormal
-    from .models.quadratic_estimate import quadratic_estimate
-except ImportError:
-    pass
-try:
-    from .inference.maximization import argmaxf_logpdf, sample_f, MAP_joint, MAP_marg
-    from .inference.sampling import (
-        symplectic_integrate, hmc_step, grid_and_sample, sample_joint, mass_matrix_phi,
-    )
-    from .inference.chains import Chain, Chains, load_chains, mean_std_and_errors
-except ImportError:
-    pass
-try:
-    from .parallel.mesh import (
-        make_mesh, shard_batch, replicate, local_mesh, distributed_initialize,
-    )
-except ImportError:
-    pass
+from .utils.transfer import device_put_safe, device_get_safe
+from .ops.deriv import set_deriv_mode, get_deriv_mode
+from .ops.fft import set_fft_mode, get_fft_mode

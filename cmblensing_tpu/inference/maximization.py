@@ -132,7 +132,8 @@ def _brent_min(f, a, b, abs_tol=1e-4, maxiter=50):
 def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
               phistart=None, alpha_tol=1e-4, gradtol=0.0, alpha_max=None,
               conjgrad_kwargs=None, quasi_sample=False, key=None,
-              progress=False, history_keys=("logpdf",)):
+              progress=False, history_keys=("logpdf",),
+              nburnin_update_hessian=None):
     """Joint MAP estimate of (f, phi) by coordinate descent
     (src/maximization.jl:116-233): alternate an exact f-step (CG) with a
     preconditioned-gradient phi-step + Brent line search over the mixed
@@ -178,6 +179,7 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
     alpha = 1.0
     alpha_max0 = alpha_max
     key = key if key is not None else jax.random.PRNGKey(0)
+    prev_phi_mix = prev_g = None
 
     for step in range(1, nsteps + 1):
         # f-step
@@ -193,6 +195,24 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
         # phi-step
         with timed("MAP_joint/phi_step"):
             f_mix, phi_mix, g = phi_grad_and_fmix(f, phi)
+            # BFGS-style diagonal Hessian update from smoothed secant
+            # ratios (reference src/maximization.jl:180-186)
+            if (nburnin_update_hessian is not None
+                    and step > nburnin_update_hessian and prev_g is not None):
+                from ..core.cov import cov_to_Cl, Cl_to_Cov
+                from ..utils.cls import smooth
+                dpm = (phi_mix - prev_phi_mix).to_harmonic()
+                dgm = (g - prev_g).to(dpm.basis)
+                ratio = jnp.abs(nan2zero(dpm.arr / dgm.arr))
+                Hinv_unsmooth = Diag(Field(ratio.astype(dpm.arr.dtype), dpm.basis, dpm.proj))
+                cl = cov_to_Cl(Hinv_unsmooth)
+                pos = cl.Cl > 0
+                from ..utils.cls import Cls as _Cls
+                cl_s = smooth(_Cls(cl.ell[pos], (cl.ell[pos] ** 4) * cl.Cl[pos]),
+                              xscale="log", yscale="log", smoothing=0.3)
+                cl_s = _Cls(cl_s.ell, cl_s.Cl / np.maximum(cl_s.ell, 1) ** 4)
+                Hinv_s = Cl_to_Cov("I", phi.proj, cl_s, units=1)
+                Hpre_inv = Hinv_s
             dphi = Hpre_inv @ g
             amax = alpha_max0 if alpha_max0 is not None else 2 * alpha
             alpha, nfev = _brent_min(
@@ -217,6 +237,7 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
         if "alpha" in history_keys:
             entry["alpha"] = alpha
         history.append(entry)
+        prev_phi_mix, prev_g = phi_mix, g
         if step > minsteps and dnorm * alpha < gradtol:
             break
 

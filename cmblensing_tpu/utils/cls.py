@@ -118,6 +118,55 @@ toDl = FuncCls(lambda l: l * (l + 1) / (2 * np.pi))
 toCl = FuncCls(lambda l: 2 * np.pi / (l * (l + 1)))
 
 
+def _lowess(x, y, frac=0.75, it=0):
+    """Plain numpy LOWESS (locally weighted linear regression) —
+    equivalent of the reference's Loess smoothing (src/cls.jl:113-126)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = len(x)
+    r = max(2, int(np.ceil(frac * n)))
+    out = np.empty(n)
+    for i in range(n):
+        d = np.abs(x - x[i])
+        idx = np.argsort(d)[:r]
+        dmax = d[idx].max()
+        w = (1 - np.clip(d[idx] / max(dmax, 1e-300), 0, 1) ** 3) ** 3
+        xw = x[idx]
+        yw = y[idx]
+        sw = w.sum()
+        xm = (w * xw).sum() / sw
+        ym = (w * yw).sum() / sw
+        cov = (w * (xw - xm) * (yw - ym)).sum()
+        var = (w * (xw - xm) ** 2).sum()
+        b = cov / var if var > 0 else 0.0
+        out[i] = ym + b * (x[i] - xm)
+    return out
+
+
+def smooth(cl: "Cls", newells=None, xscale="linear", yscale="linear", smoothing=0.75):
+    """LOWESS-smooth a spectrum, optionally in log-log
+    (reference smooth, src/cls.jl:113-126)."""
+    fx = np.log if xscale == "log" else (lambda v: v)
+    fxi = np.exp if xscale == "log" else (lambda v: v)
+    fy = np.log if yscale == "log" else (lambda v: v)
+    fyi = np.exp if yscale == "log" else (lambda v: v)
+    if newells is None:
+        newells = np.arange(cl.ell.min(), cl.ell.max() + 1)
+    mask = np.isfinite(fy(cl.Cl)) if yscale == "log" else np.ones(len(cl.Cl), bool)
+    ys = _lowess(fx(cl.ell[mask]), fy(cl.Cl[mask]), frac=smoothing)
+    out = np.interp(fx(np.asarray(newells, dtype=np.float64)), fx(cl.ell[mask]), ys)
+    return Cls(newells, fyi(out), concrete=cl.concrete)
+
+
+def get_rho_l(f1, f2, **kwargs):
+    """Cross-correlation coefficient spectrum (src/cls.jl:88-97)."""
+    from .spectra import get_Cl
+    cl1 = get_Cl(f1, **kwargs)
+    cl2 = get_Cl(f2, **kwargs)
+    clx = get_Cl(f1, f2, **kwargs)
+    return Cls(cl1.ell, clx.Cl / np.sqrt(cl1.Cl * cl2.Cl))
+
+
 def extrapolate_cls(ell_out, ell_in, Cl_in):
     """Power-law extrapolate spectra to high ell (src/cls.jl:102-111)."""
     ell_out = np.asarray(ell_out, dtype=np.float64)

@@ -1,0 +1,113 @@
+"""Alternative lensing operators agree with LenseFlow and satisfy
+their operator identities (mirrors runtests.jl:533-581 for
+BilinearLens; PowerLens/Taylens agreement checks)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cmblensing_tpu.core.proj import ProjLambert
+from cmblensing_tpu.core import field as F
+from cmblensing_tpu.core.basis import MAP
+from cmblensing_tpu.core.cov import Cl_to_Cov
+from cmblensing_tpu.core.ops import simulate_op
+from cmblensing_tpu.utils.cls import camb
+from cmblensing_tpu.models.lenseflow import LenseFlow
+from cmblensing_tpu.models.powerlens import PowerLens, antilensing
+from cmblensing_tpu.models.taylens import Taylens
+from cmblensing_tpu.models.bilinearlens import BilinearLens
+
+
+@pytest.fixture(scope="module")
+def setup():
+    proj = ProjLambert(64, 64, thetapix=3, T=np.float32)
+    Cl = camb()
+    Cphi = Cl_to_Cov("I", proj, Cl["total"]["pp"])
+    Cf = Cl_to_Cov("P", proj, Cl["unlensed_scalar"]["EE"], Cl["unlensed_scalar"]["BB"])
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    phi = simulate_op(ks[0], Cphi).to(MAP)
+    f = simulate_op(ks[1], Cf).to_lense()
+    g = simulate_op(ks[2], Cf).to_lense()
+    Llf = LenseFlow(phi, 7) @ f
+    return proj, phi, f, g, Llf
+
+
+def test_powerlens_agrees_with_lenseflow(setup):
+    proj, phi, f, g, Llf = setup
+    L = PowerLens(phi, 4)
+    assert float(F.norm((L @ f) - Llf) / F.norm(Llf)) < 0.05
+
+
+def test_powerlens_adjoint(setup):
+    proj, phi, f, g, _ = setup
+    L = PowerLens(phi, 3)
+    lhs = float(F.dot(g, L @ f))
+    rhs = float(F.dot(L.H @ g, f))
+    assert abs(lhs - rhs) < 1e-4 * abs(lhs)
+
+
+def test_antilensing(setup):
+    proj, phi, f, g, _ = setup
+    L = PowerLens(phi, 4)
+    La = antilensing(L)
+    # La approximately inverts L (to series accuracy)
+    r = F.norm(La @ (L @ f) - f) / F.norm(f)
+    assert float(r) < 0.1
+
+
+def test_taylens_agrees_with_lenseflow(setup):
+    proj, phi, f, g, Llf = setup
+    L = Taylens(phi, 4)
+    assert float(F.norm((L @ f) - Llf) / F.norm(Llf)) < 0.05
+
+
+def test_bilinearlens(setup):
+    proj, phi, f, g, Llf = setup
+    L = BilinearLens(phi)
+    # coarse interpolation: agreement is approximate
+    assert float(F.norm((L @ f) - Llf) / F.norm(Llf)) < 0.3
+    # exact adjoint identity (linear_transpose)
+    lhs = float(F.dot(g, L @ f))
+    rhs = float(F.dot(L.H @ g, f))
+    assert abs(lhs - rhs) < 1e-4 * abs(lhs)
+    # GMRES inverse reduces the residual substantially
+    finv = L.solve(L @ f)
+    assert float(F.norm(finv - f) / F.norm(f)) < 0.15
+
+
+def test_bilinearlens_phi_gradient(setup):
+    proj, phi, f, g, _ = setup
+
+    def loss(phi):
+        return F.dot(BilinearLens(phi) @ f, g)
+
+    grad = F.fgrad(lambda p: jnp.sum(loss(p)))(phi)
+    eps = 1e-3
+    dphi = phi * 0.01
+    fd = (loss(phi + eps * dphi) - loss(phi - eps * dphi)) / (2 * eps)
+    analytic = F.dot(grad.to(dphi.basis), dphi)
+    assert abs(float(analytic) - float(fd)) < 0.05 * abs(float(fd)) + 1e-3
+
+
+def test_fwdmodel_ppl():
+    from cmblensing_tpu.models import fwdmodel
+    from cmblensing_tpu.models.distributions import MvNormal
+    from cmblensing_tpu.core.ops import Diag
+    from cmblensing_tpu.core.field import Field
+    proj = ProjLambert(8, 8, thetapix=3, T=np.float32)
+    C = Diag(Field(jnp.full((1, 8, 8), 4.0), MAP, proj))
+
+    def model(sample=None):
+        x = sample("x", MvNormal(0, C))
+        y = sample("y", MvNormal(x, C))
+        return dict(x=x, y=y)
+
+    sim = fwdmodel.simulate(model)(jax.random.PRNGKey(0))
+    assert sim["x"].arr.shape == (1, 8, 8)
+    lp = fwdmodel.logpdf(model)(x=sim["x"], y=sim["y"])
+    assert np.isfinite(float(lp))
+    # conditioning
+    sim2 = fwdmodel.simulate(model)(jax.random.PRNGKey(1), x=sim["x"])
+    assert jnp.array_equal(sim2["x"].arr, sim["x"].arr)
+    ll = fwdmodel.loglikelihood(model, latents=("x",))(x=sim["x"], y=sim["y"])
+    assert np.isfinite(float(ll))
