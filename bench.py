@@ -1,25 +1,46 @@
 """Benchmark harness. Prints ONE JSON line to stdout:
   {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
 plus a full reference-style table (test/runbenchmarks.jl:132-145) to
-stderr. Runs on whatever jax.devices()[0] is (TPU under the driver).
+stderr.
+
+Timing method: each op is repeated K times *inside one jit* via
+lax.fori_loop with the output chained back into the input (so XLA can
+neither hoist nor fold the body), and the per-op time is the slope
+between K1 and K2 — this cancels host/dispatch latency, which on
+remotely-attached TPUs can exceed the device time by orders of
+magnitude.
 """
 import json
 import sys
 import time
+import functools
 
 import numpy as np
 
 
-def _time(fn, *args, warmup=2, reps=10):
-    """Wall-time fn (which must return a real scalar) — the host float()
-    pull guarantees device synchronization even on remote backends
-    where block_until_ready is unreliable."""
-    for _ in range(warmup):
-        float(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        float(fn(*args))
-    return (time.perf_counter() - t0) / reps * 1e3  # ms
+K1, K2 = 4, 104
+
+
+def _slope_time(make_loop, reps=5):
+    import jax
+    import jax.numpy as jnp
+    f1 = make_loop(K1)
+    f2 = make_loop(K2)
+    out1 = f1()
+    out2 = f2()
+    float(jnp.sum(jnp.abs(out1[0] if isinstance(out1, tuple) else out1)))
+    float(jnp.sum(jnp.abs(out2[0] if isinstance(out2, tuple) else out2)))
+
+    def t(fn):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            o = fn()
+            float(jnp.sum(jnp.abs(o[0] if isinstance(o, tuple) else o)))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return max((t(f2) - t(f1)) / (K2 - K1) * 1e3, 0.0)  # ms
 
 
 def main():
@@ -29,8 +50,8 @@ def main():
     from cmblensing_tpu.models.dataset import load_sim, mix, Mixed
     from cmblensing_tpu.models.lenseflow import LenseFlow, _gradhess_phi
     from cmblensing_tpu.core.field import fgrad, Field, dot as fdot
+    from cmblensing_tpu.utils.transfer import device_put_safe
 
-    # reference timings (CPU, 256^2, f32; test/runbenchmarks.jl:133-144)
     REF = {
         ("I", "cache"): 25, ("I", "apply"): 13, ("I", "adjoint"): 13,
         ("I", "gradlense"): 85, ("I", "lnP"): 65, ("I", "gradlnP"): 240,
@@ -40,9 +61,6 @@ def main():
 
     results = {}
     for pol in ["I", "P"]:
-        # build the dataset eagerly on CPU (remote-tunnel eager dispatch
-        # is slow), then ship the pytrees to the benchmark device; only
-        # jitted code touches the accelerator
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             out = load_sim(thetapix=3, Nside=256, pol=pol, T=np.float32, seed=0)
@@ -50,48 +68,73 @@ def main():
             f = out["f"].to(out["f"].basis.with_space("map"))
             phi = out["phi"].to(out["phi"].basis.with_space("map"))
             m = mix(ds, f=f, phi=phi)
-            f_mix, phi_mix = m["f_mix"], m["phi_mix"].to(phi.basis)
+            f_mix = m["f_mix"].to(f.basis)
+            phi_mix = m["phi_mix"].to(phi.basis)
         proj = out["proj"]
         dev = jax.devices()[0]
-        from cmblensing_tpu.utils.transfer import device_put_safe
         ds, f, phi, f_mix, phi_mix = device_put_safe((ds, f, phi, f_mix, phi_mix), dev)
+        B_f, B_phi = f.basis, phi.basis
+        eps = np.float32(1e-20)
 
-        def _scal(x):
-            return jnp.sum(jnp.abs(x))
+        def loop(body, init, K):
+            @jax.jit
+            def go():
+                return jax.lax.fori_loop(0, K, lambda i, s: body(s), init)
+            return go
 
-        cache = jax.jit(lambda p: _scal(_gradhess_phi(p.arr, proj)[1][0]))
-        apply_ = jax.jit(lambda p, f: _scal((LenseFlow(p, 7) @ f).arr))
-        adjoint = jax.jit(lambda p, f: _scal((LenseFlow(p, 7).H @ f).arr))
-        gradlense = jax.jit(
-            lambda p, f: _scal(fgrad(lambda p: jnp.sum(fdot(LenseFlow(p, 7) @ f,
-                                                            LenseFlow(p, 7) @ f)) / 2)(p).arr))
-        # pass ds as a jit argument (it's a pytree) so data/covariances
-        # are not baked into the HLO as constants
-        lnP = jax.jit(lambda ds, fm, pm: jnp.sum(Mixed(ds).logpdf(f_mix=fm, phi_mix=pm)))
-        gradlnP = jax.jit(
-            lambda ds, fm, pm: _scal(fgrad(
-                lambda pm: jnp.sum(Mixed(ds).logpdf(f_mix=fm, phi_mix=pm)))(pm).arr))
+        # cache: gradhess(phi), chained by a negligible perturbation
+        def cache_body(parr):
+            g, h = _gradhess_phi(parr, proj)
+            return parr + eps * h[0][..., None, :, :]
 
-        results[(pol, "cache")] = _time(cache, phi)
-        results[(pol, "apply")] = _time(apply_, phi, f)
-        results[(pol, "adjoint")] = _time(adjoint, phi, f)
-        results[(pol, "gradlense")] = _time(gradlense, phi, f)
-        results[(pol, "lnP")] = _time(lnP, ds, f_mix, phi_mix)
-        results[(pol, "gradlnP")] = _time(gradlnP, ds, f_mix, phi_mix)
+        # apply / adjoint: chain the lensed field
+        def apply_body(farr):
+            out = LenseFlow(Field(phi.arr, B_phi, proj), 7) @ Field(farr, B_f, proj)
+            return out.arr
+
+        def adjoint_body(farr):
+            out = LenseFlow(Field(phi.arr, B_phi, proj), 7).H @ Field(farr, B_f, proj)
+            return out.arr
+
+        # gradlense: d/dphi |L(phi) f|^2 / 2
+        def gradlense_body(parr):
+            g = fgrad(lambda p: jnp.sum(fdot(LenseFlow(p, 7) @ f, LenseFlow(p, 7) @ f)) / 2)(
+                Field(parr, B_phi, proj))
+            return parr + eps * g.arr
+
+        mixed = Mixed(ds)
+
+        def lnP_body(state):
+            pm, acc = state
+            lp = jnp.sum(mixed.logpdf(f_mix=f_mix, phi_mix=Field(pm, B_phi, proj)))
+            return (pm + eps * lp, acc + lp)
+
+        def gradlnP_body(pm):
+            g = fgrad(lambda p: jnp.sum(mixed.logpdf(f_mix=f_mix, phi_mix=p)))(
+                Field(pm, B_phi, proj))
+            return pm + eps * g.arr
+
+        results[(pol, "cache")] = _slope_time(lambda K: loop(cache_body, phi.arr, K))
+        results[(pol, "apply")] = _slope_time(lambda K: loop(apply_body, f.arr, K))
+        results[(pol, "adjoint")] = _slope_time(lambda K: loop(adjoint_body, f.arr, K))
+        results[(pol, "gradlense")] = _slope_time(lambda K: loop(gradlense_body, phi.arr, K))
+        results[(pol, "lnP")] = _slope_time(
+            lambda K: loop(lnP_body, (phi_mix.arr, jnp.float32(0.0)), K))
+        results[(pol, "gradlnP")] = _slope_time(lambda K: loop(gradlnP_body, phi_mix.arr, K))
 
     print(f"{'benchmark':<16s} {'ours(ms)':>9s} {'refCPU(ms)':>11s} {'speedup':>8s}",
           file=sys.stderr)
     for k, v in results.items():
         ref = REF[k]
-        print(f"{k[0]+'/'+k[1]:<16s} {v:9.2f} {ref:11.1f} {ref/v:8.1f}x", file=sys.stderr)
+        spd = ref / v if v > 0 else float("inf")
+        print(f"{k[0]+'/'+k[1]:<16s} {v:9.3f} {ref:11.1f} {spd:8.1f}x", file=sys.stderr)
 
-    # headline: spin-2 posterior gradient (the dominant op in MAP/HMC)
     v = results[("P", "gradlnP")]
     print(json.dumps({
         "metric": "spin2_gradlnP_256_ms",
-        "value": round(v, 3),
+        "value": round(v, 4),
         "unit": "ms",
-        "vs_baseline": round(REF[("P", "gradlnP")] / v, 2),
+        "vs_baseline": round(REF[("P", "gradlnP")] / max(v, 1e-6), 2),
     }))
 
 

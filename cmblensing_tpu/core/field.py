@@ -159,6 +159,10 @@ class Field:
     # --- arithmetic ------------------------------------------------------
     def _binop(self, other, op, reverse=False):
         if isinstance(other, Field):
+            if other.proj is not self.proj:
+                raise ValueError(
+                    f"Can't combine fields with differing projections: "
+                    f"{self.proj!r} vs {other.proj!r}")
             b = promote_basis(self.basis, other.basis)
             a1, a2 = self.to(b).arr, other.to(b).arr
             if reverse:

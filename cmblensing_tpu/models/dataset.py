@@ -382,6 +382,8 @@ def load_sim(
                         alphaknee=alphaknee, lmax=lmax)
 
     pol = str(pol)
+    if pol not in ("I", "P", "IP"):
+        raise ValueError(f"pol should be one of 'I', 'P', or 'IP' (got {pol!r})")
     ks = {"I": ("TT",), "P": ("EE", "BB"), "IP": ("TT", "EE", "BB", "TE")}[pol]
 
     # covariances
