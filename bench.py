@@ -21,26 +21,22 @@ import numpy as np
 K1, K2 = 4, 104
 
 
-def _slope_time(make_loop, reps=5):
-    import jax
+def _slope_time(go, *args, reps=5):
+    """go(K, *args) -> array; K is a runtime arg so there is ONE compile
+    per metric."""
     import jax.numpy as jnp
-    f1 = make_loop(K1)
-    f2 = make_loop(K2)
-    out1 = f1()
-    out2 = f2()
-    float(jnp.sum(jnp.abs(out1[0] if isinstance(out1, tuple) else out1)))
-    float(jnp.sum(jnp.abs(out2[0] if isinstance(out2, tuple) else out2)))
 
-    def t(fn):
+    def t(K):
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            o = fn()
+            o = go(K, *args)
             float(jnp.sum(jnp.abs(o[0] if isinstance(o, tuple) else o)))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    return max((t(f2) - t(f1)) / (K2 - K1) * 1e3, 0.0)  # ms
+    t(K1)  # compile + warm
+    return max((t(K2) - t(K1)) / (K2 - K1) * 1e3, 0.0)  # ms
 
 
 def main():
@@ -76,51 +72,59 @@ def main():
         B_f, B_phi = f.basis, phi.basis
         eps = np.float32(1e-20)
 
-        def loop(body, init, K):
-            @jax.jit
-            def go():
-                return jax.lax.fori_loop(0, K, lambda i, s: body(s), init)
-            return go
-
         # cache: gradhess(phi), chained by a negligible perturbation
-        def cache_body(parr):
-            g, h = _gradhess_phi(parr, proj)
-            return parr + eps * h[0][..., None, :, :]
+        @jax.jit
+        def cache_loop(K, parr):
+            def body(i, parr):
+                g, h = _gradhess_phi(parr, proj)
+                return parr + eps * h[0][..., None, :, :]
+            return jax.lax.fori_loop(0, K, body, parr)
 
-        # apply / adjoint: chain the lensed field
-        def apply_body(farr):
-            out = LenseFlow(Field(phi.arr, B_phi, proj), 7) @ Field(farr, B_f, proj)
-            return out.arr
+        @jax.jit
+        def apply_loop(K, farr, parr):
+            def body(i, farr):
+                return (LenseFlow(Field(parr, B_phi, proj), 7) @ Field(farr, B_f, proj)).arr
+            return jax.lax.fori_loop(0, K, body, farr)
 
-        def adjoint_body(farr):
-            out = LenseFlow(Field(phi.arr, B_phi, proj), 7).H @ Field(farr, B_f, proj)
-            return out.arr
+        @jax.jit
+        def adjoint_loop(K, farr, parr):
+            def body(i, farr):
+                return (LenseFlow(Field(parr, B_phi, proj), 7).H @ Field(farr, B_f, proj)).arr
+            return jax.lax.fori_loop(0, K, body, farr)
 
-        # gradlense: d/dphi |L(phi) f|^2 / 2
-        def gradlense_body(parr):
-            g = fgrad(lambda p: jnp.sum(fdot(LenseFlow(p, 7) @ f, LenseFlow(p, 7) @ f)) / 2)(
-                Field(parr, B_phi, proj))
-            return parr + eps * g.arr
+        @jax.jit
+        def gradlense_loop(K, parr, f):
+            def body(i, parr):
+                g = fgrad(lambda p: jnp.sum(fdot(LenseFlow(p, 7) @ f,
+                                                 LenseFlow(p, 7) @ f)) / 2)(
+                    Field(parr, B_phi, proj))
+                return parr + eps * g.arr
+            return jax.lax.fori_loop(0, K, body, parr)
 
-        mixed = Mixed(ds)
+        @jax.jit
+        def lnP_loop(K, pm0, ds, f_mix):
+            mixed = Mixed(ds)
+            def body(i, state):
+                pm, acc = state
+                lp = jnp.sum(mixed.logpdf(f_mix=f_mix, phi_mix=Field(pm, B_phi, proj)))
+                return (pm + eps * lp, acc + lp)
+            return jax.lax.fori_loop(0, K, body, (pm0, jnp.float32(0.0)))
 
-        def lnP_body(state):
-            pm, acc = state
-            lp = jnp.sum(mixed.logpdf(f_mix=f_mix, phi_mix=Field(pm, B_phi, proj)))
-            return (pm + eps * lp, acc + lp)
+        @jax.jit
+        def gradlnP_loop(K, pm0, ds, f_mix):
+            mixed = Mixed(ds)
+            def body(i, pm):
+                g = fgrad(lambda p: jnp.sum(mixed.logpdf(f_mix=f_mix, phi_mix=p)))(
+                    Field(pm, B_phi, proj))
+                return pm + eps * g.arr
+            return jax.lax.fori_loop(0, K, body, pm0)
 
-        def gradlnP_body(pm):
-            g = fgrad(lambda p: jnp.sum(mixed.logpdf(f_mix=f_mix, phi_mix=p)))(
-                Field(pm, B_phi, proj))
-            return pm + eps * g.arr
-
-        results[(pol, "cache")] = _slope_time(lambda K: loop(cache_body, phi.arr, K))
-        results[(pol, "apply")] = _slope_time(lambda K: loop(apply_body, f.arr, K))
-        results[(pol, "adjoint")] = _slope_time(lambda K: loop(adjoint_body, f.arr, K))
-        results[(pol, "gradlense")] = _slope_time(lambda K: loop(gradlense_body, phi.arr, K))
-        results[(pol, "lnP")] = _slope_time(
-            lambda K: loop(lnP_body, (phi_mix.arr, jnp.float32(0.0)), K))
-        results[(pol, "gradlnP")] = _slope_time(lambda K: loop(gradlnP_body, phi_mix.arr, K))
+        results[(pol, "cache")] = _slope_time(cache_loop, phi.arr)
+        results[(pol, "apply")] = _slope_time(apply_loop, f.arr, phi.arr)
+        results[(pol, "adjoint")] = _slope_time(adjoint_loop, f.arr, phi.arr)
+        results[(pol, "gradlense")] = _slope_time(gradlense_loop, phi.arr, f)
+        results[(pol, "lnP")] = _slope_time(lnP_loop, phi_mix.arr, ds, f_mix)
+        results[(pol, "gradlnP")] = _slope_time(gradlnP_loop, phi_mix.arr, ds, f_mix)
 
     print(f"{'benchmark':<16s} {'ours(ms)':>9s} {'refCPU(ms)':>11s} {'speedup':>8s}",
           file=sys.stderr)

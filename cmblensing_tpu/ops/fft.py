@@ -105,8 +105,9 @@ def _matmul_irfft2(X, Nx: int):
     X: complex (..., Ny, Nxh) -> real (..., Ny, Nx)
     """
     Ny, Nxh = X.shape[-2], X.shape[-1]
-    rdt = jnp.float32 if X.dtype == jnp.complex64 else jnp.float64
-    ndt = np.float32 if X.dtype == jnp.complex64 else np.float64
+    wide = X.dtype in (jnp.complex128, jnp.float64)
+    rdt = jnp.float64 if wide else jnp.float32
+    ndt = np.float64 if wide else np.float32
     # inverse fft along y (complex): conj(Wy)/Ny; Wy is symmetric so no
     # transpose is needed
     Wy = _dft_mats(Ny, str(rdt))
