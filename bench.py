@@ -18,12 +18,14 @@ import functools
 import numpy as np
 
 
-K1, K2 = 4, 104
+K1, K2 = 1, 65
 
 
 def _slope_time(go, *args, reps=5):
-    """go(K, *args) -> array; K is a runtime arg so there is ONE compile
-    per metric."""
+    """go is jitted with static K (dynamic-bound loops are unreliable on
+    tunneled backends; K=0 pass-through outputs alias h2d buffers whose
+    d2h is unimplemented there too — so K1=1)."""
+    import jax
     import jax.numpy as jnp
 
     def t(K):
@@ -35,7 +37,8 @@ def _slope_time(go, *args, reps=5):
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    t(K1)  # compile + warm
+    t(K1)
+    t(K2)  # compile + warm both
     return max((t(K2) - t(K1)) / (K2 - K1) * 1e3, 0.0)  # ms
 
 
@@ -55,8 +58,11 @@ def main():
         ("P", "gradlense"): 140, ("P", "lnP"): 110, ("P", "gradlnP"): 380,
     }
 
+    # headline-first ordering: the driver's timeout must not starve the
+    # JSON line, and remote-TPU compiles can take minutes each
+    fast = bool(int(__import__("os").environ.get("CMBL_BENCH_FAST", "0")))
     results = {}
-    for pol in ["I", "P"]:
+    for pol in (["P"] if fast else ["P", "I"]):
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             out = load_sim(thetapix=3, Nside=256, pol=pol, T=np.float32, seed=0)
@@ -73,26 +79,28 @@ def main():
         eps = np.float32(1e-20)
 
         # cache: gradhess(phi), chained by a negligible perturbation
-        @jax.jit
+        jit_static_k = functools.partial(jax.jit, static_argnums=0)
+
+        @jit_static_k
         def cache_loop(K, parr):
             def body(i, parr):
                 g, h = _gradhess_phi(parr, proj)
                 return parr + eps * h[0][..., None, :, :]
             return jax.lax.fori_loop(0, K, body, parr)
 
-        @jax.jit
+        @jit_static_k
         def apply_loop(K, farr, parr):
             def body(i, farr):
                 return (LenseFlow(Field(parr, B_phi, proj), 7) @ Field(farr, B_f, proj)).arr
             return jax.lax.fori_loop(0, K, body, farr)
 
-        @jax.jit
+        @jit_static_k
         def adjoint_loop(K, farr, parr):
             def body(i, farr):
                 return (LenseFlow(Field(parr, B_phi, proj), 7).H @ Field(farr, B_f, proj)).arr
             return jax.lax.fori_loop(0, K, body, farr)
 
-        @jax.jit
+        @jit_static_k
         def gradlense_loop(K, parr, f):
             def body(i, parr):
                 g = fgrad(lambda p: jnp.sum(fdot(LenseFlow(p, 7) @ f,
@@ -101,7 +109,7 @@ def main():
                 return parr + eps * g.arr
             return jax.lax.fori_loop(0, K, body, parr)
 
-        @jax.jit
+        @jit_static_k
         def lnP_loop(K, pm0, ds, f_mix):
             mixed = Mixed(ds)
             def body(i, state):
@@ -110,7 +118,7 @@ def main():
                 return (pm + eps * lp, acc + lp)
             return jax.lax.fori_loop(0, K, body, (pm0, jnp.float32(0.0)))
 
-        @jax.jit
+        @jit_static_k
         def gradlnP_loop(K, pm0, ds, f_mix):
             mixed = Mixed(ds)
             def body(i, pm):
@@ -119,27 +127,28 @@ def main():
                 return pm + eps * g.arr
             return jax.lax.fori_loop(0, K, body, pm0)
 
-        results[(pol, "cache")] = _slope_time(cache_loop, phi.arr)
+        # headline metric first, JSON out immediately
+        results[(pol, "gradlnP")] = _slope_time(gradlnP_loop, phi_mix.arr, ds, f_mix)
+        if pol == "P":
+            v = results[("P", "gradlnP")]
+            print(json.dumps({
+                "metric": "spin2_gradlnP_256_ms",
+                "value": round(v, 4),
+                "unit": "ms",
+                "vs_baseline": round(REF[("P", "gradlnP")] / max(v, 1e-6), 2),
+            }), flush=True)
+        results[(pol, "lnP")] = _slope_time(lnP_loop, phi_mix.arr, ds, f_mix)
         results[(pol, "apply")] = _slope_time(apply_loop, f.arr, phi.arr)
         results[(pol, "adjoint")] = _slope_time(adjoint_loop, f.arr, phi.arr)
         results[(pol, "gradlense")] = _slope_time(gradlense_loop, phi.arr, f)
-        results[(pol, "lnP")] = _slope_time(lnP_loop, phi_mix.arr, ds, f_mix)
-        results[(pol, "gradlnP")] = _slope_time(gradlnP_loop, phi_mix.arr, ds, f_mix)
-
-    print(f"{'benchmark':<16s} {'ours(ms)':>9s} {'refCPU(ms)':>11s} {'speedup':>8s}",
-          file=sys.stderr)
-    for k, v in results.items():
-        ref = REF[k]
-        spd = ref / v if v > 0 else float("inf")
-        print(f"{k[0]+'/'+k[1]:<16s} {v:9.3f} {ref:11.1f} {spd:8.1f}x", file=sys.stderr)
-
-    v = results[("P", "gradlnP")]
-    print(json.dumps({
-        "metric": "spin2_gradlnP_256_ms",
-        "value": round(v, 4),
-        "unit": "ms",
-        "vs_baseline": round(REF[("P", "gradlnP")] / max(v, 1e-6), 2),
-    }))
+        results[(pol, "cache")] = _slope_time(cache_loop, phi.arr)
+        for key in ["gradlnP", "lnP", "apply", "adjoint", "gradlense", "cache"]:
+            k = (pol, key)
+            v = results[k]
+            ref = REF[k]
+            spd = ref / v if v > 0 else float("inf")
+            print(f"{pol}/{key:<12s} {v:9.3f} ms   refCPU {ref:7.1f} ms   {spd:8.1f}x",
+                  file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

@@ -332,7 +332,31 @@ def sample_joint(
     return Chains([chain])
 
 
+def once_every(n, gibbs_pass):
+    """Run a gibbs pass only every n steps (src/sampling.jl:469-477)."""
+
+    def wrapped(state, ds, **kw):
+        if state["step"] % n == 0:
+            return gibbs_pass(state, ds, **kw)
+        return state
+
+    return wrapped
+
+
+def start_after_burnin(n, gibbs_pass):
+    """Run a gibbs pass only after n burn-in steps
+    (src/sampling.jl:479-487)."""
+
+    def wrapped(state, ds, **kw):
+        if state["step"] > n:
+            return gibbs_pass(state, ds, **kw)
+        return state
+
+    return wrapped
+
+
 def _filter_for_saving(state, step, nsavemaps):
+    from ..utils.transfer import device_get_safe
     out = {}
     for k, v in state.items():
         if k in ("key",):
@@ -340,9 +364,9 @@ def _filter_for_saving(state, step, nsavemaps):
         if isinstance(v, Field) and (step % nsavemaps != 0):
             continue
         if isinstance(v, Field):
-            out[k] = Field(np.asarray(v.arr), v.basis, v.proj)
+            out[k] = Field(device_get_safe(v.arr), v.basis, v.proj)
         elif hasattr(v, "shape"):
-            out[k] = np.asarray(v)
+            out[k] = device_get_safe(v)
         else:
             out[k] = v
     out["step"] = step
