@@ -32,8 +32,7 @@ def _slope_time(go, *args, reps=5):
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            o = go(K, *args)
-            float(jnp.sum(jnp.abs(o[0] if isinstance(o, tuple) else o)))
+            float(go(K, *args))   # loops return a device scalar
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
@@ -86,19 +85,19 @@ def main():
             def body(i, parr):
                 g, h = _gradhess_phi(parr, proj)
                 return parr + eps * h[0][..., None, :, :]
-            return jax.lax.fori_loop(0, K, body, parr)
+            return jnp.sum(jnp.abs(jax.lax.fori_loop(0, K, body, parr)))
 
         @jit_static_k
         def apply_loop(K, farr, parr):
             def body(i, farr):
                 return (LenseFlow(Field(parr, B_phi, proj), 7) @ Field(farr, B_f, proj)).arr
-            return jax.lax.fori_loop(0, K, body, farr)
+            return jnp.sum(jnp.abs(jax.lax.fori_loop(0, K, body, farr)))
 
         @jit_static_k
         def adjoint_loop(K, farr, parr):
             def body(i, farr):
                 return (LenseFlow(Field(parr, B_phi, proj), 7).H @ Field(farr, B_f, proj)).arr
-            return jax.lax.fori_loop(0, K, body, farr)
+            return jnp.sum(jnp.abs(jax.lax.fori_loop(0, K, body, farr)))
 
         @jit_static_k
         def gradlense_loop(K, parr, f):
@@ -107,7 +106,7 @@ def main():
                                                  LenseFlow(p, 7) @ f)) / 2)(
                     Field(parr, B_phi, proj))
                 return parr + eps * g.arr
-            return jax.lax.fori_loop(0, K, body, parr)
+            return jnp.sum(jnp.abs(jax.lax.fori_loop(0, K, body, parr)))
 
         @jit_static_k
         def lnP_loop(K, pm0, ds, f_mix):
@@ -116,7 +115,8 @@ def main():
                 pm, acc = state
                 lp = jnp.sum(mixed.logpdf(f_mix=f_mix, phi_mix=Field(pm, B_phi, proj)))
                 return (pm + eps * lp, acc + lp)
-            return jax.lax.fori_loop(0, K, body, (pm0, jnp.float32(0.0)))
+            out = jax.lax.fori_loop(0, K, body, (pm0, jnp.float32(0.0)))
+            return jnp.sum(jnp.abs(out[0])) + out[1]
 
         @jit_static_k
         def gradlnP_loop(K, pm0, ds, f_mix):
@@ -125,7 +125,7 @@ def main():
                 g = fgrad(lambda p: jnp.sum(mixed.logpdf(f_mix=f_mix, phi_mix=p)))(
                     Field(pm, B_phi, proj))
                 return pm + eps * g.arr
-            return jax.lax.fori_loop(0, K, body, pm0)
+            return jnp.sum(jnp.abs(jax.lax.fori_loop(0, K, body, pm0)))
 
         # headline metric first, JSON out immediately
         results[(pol, "gradlnP")] = _slope_time(gradlnP_loop, phi_mix.arr, ds, f_mix)
