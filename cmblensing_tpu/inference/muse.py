@@ -66,13 +66,17 @@ def muse(ds: DataSet, theta0, nsims=20, nsteps=5, alpha=0.7, key=None,
     phi_data = None
     sims_phi = [None] * nsims
 
-    def mean_sim_score(theta, key):
+    def mean_sim_score(theta_sim, theta_eval, key, phis):
+        """Scores s(theta_eval, d_i) over sims d_i ~ P(d | theta_sim).
+        MUSE's Jacobian perturbs theta_sim ONLY, keeping the evaluation
+        point fixed, so the deterministic score slope cancels
+        (Millea & Seljak 2021, eq. for H)."""
         ks = jax.random.split(key, nsims)
         ss = []
         for i, k in enumerate(ks):
-            sim = ds.at(theta).simulate(k, theta=theta)
-            s, sims_phi[i] = score(ds, theta, names, d=sim["d"],
-                                   phi=sims_phi[i], MAP_kwargs=MAP_kwargs)
+            sim = ds.at(theta_sim).simulate(k, theta=theta_sim)
+            s, phis[i] = score(ds, theta_eval, names, d=sim["d"],
+                               phi=phis[i], MAP_kwargs=MAP_kwargs)
             ss.append(np.asarray(s))
         return np.stack(ss)
 
@@ -81,17 +85,18 @@ def muse(ds: DataSet, theta0, nsims=20, nsteps=5, alpha=0.7, key=None,
         key, ksim = jax.random.split(key)
         s_data, phi_data = score(ds, theta, names, phi=phi_data, MAP_kwargs=MAP_kwargs)
         s_data = np.asarray(s_data)
-        s_sims = mean_sim_score(theta, ksim)
+        s_sims = mean_sim_score(theta, theta, ksim, sims_phi)
         sbar = s_sims.mean(axis=0)
         J = np.atleast_2d(np.cov(s_sims.T)) if nsims > 1 else np.eye(len(names))
 
-        # numerical Jacobian H_ij = d sbar_i/d theta_j via forward diffs
+        # H_ij = d/dtheta_sim_j E[s_i(theta_eval fixed)] via forward
+        # diffs with matched seeds
         if H is None:
             H = np.zeros((len(names), len(names)))
             for j, n in enumerate(names):
                 tp = dict(theta)
                 tp[n] = theta[n] + step_eps[n]
-                s_p = mean_sim_score(tp, ksim).mean(axis=0)
+                s_p = mean_sim_score(tp, theta, ksim, [None] * nsims).mean(axis=0)
                 H[:, j] = (s_p - sbar) / step_eps[n]
 
         dtheta = np.linalg.solve(H, (s_data - sbar))

@@ -62,7 +62,7 @@ def rk4_integrate(F: Callable, y0, t0, t1, nsteps: int):
     return y
 
 
-def conjugate_gradient(M, A, b, x0=None, nsteps=500, tol=1e-1):
+def conjugate_gradient(M, A, b, x0=None, nsteps=500, tol=1e-1, fixed_iters=False):
     """Solve A x = b (A positive definite) by preconditioned CG.
 
     M, A: callables applying the preconditioner-inverse-ish solve and
@@ -101,12 +101,14 @@ def conjugate_gradient(M, A, b, x0=None, nsteps=500, tol=1e-1):
         i, x, r, z, p, res, bestres, bestx = carry
         Ap = _apply(A, p)
         pAp = tree_dot(p, Ap)
-        alpha = res / pAp
+        # guarded divisions: in fixed-iteration mode the loop runs past
+        # convergence, where res and pAp underflow to 0
+        alpha = jnp.where(pAp != 0, res / jnp.where(pAp != 0, pAp, 1.0), 0.0)
         x = _tmap(lambda xi, pi: xi + _bb(alpha, pi) * pi, x, p)
         r = _tmap(lambda ri, api: ri - _bb(alpha, api) * api, r, Ap)
         z = _solve(M, r)
         res_new = tree_dot(r, z)
-        beta = res_new / res
+        beta = jnp.where(res != 0, res_new / jnp.where(res != 0, res, 1.0), 0.0)
         p = _tmap(lambda zi, pi: zi + _bb(beta, pi) * pi, z, p)
         better = res_new < bestres
         bestx = _tmap(lambda bxi, xi: jnp.where(_bb_arr(better, xi), xi, bxi), bestx, x)
@@ -129,7 +131,16 @@ def conjugate_gradient(M, A, b, x0=None, nsteps=500, tol=1e-1):
         return s.reshape(s.shape + (1,) * (leaf.ndim - s.ndim))
 
     carry0 = (jnp.asarray(0), x0, r0, z0, p0, res0, res0, x0)
-    i, x, r, z, p, res, bestres, bestx = jax.lax.while_loop(cond, body, carry0)
+    if fixed_iters:
+        # static trip count (lax.scan): no data-dependent control flow —
+        # preferred on TPU (no host sync; some backends can't run
+        # dynamic while_loops at all)
+        def sbody(carry, _):
+            return body(carry), None
+        carry, _ = jax.lax.scan(sbody, carry0, None, length=nsteps)
+        i, x, r, z, p, res, bestres, bestx = carry
+    else:
+        i, x, r, z, p, res, bestres, bestx = jax.lax.while_loop(cond, body, carry0)
     return bestx, {"iterations": i, "res": bestres}
 
 
