@@ -143,6 +143,13 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
     cg = dict(tol=1e-1, nsteps=500)
     cg.update(conjgrad_kwargs or {})
 
+    from ..models.dataset import NoLensingDataSet
+    if isinstance(ds, NoLensingDataSet):
+        # no phi to optimize: the MAP is just the Wiener filter
+        # (reference src/maximization.jl:235)
+        f, info = argmaxf_logpdf(ds.at(theta), theta=theta, conjgrad_kwargs=cg)
+        return dict(f=f, phi=None, history=[info])
+
     dstheta = ds.at(theta)
     from ..core.ops import Id
     dstheta = dstheta.replace(G=Id)  # MAP invariant to G (maximization.jl:146)

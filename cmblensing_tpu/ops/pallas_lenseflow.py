@@ -84,6 +84,13 @@ def pallas_lenseflow_apply(f_map, g, h, t0, t1, nsteps, proj):
     No batch axis (vmap externally if needed)."""
     assert _HAS_PALLAS
     ncomp, Ny, Nx = f_map.shape
+    # VMEM budget: ~(5 + 2*ncomp*6) planes + 2 derivative matrices must
+    # stay under ~16MB; 512^2 f32 is the practical ceiling
+    vmem_bytes = 4 * (Ny * Nx * (5 + ncomp * 7) + Ny * Ny + Nx * Nx)
+    if vmem_bytes > 14 * 1024 * 1024:
+        raise ValueError(
+            f"map too large for the fused VMEM-resident kernel "
+            f"(~{vmem_bytes/2**20:.0f}MB needed); use the lax.scan path")
     dt = f_map.dtype
     Dx1, _ = _deriv_matrices(Nx, float(proj.deltax), str(np.dtype(dt)))
     Dy1, _ = _deriv_matrices(Ny, float(proj.deltax), str(np.dtype(dt)))
