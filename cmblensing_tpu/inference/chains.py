@@ -39,16 +39,15 @@ class Chains(list):
 
 
 def load_chains(filename, burnin=0, thin=1, join=False, unbatch_chains=True):
-    """Reassemble chains from chunk files written by sample_joint
-    (reference load_chains, src/chains.jl:45-86)."""
-    chunks = []
-    i = 0
-    while os.path.exists(f"{filename}.chunk_{i}.pkl"):
-        with open(f"{filename}.chunk_{i}.pkl", "rb") as fobj:
-            chunks.append(pickle.load(fobj)["chunk"])
-        i += 1
+    """Reassemble chains from the checkpoint record file written by
+    sample_joint (reference load_chains, src/chains.jl:45-86)."""
+    from ..native import read_records
+    path = f"{filename}.ckpt"
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no chain checkpoint at {path}")
+    chunks = [pickle.loads(r)["chunk"] for r in read_records(path)]
     if not chunks:
-        raise FileNotFoundError(f"no chunks found for {filename}")
+        raise FileNotFoundError(f"no valid records in {path}")
     chain = [s for ch in chunks for s in ch]
     chain = chain[burnin::thin]
 

@@ -263,7 +263,7 @@ def sample_joint(
     # --- init or resume -------------------------------------------------
     start_step = 0
     chain = []
-    if filename and resume and os.path.exists(_chunk_name(filename, 0)):
+    if filename and resume and os.path.exists(_ckpt_name(filename)):
         states, start_step = _load_last_chunk(filename)
         if progress:
             print(f"Resuming chains at step {start_step}")
@@ -308,25 +308,35 @@ def sample_joint(
                 state = p(state, ds_b)
             return state
 
-    chunk = []
-    chunk_idx = _next_chunk_idx(filename) if (filename and resume) else 0
-    for step in range(start_step + 1, nsamps_per_chain + 1):
-        states["step"] = step
-        states = passes(states)
-        entry = _filter_for_saving(states, step, nsavemaps)
-        chain.append(entry)
-        chunk.append(entry)
-        if progress:
-            lp = states.get("logpdf")
-            lps = np.array2string(np.atleast_1d(np.asarray(lp)), precision=2) if lp is not None else ""
-            print(f"gibbs step {step}: logpdf={lps} accept={np.asarray(states.get('accept'))}")
-        if filename and (step % nfilewrite == 0):
-            _write_chunk(filename, chunk_idx, chunk, states)
-            chunk_idx += 1
-            chunk = []
+    # async native chunk writer (cmblensing_tpu.native) — sampling never
+    # blocks on disk; records are CRC-protected for crash resume
+    writer = None
+    if filename:
+        from ..native import CheckpointWriter
+        writer = CheckpointWriter(_ckpt_name(filename), append=bool(resume))
 
-    if filename and chunk:
-        _write_chunk(filename, chunk_idx, chunk, states)
+    chunk = []
+    try:
+        for step in range(start_step + 1, nsamps_per_chain + 1):
+            states["step"] = step
+            states = passes(states)
+            entry = _filter_for_saving(states, step, nsavemaps)
+            chain.append(entry)
+            chunk.append(entry)
+            if progress:
+                lp = states.get("logpdf")
+                lps = np.array2string(np.atleast_1d(np.asarray(lp)), precision=2) if lp is not None else ""
+                print(f"gibbs step {step}: logpdf={lps} accept={np.asarray(states.get('accept'))}")
+            if writer and (step % nfilewrite == 0):
+                _write_chunk(writer, chunk, states)
+                chunk = []
+
+        if writer and chunk:
+            _write_chunk(writer, chunk, states)
+    finally:
+        if writer:
+            writer.flush()
+            writer.close()
 
     from .chains import Chains
     return Chains([chain])
@@ -373,28 +383,23 @@ def _filter_for_saving(state, step, nsavemaps):
     return out
 
 
-def _chunk_name(filename, i):
-    return f"{filename}.chunk_{i}.pkl"
+def _ckpt_name(filename):
+    return f"{filename}.ckpt"
 
 
-def _next_chunk_idx(filename):
-    i = 0
-    while os.path.exists(_chunk_name(filename, i)):
-        i += 1
-    return i
-
-
-def _write_chunk(filename, idx, chunk, states):
+def _write_chunk(writer, chunk, states):
+    from ..utils.transfer import device_get_safe
     payload = dict(chunk=chunk, state=jax.tree_util.tree_map(
-        lambda x: np.asarray(x) if hasattr(x, "shape") else x, states))
-    with open(_chunk_name(filename, idx), "wb") as fobj:
-        pickle.dump(payload, fobj)
+        lambda x: device_get_safe(x) if hasattr(x, "shape") else x, states))
+    writer.write(pickle.dumps(payload))
 
 
 def _load_last_chunk(filename):
-    idx = _next_chunk_idx(filename) - 1
-    with open(_chunk_name(filename, idx), "rb") as fobj:
-        payload = pickle.load(fobj)
+    from ..native import read_records
+    recs = read_records(_ckpt_name(filename))
+    if not recs:
+        raise FileNotFoundError(f"no valid checkpoint records in {_ckpt_name(filename)}")
+    payload = pickle.loads(recs[-1])
     states = jax.tree_util.tree_map(
         lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, payload["state"])
     return states, int(payload["state"]["step"])

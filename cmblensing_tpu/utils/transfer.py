@@ -22,16 +22,23 @@ def _recombine(re, im):
 
 def device_put_safe(tree, device):
     """jax.device_put that works even when complex transfers are
-    unsupported by the backend."""
+    unsupported by the backend. All leaves are staged through host
+    numpy first — direct CPU-backend-to-accelerator device transfers
+    are another unreliable path on tunneled attachments."""
+    import numpy as np
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     out = []
     for leaf in leaves:
+        if not hasattr(leaf, "dtype"):
+            out.append(leaf)
+            continue
         if _is_complex(leaf):
-            re = jax.device_put(jnp.real(leaf), device)
-            im = jax.device_put(jnp.imag(leaf), device)
+            host = np.asarray(leaf)
+            re = jax.device_put(np.ascontiguousarray(host.real), device)
+            im = jax.device_put(np.ascontiguousarray(host.imag), device)
             out.append(_recombine(re, im))
         else:
-            out.append(jax.device_put(leaf, device))
+            out.append(jax.device_put(np.asarray(leaf), device))
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
