@@ -68,16 +68,32 @@ def hessian_phimix_preconditioner(ds: DataSet):
 # =========================================================================
 
 def argmaxf_logpdf(ds: DataSet, phi=None, theta=None, d=None, fstart=None,
-                   conjgrad_kwargs=None, offset=False):
+                   conjgrad_kwargs=None, offset=False, jit=True):
     """Maximize logpdf over f at fixed (phi, theta): solves the Gaussian
     system by preconditioned CG with the Hessian applied via the
-    analytic f-gradient (src/maximization.jl:30-40)."""
+    analytic f-gradient (src/maximization.jl:30-40). The whole solve is
+    one jitted computation (pass jit=False to run eagerly)."""
     theta = theta or {}
     cg = dict(tol=1e-1, nsteps=500)
     cg.update(conjgrad_kwargs or {})
     if d is None:
         d = ds.d
+    if jit:
+        return _jit_argmaxf(ds, theta, phi, d, fstart,
+                            int(cg["nsteps"]), float(cg["tol"]),
+                            bool(cg.get("fixed_iters", False)), bool(offset))
+    return _argmaxf_core(ds, theta, phi, d, fstart, int(cg["nsteps"]),
+                         float(cg["tol"]), bool(cg.get("fixed_iters", False)),
+                         bool(offset))
 
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _jit_argmaxf(ds, theta, phi, d, fstart, nsteps, tol, fixed_iters, offset):
+    return _argmaxf_core(ds, theta, phi, d, fstart, nsteps, tol, fixed_iters, offset)
+
+
+def _argmaxf_core(ds, theta, phi, d, fstart, nsteps, tol, fixed_iters, offset):
+    cg = dict(tol=tol, nsteps=nsteps, fixed_iters=fixed_iters)
     precond = hessian_f_preconditioner(ds)
     Cfop = _fid(ds.Cf)
     dfield = Cfop.diag if isinstance(Cfop, Diag) else Cfop.diag()
@@ -129,6 +145,38 @@ def _brent_min(f, a, b, abs_tol=1e-4, maxiter=50):
     return float(res.x), int(res.nfev)
 
 
+@jax.jit
+def _jit_phi_gradient(dstheta, theta, phi, f, d):
+    from ..core.field import fgrad
+
+    def lp(phi):
+        return jnp.sum(dstheta.logpdf(f=f, phi=phi, theta=theta, d=d))
+
+    return fgrad(lp)(phi)
+
+
+@jax.jit
+def _jit_phi_grad_and_fmix(dstheta, theta, f, phi):
+    from ..core.field import fgrad
+    mixed = Mixed(dstheta)
+    fm = mix(dstheta, f=f, phi=phi, theta=theta)
+    f_mix = fm["f_mix"]
+
+    def obj(phi_mix):
+        return jnp.sum(mixed.logpdf(f_mix=f_mix, phi_mix=phi_mix, theta=theta))
+
+    phi_mix = fm["phi_mix"].to(fm["phi_mix"].basis.with_space("map"))
+    g = fgrad(obj)(phi_mix)
+    return f_mix, phi_mix, g
+
+
+@jax.jit
+def _jit_mixed_logpdf_alpha(dstheta, theta, f_mix, phi_mix, dphi, alpha):
+    mixed = Mixed(dstheta)
+    return jnp.sum(mixed.logpdf(f_mix=f_mix, phi_mix=phi_mix + alpha * dphi,
+                                theta=theta))
+
+
 def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
               phistart=None, alpha_tol=1e-4, gradtol=0.0, alpha_max=None,
               conjgrad_kwargs=None, quasi_sample=False, key=None,
@@ -161,26 +209,15 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
     Hpre = hessian_phimix_preconditioner(dstheta) if dstheta.Nphi is not None else Cphi.pinv()
     Hpre_inv = Hpre.pinv()
 
-    mixed = Mixed(dstheta)
-
-    @jax.jit
+    # module-level jits with ds/theta as pytree ARGUMENTS: calling
+    # MAP_joint repeatedly (e.g. from MUSE) hits the same compile cache
+    # instead of re-jitting per call
     def phi_grad_and_fmix(f, phi):
-        from ..core.field import fgrad
-        fm = mix(dstheta, f=f, phi=phi, theta=theta)
-        f_mix = fm["f_mix"]
+        return _jit_phi_grad_and_fmix(dstheta, theta, f, phi)
 
-        def obj(phi_mix):
-            return jnp.sum(mixed.logpdf(f_mix=f_mix, phi_mix=phi_mix, theta=theta))
-
-        phi_mix = fm["phi_mix"].to(fm["phi_mix"].basis.with_space("map"))
-        g = fgrad(obj)(phi_mix)
-        return f_mix, phi_mix, g
-
-    @jax.jit
     def mixed_logpdf_alpha(f_mix, phi_mix, dphi, alpha):
-        return jnp.sum(mixed.logpdf(f_mix=f_mix,
-                                    phi_mix=phi_mix + alpha * dphi,
-                                    theta=theta))
+        return _jit_mixed_logpdf_alpha(dstheta, theta, f_mix, phi_mix, dphi,
+                                       jnp.float32(alpha))
 
     history = []
     alpha = 1.0
@@ -281,14 +318,8 @@ def MAP_marg(ds: DataSet, theta=None, key=None, phistart=None, nsteps=10,
     phi = phistart if phistart is not None else zeros_like_field(Cphi.diag).to(
         Cphi.diag.basis.with_space("map"))
 
-    @jax.jit
     def phi_gradient(phi, f, d):
-        from ..core.field import fgrad
-
-        def lp(phi):
-            return jnp.sum(dstheta.logpdf(f=f, phi=phi, theta=theta, d=d))
-
-        return fgrad(lp)(phi)
+        return _jit_phi_gradient(dstheta, theta, phi, f, d)
 
     from ..core.field import repeat_batch
 

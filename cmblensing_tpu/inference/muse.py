@@ -99,9 +99,15 @@ def muse(ds: DataSet, theta0, nsims=20, nsteps=5, alpha=0.7, key=None,
                 s_p = mean_sim_score(tp, theta, ksim, [None] * nsims).mean(axis=0)
                 H[:, j] = (s_p - sbar) / step_eps[n]
 
+        # Newton step for F(theta) = s_data - sbar(theta): dF/dtheta = -H
+        # (sbar rises with theta_sim while the fixed-eval s_data term is
+        # theta-independent), so theta <- theta + H^-1 F
         dtheta = np.linalg.solve(H, (s_data - sbar))
         for i, n in enumerate(names):
-            theta[n] = float(theta[n] - alpha * dtheta[i])
+            step_i = alpha * dtheta[i]
+            cap = 0.5 * max(abs(theta[n]), 0.1)
+            step_i = float(np.clip(step_i, -cap, cap))
+            theta[n] = float(theta[n] + step_i)
         history.append(dict(step=step, theta=dict(theta),
                             s_data=s_data, sbar=sbar))
         if progress:

@@ -40,6 +40,11 @@ def _op_call(op, theta):
     return op
 
 
+# module-level singleton so DataSets from different load_sim calls share
+# pytree aux-data (jit caches key on it)
+_default_lenseflow = partial(LenseFlow, nsteps=7)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class DataSet:
@@ -363,7 +368,7 @@ def load_sim(
     if key is None:
         key = jax.random.PRNGKey(seed)
     if L is None:
-        L = partial(LenseFlow, nsteps=7)
+        L = _default_lenseflow
     if bandpass_mask is None:
         bandpass_mask = LowPass(3000)
 
