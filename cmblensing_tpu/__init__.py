@@ -71,5 +71,5 @@ from .core.proj_healpix import ProjHealpix, HealpixField, project
 from .utils.cls import smooth, get_rho_l
 from .utils.timing import timed, timer_report, reset_timers
 from .utils.transfer import device_put_safe, device_get_safe
-from .ops.deriv import set_deriv_mode, get_deriv_mode
+from .ops.deriv import set_deriv_mode, get_deriv_mode, set_matmul_precision
 from .ops.fft import set_fft_mode, get_fft_mode

@@ -33,6 +33,7 @@ from . import fft as _fft
 
 _MODE = "auto"
 _MATMUL_MAX = 1024
+_PRECISION = "f32"   # "f32" | "bf16" (bf16 inputs, f32 accumulate)
 
 
 def set_deriv_mode(mode):
@@ -43,6 +44,32 @@ def set_deriv_mode(mode):
 
 def get_deriv_mode():
     return _MODE
+
+
+def set_matmul_precision(p):
+    """'f32' (default) or 'bf16': feed the MXU bf16 operands with f32
+    accumulation for ~2x throughput at ~1e-3 relative accuracy —
+    acceptable for MAP/HMC gradients, not for strict-parity tests."""
+    global _PRECISION
+    assert p in ("f32", "bf16")
+    _PRECISION = p
+
+
+def _mm_x(a, M):
+    """a @ M^T over the last axis (x-derivative)."""
+    if _PRECISION == "bf16":
+        return jnp.matmul(a.astype(jnp.bfloat16), M.T.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32).astype(a.dtype)
+    return jnp.matmul(a, M.T, preferred_element_type=a.dtype)
+
+
+def _mm_y(M, a):
+    """M @ a over the -2 axis (y-derivative)."""
+    if _PRECISION == "bf16":
+        return jnp.einsum("ij,...jk->...ik", M.astype(jnp.bfloat16),
+                          a.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32).astype(a.dtype)
+    return jnp.einsum("ij,...jk->...ik", M, a)
 
 
 def _use_matmul(proj):
@@ -108,9 +135,7 @@ def grad_xy(f_map, proj):
     """(df/dx, df/dy) of each component."""
     if _use_matmul(proj):
         Dx, Dy = _mats(proj, 1)
-        fx = jnp.matmul(f_map, Dx.T, preferred_element_type=f_map.dtype)
-        fy = jnp.einsum("ij,...jk->...ik", Dy, f_map)
-        return fx, fy
+        return _mm_x(f_map, Dx), _mm_y(Dy, f_map)
     ilx, ily = _grids(proj)
     F = _fft.rfft2(f_map)
     stack = jnp.concatenate([F * ilx, F * ily], axis=-3)
@@ -123,8 +148,7 @@ def div_xy(vx, vy, proj):
     """d/dx vx + d/dy vy."""
     if _use_matmul(proj):
         Dx, Dy = _mats(proj, 1)
-        return (jnp.matmul(vx, Dx.T, preferred_element_type=vx.dtype)
-                + jnp.einsum("ij,...jk->...ik", Dy, vy))
+        return _mm_x(vx, Dx) + _mm_y(Dy, vy)
     ilx, ily = _grids(proj)
     V = _fft.rfft2(jnp.concatenate([vx, vy], axis=-3))
     n = vx.shape[-3]
@@ -136,8 +160,8 @@ def gradhess(phi_map, proj):
     """((gx, gy), (hxx, hxy, hyy)) of a (..., 1, Ny, Nx) map."""
     if _use_matmul(proj):
         Dx1, Dx2, Dy1, Dy2 = _mats(proj, 2)
-        mm = lambda a, M: jnp.matmul(a, M.T, preferred_element_type=a.dtype)
-        my = lambda M, a: jnp.einsum("ij,...jk->...ik", M, a)
+        mm = _mm_x
+        my = _mm_y
         gx = mm(phi_map, Dx1)
         gy = my(Dy1, phi_map)
         hxx = mm(phi_map, Dx2)
@@ -161,8 +185,8 @@ def dij_sum(s, proj):
     d_y d_x, s[3]: d_y d_y (matching the lenseflow backward flow)."""
     if _use_matmul(proj):
         Dx, Dy = _mats(proj, 1)
-        mm = lambda a: jnp.matmul(a, Dx.T, preferred_element_type=a.dtype)
-        my = lambda a: jnp.einsum("ij,...jk->...ik", Dy, a)
+        mm = lambda a: _mm_x(a, Dx)
+        my = lambda a: _mm_y(Dy, a)
         s0 = s[..., 0, :, :]
         s1 = s[..., 1, :, :]
         s2 = s[..., 2, :, :]
