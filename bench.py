@@ -45,6 +45,11 @@ def main():
     import jax
     import jax.numpy as jnp
     sys.path.insert(0, ".")
+    try:  # persistent compile cache makes repeat runs near-instant
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     from cmblensing_tpu.models.dataset import load_sim, mix, Mixed
     from cmblensing_tpu.models.lenseflow import LenseFlow, _gradhess_phi
     from cmblensing_tpu.core.field import fgrad, Field, dot as fdot

@@ -231,15 +231,60 @@ def _project_cart_to_sph_comp(projector, arr):
     return out.at[sel].set(vals[sel])
 
 
+def _project_cart_to_sph_comp_fft(projector, arr):
+    """Band-limited (Fourier-series) interpolation of the flat map at
+    the healpix pixel centers — the reference's NFFT method
+    (src/proj_healpix.jl:314-325), via ops.nufft. Differentiable."""
+    from ..ops.nufft import nufft_eval
+    sel = projector.hpx_idxs_in_patch
+    ys = jnp.asarray(projector.is_, dtype=arr.dtype)[sel] - 1.0
+    xs = jnp.asarray(projector.js_, dtype=arr.dtype)[sel] - 1.0
+    vals = nufft_eval(arr, ys, xs)
+    out = jnp.zeros(projector.hpx_proj.npix, dtype=arr.dtype)
+    return out.at[sel].set(vals)
+
+
+def _project_sph_to_cart_comp_fft(projector, m, cg_iters=15):
+    """NUFFT resampling of in-patch healpix values onto the flat grid:
+    a short fixed-iteration CG solve of the normal equations
+    (A^T A + lam) x = A^T v with A the Fourier interpolant sampled at
+    the healpix centers. (The reference's NFFT route,
+    src/proj_healpix.jl:229-236, uses plain A^T v / n, valid only when
+    the sphere sampling is much denser than the flat band-limit; the
+    tiny CG solve is robust at any density.)"""
+    from ..ops.nufft import nufft_adjoint, nufft_eval
+    sel = projector.hpx_idxs_in_patch
+    Ny, Nx = projector.cart_proj.Ny, projector.cart_proj.Nx
+    ys = jnp.asarray(projector.is_, dtype=m.dtype)[sel] - 1.0
+    xs = jnp.asarray(projector.js_, dtype=m.dtype)[sel] - 1.0
+    vals = m[sel]
+    npts = ys.shape[0]
+    lam = 1e-3 * npts / (Ny * Nx)
+
+    def AtA(x):
+        return nufft_adjoint(nufft_eval(x, ys, xs), ys, xs, Ny, Nx) + lam * x
+
+    b = nufft_adjoint(vals, ys, xs, Ny, Nx)
+    from ..ops.solvers import conjugate_gradient
+    x, _ = conjugate_gradient(lambda r: r, AtA, b, nsteps=cg_iters,
+                              tol=0.0, fixed_iters=True)
+    return x
+
+
 def project(field, to, method="bilinear"):
     """Project a HealpixField to a ProjLambert patch, or a flat Field up
     to a ProjHealpix sphere, with polarization flattening
-    (src/proj_healpix.jl:217-341)."""
-    assert method == "bilinear", "only bilinear implemented (NFFT: todo)"
+    (src/proj_healpix.jl:217-341). method in {'bilinear', 'fft'} —
+    'fft' uses the NUFFT (band-limited, differentiable)."""
+    assert method in ("bilinear", "fft")
+    sph2cart = (_project_sph_to_cart_comp if method == "bilinear"
+                else _project_sph_to_cart_comp_fft)
+    cart2sph = (_project_cart_to_sph_comp if method == "bilinear"
+                else _project_cart_to_sph_comp_fft)
     if isinstance(field, HealpixField) and isinstance(to, ProjLambert):
         projector = Projector(field.proj, to)
         psi = jnp.asarray(projector.psipol_thetaphi)
-        comps = [_project_sph_to_cart_comp(projector, field.arr[c])
+        comps = [sph2cart(projector, field.arr[c])
                  for c in range(field.arr.shape[0])]
         if field.pol == "I":
             arr = jnp.stack(comps, axis=0)
@@ -260,7 +305,7 @@ def project(field, to, method="bilinear"):
         if pol in ("EB", "IEB"):
             fm = fm.to(fm.basis.with_pol("QU" if pol == "EB" else "IQU"))
             pol = fm.basis.pol
-        comps = [_project_cart_to_sph_comp(projector, fm.arr[..., c, :, :])
+        comps = [cart2sph(projector, fm.arr[..., c, :, :])
                  for c in range(fm.arr.shape[-3])]
         if pol == "I":
             return HealpixField(jnp.stack(comps, axis=0), "I", to)
