@@ -195,6 +195,11 @@ def gibbs_sample_phi(state, ds, symp_kwargs, always_accept=False):
     return dict(state, key=key, phi_mix=phi_mix, dH=dH, accept=accept)
 
 
+@jax.jit
+def _jit_mixed_logpdf_theta(ds, f_mix, phi_mix, theta):
+    return Mixed(ds).logpdf(f_mix=f_mix, phi_mix=phi_mix, theta=theta)
+
+
 def gibbs_sample_slice_theta(name, xs):
     """Slice-sample one scalar theta parameter on a grid
     (reference gibbs_sample_slice_θ!, src/sampling.jl:427-437)."""
@@ -203,12 +208,11 @@ def gibbs_sample_slice_theta(name, xs):
         key = state["key"]
         key, sub = jax.random.split(key)
         theta = dict(state["theta"])
-        mixed = Mixed(ds)
 
         def lp(v):
             th = dict(theta)
-            th[name] = v
-            return mixed.logpdf(f_mix=state["f_mix"], phi_mix=state["phi_mix"], theta=th)
+            th[name] = jnp.float32(v)
+            return _jit_mixed_logpdf_theta(ds, state["f_mix"], state["phi_mix"], th)
 
         val, _, _ = grid_and_sample(sub, lp, xs)
         theta[name] = float(np.asarray(val).ravel()[0]) if np.ndim(val) == 0 or np.size(val) == 1 else val

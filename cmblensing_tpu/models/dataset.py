@@ -501,7 +501,16 @@ def load_nolensing_sim(lensed_covariance=False, **kwargs):
 
 # --- small eager operator helpers (keep Diag/BlockDiagIEB eager) ---------
 
+def _bscal(s):
+    """Reshape a batched scalar (leading batch axes) so it broadcasts
+    against (..., ncomp, Ny, Nx) field arrays (BatchedReal semantics)."""
+    if jnp.ndim(s) >= 1:
+        return jnp.reshape(jnp.asarray(s), jnp.shape(s) + (1, 1, 1))
+    return s
+
+
 def _op_scale(s, op):
+    s = _bscal(s)
     if isinstance(op, Diag):
         return Diag(Field(s * op.diag.arr, op.diag.basis, op.diag.proj))
     if isinstance(op, BlockDiagIEB):
@@ -512,6 +521,7 @@ def _op_scale(s, op):
 
 def _op_lincomb(a, s, b):
     """a + s*b for Diag/BlockDiagIEB of matching type."""
+    s = _bscal(s)
     if isinstance(a, Diag) and isinstance(b, Diag):
         gb = b.diag.to(a.diag.basis)
         return Diag(Field(a.diag.arr + s * gb.arr, a.diag.basis, a.diag.proj))
