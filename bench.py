@@ -38,7 +38,9 @@ def _slope_time(go, *args, reps=5):
 
     t(K1)
     t(K2)  # compile + warm both
-    return max((t(K2) - t(K1)) / (K2 - K1) * 1e3, 0.0)  # ms
+    # floor at 1us: timing jitter can push the slope slightly negative
+    # for ops far below dispatch noise
+    return max((t(K2) - t(K1)) / (K2 - K1) * 1e3, 1e-3)  # ms
 
 
 def main():

@@ -45,6 +45,49 @@ def _op_call(op, theta):
 _default_lenseflow = partial(LenseFlow, nsteps=7)
 
 
+# --- module-level ParamDependentOp recompute functions (picklable) --------
+
+def _cf_recompute(deps, r=None):
+    """Cf(r) = Cfs + (r/r0) Cft (src/dataset.jl:273)."""
+    Cfs, Cft, r0 = deps
+    r = r0 if r is None else r
+    return _op_lincomb(Cfs, r / r0, Cft)
+
+
+def _cphi_recompute(deps, Aphi=None):
+    """Cphi(Aphi) = Aphi * Cphi0 (src/dataset.jl:274)."""
+    Cphi0, Aphi0 = deps
+    Aphi = Aphi0 if Aphi is None else Aphi
+    return _op_scale(Aphi, Cphi0)
+
+
+def _G_of(Cphi_at, Nphi):
+    """sqrt(I + 2 Nphi pinv(Cphi))."""
+    from ..core.ops import safe_reciprocal
+    cp = Cphi_at.diag if isinstance(Cphi_at, Diag) else Cphi_at
+    arr = 1.0 + 2.0 * Nphi.diag.arr * safe_reciprocal(cp.arr)
+    return Diag(Field(jnp.sqrt(arr), cp.basis, cp.proj))
+
+
+def _g_recompute(deps, Aphi=None):
+    """G(Aphi) = pinv(G0) sqrt(I + 2 Nphi pinv(Cphi(Aphi)))
+    (src/dataset.jl:318-320)."""
+    G0, Cphi, Nphi, Aphi0 = deps
+    Aphi = Aphi0 if Aphi is None else Aphi
+    Ga = _G_of(Cphi(dict(Aphi=Aphi)), Nphi)
+    return Diag(Field(Ga.diag.arr / G0.diag.arr, Ga.diag.basis, Ga.diag.proj))
+
+
+def _d_recompute(deps, r=None):
+    """D(r) = sqrt((Cf(r) + sigma2len I + 2 Cn_hat) pinv(Cf(r)))
+    (src/dataset.jl:321-329)."""
+    Cf, Cn_hat, r0, sigma2len = deps
+    r = r0 if r is None else r
+    Cfr = Cf(dict(r=r))
+    num = _add_scalar_identity(_op_lincomb(Cfr, 2.0, Cn_hat), sigma2len)
+    return _op_mul_sqrt_pinv(num, Cfr)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class DataSet:
@@ -400,12 +443,8 @@ def load_sim(
     if Cn is None:
         Cn = Cn_hat
 
-    def _cf_fn(deps, r=r0):
-        Cfs, Cft = deps
-        return _op_axpy(Cfs, float(np.float32(1.0)) if False else (r / r0), Cft)
-
-    Cf = ParamDependentOp(("r",), lambda deps, r=r0: _op_lincomb(deps[0], r / r0, deps[1]), (Cfs, Cft))
-    Cphi = ParamDependentOp(("Aphi",), lambda deps, Aphi=Aphi0: _op_scale(Aphi, deps[0]), (Cphi0,))
+    Cf = ParamDependentOp(("r",), _cf_recompute, (Cfs, Cft, r0))
+    Cphi = ParamDependentOp(("Aphi",), _cphi_recompute, (Cphi0, Aphi0))
 
     # masks
     if M is None:
@@ -450,33 +489,15 @@ def load_sim(
 
     # G mixing (src/dataset.jl:317-320)
     if G is None:
-        def _G_of(Cphi_at):
-            # sqrt(I + 2 Nphi pinv(Cphi))
-            from ..core.ops import safe_reciprocal
-            cp = Cphi_at.diag if isinstance(Cphi_at, Diag) else Cphi_at
-            arr = 1.0 + 2.0 * Nphi.diag.arr * safe_reciprocal(cp.arr)
-            return Diag(Field(jnp.sqrt(arr), cp.basis, cp.proj))
-
-        G0 = _G_of(Cphi(dict(Aphi=Aphi0)))
-
-        def g_fn(deps, Aphi=Aphi0):
-            (G0, Cphi) = deps
-            Ga = _G_of(Cphi(dict(Aphi=Aphi)))
-            return Diag(Field(Ga.diag.arr / G0.diag.arr, Ga.diag.basis, Ga.diag.proj))
-
-        ds = ds.replace(G=ParamDependentOp(("Aphi",), g_fn, (G0, Cphi)))
+        G0 = _G_of(Cphi(dict(Aphi=Aphi0)), Nphi)
+        ds = ds.replace(G=ParamDependentOp(("Aphi",), _g_recompute,
+                                           (G0, Cphi, Nphi, Aphi0)))
 
     # D mixing (src/dataset.jl:321-329)
     if D is None:
         sigma2len = float(np.deg2rad(5 / 60) ** 2)
-
-        def d_fn(deps, r=r0):
-            (Cf, Cn_hat) = deps
-            Cfr = Cf(dict(r=r))
-            num = _add_scalar_identity(_op_lincomb(Cfr, 2.0, Cn_hat), sigma2len)
-            return _op_mul_sqrt_pinv(num, Cfr)
-
-        ds = ds.replace(D=ParamDependentOp(("r",), d_fn, (Cf, Cn_hat)))
+        ds = ds.replace(D=ParamDependentOp(("r",), _d_recompute,
+                                           (Cf, Cn_hat, r0, sigma2len)))
 
     if Nbatch is not None:
         d_b = repeat_batch(sim["d"], Nbatch)
