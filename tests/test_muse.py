@@ -1,0 +1,31 @@
+"""MUSE integration test (slow: run explicitly with -m slow)."""
+import numpy as np
+import pytest
+import jax
+
+from cmblensing_tpu.models.dataset import load_sim
+from cmblensing_tpu.inference.muse import muse, score
+
+
+@pytest.mark.slow
+def test_muse_micro():
+    out = load_sim(thetapix=5, Nside=16, pol="I", T=np.float32, seed=4)
+    ds = out["ds"]
+    res = muse(ds, dict(Aphi=1.0), nsims=4, nsteps=2,
+               MAP_kwargs=dict(nsteps=2, conjgrad_kwargs=dict(tol=1e-1, nsteps=20)))
+    assert np.isfinite(res["theta"]["Aphi"])
+    assert np.isfinite(res["Sigma"]).all()
+
+
+@pytest.mark.slow
+def test_muse_score_monotone():
+    """Score at fixed theta increases with the Aphi of the data."""
+    out = load_sim(thetapix=3, Nside=32, pol="I", T=np.float32, seed=9)
+    ds = out["ds"]
+    MAPk = dict(nsteps=4, conjgrad_kwargs=dict(tol=1e-2, nsteps=40))
+    scores = []
+    for At in [0.5, 2.0]:
+        sim = ds.at(dict(Aphi=At)).simulate(jax.random.PRNGKey(42), theta=dict(Aphi=At))
+        s, _ = score(ds, dict(Aphi=1.0), ["Aphi"], d=sim["d"], MAP_kwargs=MAPk)
+        scores.append(float(s[0]))
+    assert scores[1] > scores[0]
