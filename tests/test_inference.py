@@ -36,6 +36,20 @@ def test_MAP_joint_increases_logpdf(sim32):
     assert corr > 0.3
 
 
+def test_MAP_joint_hessian_update(sim32):
+    ds = sim32["ds"]
+    res = MAP_joint(ds, nsteps=4, nburnin_update_hessian=2,
+                    conjgrad_kwargs=dict(tol=1e-1, nsteps=30))
+    assert np.isfinite(res["history"][-1]["logpdf"])
+
+
+def test_MAP_joint_quasi_sample(sim32):
+    ds = sim32["ds"]
+    res = MAP_joint(ds, nsteps=2, quasi_sample=True, key=jax.random.PRNGKey(1),
+                    conjgrad_kwargs=dict(tol=1e-1, nsteps=30))
+    assert np.isfinite(res["history"][-1]["logpdf"])
+
+
 def test_MAP_marg_runs(sim32):
     ds = sim32["ds"]
     phi, hist = MAP_marg(ds, nsteps=2, Nsims=4, nsteps_with_meanfield_update=1,
