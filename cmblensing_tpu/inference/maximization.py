@@ -272,13 +272,13 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
                 ratio = jnp.abs(nan2zero(dpm.arr / dgm.arr))
                 Hinv_unsmooth = Diag(Field(ratio.astype(dpm.arr.dtype), dpm.basis, dpm.proj))
                 cl = cov_to_Cl(Hinv_unsmooth)
-                pos = cl.Cl > 0
-                from ..utils.cls import Cls as _Cls
-                cl_s = smooth(_Cls(cl.ell[pos], (cl.ell[pos] ** 4) * cl.Cl[pos]),
-                              xscale="log", yscale="log", smoothing=0.3)
-                cl_s = _Cls(cl_s.ell, cl_s.Cl / np.maximum(cl_s.ell, 1) ** 4)
-                Hinv_s = Cl_to_Cov("I", phi.proj, cl_s, units=1)
-                Hpre_inv = Hinv_s
+                pos = np.isfinite(cl.Cl) & (cl.Cl > 0) & np.isfinite(cl.ell) & (cl.ell > 0)
+                if pos.sum() >= 4:  # else: keep the current preconditioner
+                    from ..utils.cls import Cls as _Cls
+                    cl_s = smooth(_Cls(cl.ell[pos], (cl.ell[pos] ** 4) * cl.Cl[pos]),
+                                  xscale="log", yscale="log", smoothing=0.3)
+                    cl_s = _Cls(cl_s.ell, cl_s.Cl / np.maximum(cl_s.ell, 1) ** 4)
+                    Hpre_inv = Cl_to_Cov("I", phi.proj, cl_s, units=1)
             dphi = Hpre_inv @ g
             amax = alpha_max0 if alpha_max0 is not None else 2 * alpha
             if linesearch == "grid":
