@@ -72,12 +72,46 @@ def _mm_y(M, a):
     return jnp.einsum("ij,...jk->...ik", M, a)
 
 
-def _use_matmul(proj):
+import contextlib
+
+
+@contextlib.contextmanager
+def mode_ctx(mode):
+    """Temporarily override the derivative backend (e.g. host-side eager
+    setup on CPU wants 'fft'; traced TPU programs want 'matmul')."""
+    global _MODE
+    prev = _MODE
+    set_deriv_mode(mode)
+    try:
+        yield
+    finally:
+        _MODE = prev
+
+
+def _default_platform_is_accel():
+    try:
+        return jax.default_backend() in ("tpu", "gpu")
+    except Exception:
+        return True
+
+
+def _arr_on_accel(arr):
+    """Concrete arrays reveal their placement; tracers fall back to the
+    process default backend."""
+    try:
+        return any(d.platform in ("tpu", "gpu") for d in arr.devices())
+    except Exception:
+        return _default_platform_is_accel()
+
+
+def _use_matmul(proj, arr=None):
     if _MODE == "fft":
         return False
     if _MODE == "matmul":
         return True
-    return max(proj.Ny, proj.Nx) <= _MATMUL_MAX
+    # auto: circulant matmuls only pay off on MXU-class hardware
+    on_accel = _arr_on_accel(arr) if arr is not None else _default_platform_is_accel()
+    return on_accel and max(proj.Ny, proj.Nx) <= _MATMUL_MAX
 
 
 @functools.lru_cache(maxsize=None)
@@ -133,7 +167,7 @@ def _grids(proj):
 
 def grad_xy(f_map, proj):
     """(df/dx, df/dy) of each component."""
-    if _use_matmul(proj):
+    if _use_matmul(proj, f_map):
         Dx, Dy = _mats(proj, 1)
         return _mm_x(f_map, Dx), _mm_y(Dy, f_map)
     ilx, ily = _grids(proj)
@@ -146,7 +180,7 @@ def grad_xy(f_map, proj):
 
 def div_xy(vx, vy, proj):
     """d/dx vx + d/dy vy."""
-    if _use_matmul(proj):
+    if _use_matmul(proj, vx):
         Dx, Dy = _mats(proj, 1)
         return _mm_x(vx, Dx) + _mm_y(Dy, vy)
     ilx, ily = _grids(proj)
@@ -158,7 +192,7 @@ def div_xy(vx, vy, proj):
 
 def gradhess(phi_map, proj):
     """((gx, gy), (hxx, hxy, hyy)) of a (..., 1, Ny, Nx) map."""
-    if _use_matmul(proj):
+    if _use_matmul(proj, phi_map):
         Dx1, Dx2, Dy1, Dy2 = _mats(proj, 2)
         mm = _mm_x
         my = _mm_y
@@ -183,7 +217,7 @@ def dij_sum(s, proj):
     """sum_{i,j} d_i d_j s_ij for s stacked (..., 4, Ny, Nx) in order
     (xx, yx, xy, yy) — i.e. s[0]: d_x d_x, s[1]: d_x d_y, s[2]:
     d_y d_x, s[3]: d_y d_y (matching the lenseflow backward flow)."""
-    if _use_matmul(proj):
+    if _use_matmul(proj, s):
         Dx, Dy = _mats(proj, 1)
         mm = lambda a: _mm_x(a, Dx)
         my = lambda a: _mm_y(Dy, a)

@@ -45,12 +45,20 @@ def get_fft_mode() -> str:
     return _MODE
 
 
-def _use_matmul(Ny, Nx):
+def _use_matmul(Ny, Nx, arr=None):
     if _MODE == "xla":
         return False
     if _MODE == "matmul":
         return True
-    return max(Ny, Nx) <= _MATMUL_MAX
+    # auto: the matmul-DFT only pays off on MXU-class hardware
+    try:
+        on_accel = any(d.platform in ("tpu", "gpu") for d in arr.devices())
+    except Exception:
+        try:
+            on_accel = jax.default_backend() in ("tpu", "gpu")
+        except Exception:
+            on_accel = True
+    return on_accel and max(Ny, Nx) <= _MATMUL_MAX
 
 
 @functools.lru_cache(maxsize=None)
@@ -132,7 +140,7 @@ def _matmul_irfft2(X, Nx: int):
 def rfft2(x):
     """Unnormalized forward real FFT over last two axes."""
     Ny, Nx = x.shape[-2], x.shape[-1]
-    if _use_matmul(Ny, Nx):
+    if _use_matmul(Ny, Nx, x):
         return _matmul_rfft2(x)
     return jnp.fft.rfft2(x)
 
@@ -140,7 +148,7 @@ def rfft2(x):
 def irfft2(X, Nx: int):
     """Normalized (1/(Ny*Nx)) inverse real FFT over last two axes."""
     Ny = X.shape[-2]
-    if _use_matmul(Ny, Nx):
+    if _use_matmul(Ny, Nx, X):
         return _matmul_irfft2(X, Nx)
     return jnp.fft.irfft2(X, s=(Ny, Nx))
 
