@@ -67,6 +67,17 @@ def hessian_phimix_preconditioner(ds: DataSet):
 # Wiener filter (reference argmaxf_logpdf, src/maximization.jl:17-42)
 # =========================================================================
 
+
+def _zero_map_like(Cphi):
+    """Zero phi field in the map basis, built without any FFT (eager
+    complex ops are unavailable on some TPU attachments)."""
+    import jax.numpy as jnp
+    d = Cphi.diag
+    b = d.basis.with_space("map")
+    return Field(jnp.zeros(d.batch_shape + (d.ncomp, d.proj.Ny, d.proj.Nx),
+                           dtype=d.proj.T.type), b, d.proj)
+
+
 def argmaxf_logpdf(ds: DataSet, phi=None, theta=None, d=None, fstart=None,
                    conjgrad_kwargs=None, offset=False, jit=True):
     """Maximize logpdf over f at fixed (phi, theta): solves the Gaussian
@@ -143,6 +154,13 @@ def _brent_min(f, a, b, abs_tol=1e-4, maxiter=50):
     res = minimize_scalar(f, bounds=(a, b), method="bounded",
                           options=dict(xatol=abs_tol, maxiter=maxiter))
     return float(res.x), int(res.nfev)
+
+
+@jax.jit
+def _jit_unmix_and_norm(dstheta, theta, f_mix, phi_mix, dphi):
+    u = unmix(dstheta, f_mix=f_mix, phi_mix=phi_mix, theta=theta)
+    phi = u["phi"].to(u["phi"].basis.with_space("map"))
+    return phi, field_norm(dphi)
 
 
 @jax.jit
@@ -225,8 +243,7 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
     dstheta = dstheta.replace(G=Id)  # MAP invariant to G (maximization.jl:146)
 
     Cphi = _fid(dstheta.Cphi)
-    phi = phistart if phistart is not None else zeros_like_field(Cphi.diag).to(
-        Cphi.diag.basis.with_space("map"))
+    phi = phistart if phistart is not None else _zero_map_like(Cphi)
     f = fstart
     Hpre = hessian_phimix_preconditioner(dstheta) if dstheta.Nphi is not None else Cphi.pinv()
     Hpre_inv = Hpre.pinv()
@@ -294,9 +311,8 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
             phi_mix = phi_mix + alpha * dphi
 
         lp = float(mixed_logpdf_alpha(f_mix, phi_mix, dphi, 0.0))
-        u = unmix(dstheta, f_mix=f_mix, phi_mix=phi_mix, theta=theta)
-        phi = u["phi"]
-        dnorm = float(field_norm(dphi))
+        phi, dnorm_dev = _jit_unmix_and_norm(dstheta, theta, f_mix, phi_mix, dphi)
+        dnorm = float(dnorm_dev)
         if progress:
             print(f"MAP_joint step {step}: logpdf={lp:.2f} alpha={alpha:.3g} "
                   f"CG={int(cg_info['iterations'])} linesearch={nfev}")
@@ -344,8 +360,7 @@ def MAP_marg(ds: DataSet, theta=None, key=None, phistart=None, nsteps=10,
                                       + nan2zero(1.0 / Nphi.diag.to(Cphi.diag.basis).arr))),
                       Cphi.diag.basis, Cphi.diag.proj))
 
-    phi = phistart if phistart is not None else zeros_like_field(Cphi.diag).to(
-        Cphi.diag.basis.with_space("map"))
+    phi = phistart if phistart is not None else _zero_map_like(Cphi)
 
     def phi_gradient(phi, f, d):
         return _jit_phi_gradient(dstheta, theta, phi, f, d)

@@ -249,13 +249,23 @@ class LenseFlow:
         return self.phi.to(self.phi.basis.with_space("map")).arr
 
     def _go(self, f: Field, t0, t1, adjoint):
+        import contextlib
+        from ..ops import deriv as _deriv
         B = f.basis
         fl = f.to(lense_basis(B))
         phi_map = self._phi_map()
-        if adjoint:
-            out = _lenseflow_apply_adjoint(phi_map, fl.arr, t0, t1, self.nsteps, f.proj)
-        else:
-            out = _lenseflow_apply(phi_map, fl.arr, t0, t1, self.nsteps, f.proj)
+        # pin the derivative backend while inputs are still concrete:
+        # inside the scan the placement check only sees tracers
+        ctx = contextlib.nullcontext()
+        if _deriv.get_deriv_mode() == "auto":
+            on_accel = _deriv._arr_on_accel(fl.arr)
+            small = max(f.proj.Ny, f.proj.Nx) <= _deriv._MATMUL_MAX
+            ctx = _deriv.mode_ctx("matmul" if (on_accel and small) else "fft")
+        with ctx:
+            if adjoint:
+                out = _lenseflow_apply_adjoint(phi_map, fl.arr, t0, t1, self.nsteps, f.proj)
+            else:
+                out = _lenseflow_apply(phi_map, fl.arr, t0, t1, self.nsteps, f.proj)
         return Field(out, fl.basis, f.proj).to(B)
 
     def __matmul__(self, f: Field) -> Field:
