@@ -23,7 +23,8 @@ from .core.basis import (
 )
 from .core.field import (
     Field, from_maps, zeros_like_field, dot, norm,
-    batch, unbatch, batch_index, batch_length,
+    batch, unbatch, batch_index, batch_length, batch_map, batch_vmap,
+    repeat_batch,
 )
 from .core.ops import (
     Diag, Identity, Id, LazyOp, FuncOp, ParamDependentOp, BlockDiagIEB,
@@ -68,7 +69,7 @@ from .core.proj_equirect import (
     Cl_to_Beam_EquiRect, mapblocks,
 )
 from .core.proj_healpix import ProjHealpix, HealpixField, project
-from .utils.cls import smooth, get_rho_l
+from .utils.cls import smooth, get_rho_l, shift_l, get_l4Cl, ell2, ell4, toCl, toDl
 from .utils.timing import timed, timer_report, reset_timers
 from .utils.transfer import device_put_safe, device_get_safe
 from .ops.deriv import set_deriv_mode, get_deriv_mode, set_matmul_precision

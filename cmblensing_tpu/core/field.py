@@ -438,3 +438,18 @@ def batch_length(f) -> int:
 def repeat_batch(f: Field, n: int) -> Field:
     """Replicate an unbatched field n times along a new batch axis."""
     return Field(jnp.broadcast_to(f.arr[None], (n,) + f.arr.shape), f.basis, f.proj)
+
+
+def batch_map(fn, fs):
+    """Apply fn over batch entries (reference batch_map,
+    src/batching.jl:58) — prefer jax.vmap for traced fns; this is the
+    simple eager version over unbatched slices."""
+    if isinstance(fs, Field):
+        return batch([fn(f) for f in unbatch(fs)])
+    return [fn(f) for f in fs]
+
+
+def batch_vmap(fn, f: Field):
+    """vmap fn over the leading batch axis of a Field (the sharded/
+    accelerated replacement for the reference's batch_pmap)."""
+    return jax.vmap(fn)(f)

@@ -158,6 +158,20 @@ def smooth(cl: "Cls", newells=None, xscale="linear", yscale="linear", smoothing=
     return Cls(newells, fyi(out), concrete=cl.concrete)
 
 
+def shift_l(dl, cl: "Cls", factor=False):
+    """Shift (or scale) the ell labels of a spectrum
+    (reference shiftℓ, src/cls.jl:82)."""
+    ell = cl.ell * dl if factor else cl.ell + dl
+    return Cls(ell, cl.Cl, concrete=cl.concrete)
+
+
+def get_l4Cl(f1, f2=None, **kwargs):
+    """ell^4 * C_ell (reference get_ℓ⁴Cℓ, src/cls.jl:87)."""
+    from .spectra import get_Cl
+    cl = get_Cl(f1, f2, **kwargs)
+    return Cls(cl.ell, cl.ell ** 4 * cl.Cl, concrete=cl.concrete)
+
+
 def get_rho_l(f1, f2, **kwargs):
     """Cross-correlation coefficient spectrum (src/cls.jl:88-97)."""
     from .spectra import get_Cl

@@ -29,8 +29,10 @@ def main(N=1024, nsteps=6):
     res = MAP_joint(ds_d, nsteps=nsteps, linesearch="grid",
                     conjgrad_kwargs=dict(tol=0.0, nsteps=30, fixed_iters=True))
     dt = time.time() - t0
-    corr = float(F.dot(res["phi"].to(phi_true.basis), phi_d)
-                 / (F.norm(phi_d) * F.norm(res["phi"])))
+    from cmblensing_tpu.utils.transfer import device_get_safe
+    pm = np.asarray(device_get_safe(res["phi"].to(res["phi"].basis.with_space("map")).arr)).ravel()
+    pt = np.asarray(device_get_safe(phi_true.arr)).ravel()
+    corr = float(pm @ pt / (np.linalg.norm(pm) * np.linalg.norm(pt)))
     lps = [h["logpdf"] for h in res["history"]]
     print(f"MAP_joint {N}^2 P: {nsteps} steps in {dt:.1f}s "
           f"({dt/nsteps:.2f}s/step incl. host orchestration)", flush=True)
