@@ -75,18 +75,25 @@ def test_bilinearlens(setup):
     assert float(F.norm(finv - f) / F.norm(f)) < 0.15
 
 
-def test_bilinearlens_phi_gradient(setup):
+def test_bilinearlens_phi_gradient(setup, x64):
+    """The bilinear interpolant is piecewise linear in the displacement,
+    so FD windows that cross stencil boundaries see kinks; use float64
+    with a small step to keep the crossing set negligible."""
     proj, phi, f, g, _ = setup
+    import jax.numpy as jnp64
+    phi = F.Field(phi.arr.astype(jnp.float64), phi.basis, phi.proj)
+    f64 = F.Field(f.arr.astype(jnp.float64), f.basis, f.proj)
+    g64 = F.Field(g.arr.astype(jnp.float64), g.basis, g.proj)
 
     def loss(phi):
-        return F.dot(BilinearLens(phi) @ f, g)
+        return F.dot(BilinearLens(phi) @ f64, g64)
 
     grad = F.fgrad(lambda p: jnp.sum(loss(p)))(phi)
-    eps = 1e-3
+    eps = 1e-7
     dphi = phi * 0.01
     fd = (loss(phi + eps * dphi) - loss(phi - eps * dphi)) / (2 * eps)
     analytic = F.dot(grad.to(dphi.basis), dphi)
-    assert abs(float(analytic) - float(fd)) < 0.05 * abs(float(fd)) + 1e-3
+    assert abs(float(analytic) - float(fd)) < 0.02 * abs(float(fd)) + 1e-6
 
 
 def test_fwdmodel_ppl():
