@@ -49,9 +49,16 @@ def device_get_safe(tree):
     out = []
     for leaf in leaves:
         if _is_complex(leaf):
-            re = np.asarray(jnp.real(leaf))
-            im = np.asarray(jnp.imag(leaf))
-            out.append(re + 1j * im)
+            # split on the device the leaf lives on (a dispatched no-op
+            # on another device would alias a transferred buffer, whose
+            # d2h is the unimplemented path)
+            re, im = _split(leaf)
+            out.append(np.asarray(re) + 1j * np.asarray(im))
         else:
             out.append(np.asarray(leaf) if hasattr(leaf, "dtype") else leaf)
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+@jax.jit
+def _split(z):
+    return jnp.real(z), jnp.imag(z)
