@@ -49,9 +49,14 @@ def device_get_safe(tree):
     out = []
     for leaf in leaves:
         if _is_complex(leaf):
-            # split on the device the leaf lives on (a dispatched no-op
-            # on another device would alias a transferred buffer, whose
-            # d2h is the unimplemented path)
+            # split on the device the leaf lives on: commit it there
+            # first, since jit would otherwise dispatch (and transfer)
+            # to the default backend
+            try:
+                dev = list(leaf.devices())[0]
+                leaf = jax.device_put(leaf, dev)
+            except Exception:
+                pass
             re, im = _split(leaf)
             out.append(np.asarray(re) + 1j * np.asarray(im))
         else:

@@ -10,7 +10,9 @@ def main(N=1024, nsteps=6):
     with jax.default_device(cpu):
         from cmblensing_tpu.models.dataset import load_sim
         out = load_sim(thetapix=2, Nside=N, pol="P", T=np.float32, seed=0)
-        ds, phi_true = out["ds"], out["phi"]
+        ds = out["ds"]
+        phi_true = out["phi"].to(out["phi"].basis.with_space("map"))
+        pt = np.asarray(phi_true.arr).ravel()
     print(f"load_sim({N}) on CPU: {time.time()-t0:.0f}s", flush=True)
 
     from cmblensing_tpu.utils.transfer import device_put_safe
@@ -31,7 +33,6 @@ def main(N=1024, nsteps=6):
     dt = time.time() - t0
     from cmblensing_tpu.utils.transfer import device_get_safe
     pm = np.asarray(device_get_safe(res["phi"].to(res["phi"].basis.with_space("map")).arr)).ravel()
-    pt = np.asarray(device_get_safe(phi_true.arr)).ravel()
     corr = float(pm @ pt / (np.linalg.norm(pm) * np.linalg.norm(pt)))
     lps = [h["logpdf"] for h in res["history"]]
     print(f"MAP_joint {N}^2 P: {nsteps} steps in {dt:.1f}s "
