@@ -195,26 +195,51 @@ def _jit_mixed_logpdf_alpha(dstheta, theta, f_mix, phi_mix, dphi, alpha):
                                 theta=theta))
 
 
+def _mixed_gaussian_residuals(dstheta, theta, f_mix, phi_mix):
+    """The (z_i, Sigma_i) pairs of the mixed posterior's Gaussian terms
+    (logdet pieces are alpha-independent in a line search and cancel)."""
+    from ..models.dataset import _op_call
+    u = unmix(dstheta, f_mix=f_mix, phi_mix=phi_mix, theta=theta)
+    f, phi = u["f"], u["phi"]
+    ds = dstheta
+    Cf = _op_call(ds.Cf, theta)
+    Cphi = _op_call(ds.Cphi, theta)
+    Cn = _op_call(ds.Cn, theta)
+    ft = ds.L(phi) @ f
+    mu = _op_call(ds.M, theta) @ (_op_call(ds.B, theta) @ ft)
+    return [(f, Cf), (phi, Cphi), (ds.d - mu, Cn)]
+
+
 @partial(jax.jit, static_argnums=(6,))
 def _jit_grid_linesearch(dstheta, theta, f_mix, phi_mix, dphi, amax, ngrid):
-    """Batched line search: evaluate the mixed logpdf at ngrid alphas in
-    one vmapped computation and return the best (alpha, logpdf).
-    TPU-native replacement for the host Brent loop (~ngrid dispatch
-    round-trips collapse into one)."""
-    mixed = Mixed(dstheta)
+    """Batched line search maximizing Delta logpdf(alpha) computed
+    cancellation-free:
+
+        lp(a) - lp(0) = -1/2 sum_i <z_i(a) - z_i(0), Sigma_i^-1 (z_i(a) + z_i(0))>
+
+    so float32 precision applies to the *difference* (whose scale is
+    the actual logpdf change), not to the ~1e7 totals whose rounding
+    would otherwise swamp the comparison on large maps. One vmapped
+    on-device evaluation for all ngrid alphas."""
     alphas = amax * (jnp.arange(1, ngrid + 1, dtype=phi_mix.arr.real.dtype) / ngrid) ** 1.5
+    res0 = _mixed_gaussian_residuals(dstheta, theta, f_mix, phi_mix)
 
-    def lp_at(alpha):
-        return jnp.sum(mixed.logpdf(f_mix=f_mix, phi_mix=phi_mix + alpha * dphi,
-                                    theta=theta))
+    def dlp_at(alpha):
+        res_a = _mixed_gaussian_residuals(dstheta, theta, f_mix,
+                                          phi_mix + alpha * dphi)
+        total = 0.0
+        for (za, Sa), (z0, S0) in zip(res_a, res0):
+            dz = za - z0.to(za.basis)
+            s = za + z0.to(za.basis)
+            total = total - 0.5 * jnp.sum(field_dot(dz, Sa.solve(s)))
+        return total
 
-    lps = jax.vmap(lp_at)(alphas)
-    lp0 = jnp.sum(mixed.logpdf(f_mix=f_mix, phi_mix=phi_mix, theta=theta))
+    dlps = jax.vmap(dlp_at)(alphas)
     alphas = jnp.concatenate([jnp.zeros(1, alphas.dtype), alphas])
-    lps = jnp.concatenate([lp0[None], lps])
-    lps = jnp.where(jnp.isfinite(lps), lps, -jnp.inf)
-    i = jnp.argmax(lps)
-    return alphas[i], lps[i]
+    dlps = jnp.concatenate([jnp.zeros(1, dlps.dtype), dlps])
+    dlps = jnp.where(jnp.isfinite(dlps), dlps, -jnp.inf)
+    i = jnp.argmax(dlps)
+    return alphas[i], dlps[i]
 
 
 def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
