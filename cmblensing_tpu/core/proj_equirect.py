@@ -189,7 +189,8 @@ class BlockDiagEquiRect:
 
     def __matmul__(self, f: EquiRectField) -> EquiRectField:
         g = self._fld(f)
-        out = jnp.einsum("mpq,...qm->...pm", self.blocks, g.arr)
+        out = jnp.einsum("mpq,...qm->...pm", self.blocks, g.arr,
+                         precision=jax.lax.Precision.HIGHEST)
         return EquiRectField(out, self.basis, self.proj)
 
     @property
@@ -200,7 +201,8 @@ class BlockDiagEquiRect:
     def __mul__(self, other):
         if isinstance(other, BlockDiagEquiRect):
             return BlockDiagEquiRect(
-                jnp.einsum("mpj,mjq->mpq", self.blocks, other.blocks),
+                jnp.einsum("mpj,mjq->mpq", self.blocks, other.blocks,
+                           precision=jax.lax.Precision.HIGHEST),
                 self.basis, self.proj)
         return BlockDiagEquiRect(other * self.blocks, self.basis, self.proj)
 
@@ -220,8 +222,10 @@ class BlockDiagEquiRect:
         """Per-block SVD sqrt (src/proj_equirect.jl:313-323), batched."""
         U, S, Vh = jnp.linalg.svd(self.blocks)
         s = jnp.sqrt(jnp.maximum(jnp.real(S), 0)).astype(self.blocks.dtype)
-        return BlockDiagEquiRect(jnp.einsum("mij,mj,mjk->mik", U, s, Vh),
-                                 self.basis, self.proj)
+        return BlockDiagEquiRect(
+            jnp.einsum("mij,mj,mjk->mik", U, s, Vh,
+                       precision=jax.lax.Precision.HIGHEST),
+            self.basis, self.proj)
 
     def pinv(self, rtol=1e-6):
         # pinv = V S^+ U^H from blocks = U S V^H, batched over m
@@ -229,7 +233,8 @@ class BlockDiagEquiRect:
         smax = jnp.max(S, axis=-1, keepdims=True)
         sinv = jnp.where(S > rtol * smax, 1.0 / S, 0.0).astype(self.blocks.dtype)
         return BlockDiagEquiRect(
-            jnp.einsum("mji,mj,mkj->mik", jnp.conj(Vh), sinv, jnp.conj(U)),
+            jnp.einsum("mji,mj,mkj->mik", jnp.conj(Vh), sinv, jnp.conj(U),
+                       precision=jax.lax.Precision.HIGHEST),
             self.basis, self.proj)
 
     inv = pinv

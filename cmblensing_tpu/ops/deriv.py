@@ -56,11 +56,16 @@ def set_matmul_precision(p):
 
 
 def _mm_x(a, M):
-    """a @ M^T over the last axis (x-derivative)."""
+    """a @ M^T over the last axis (x-derivative).
+
+    NOTE: full Precision.HIGHEST in the f32 path — the TPU default
+    truncates f32 matmul inputs to bf16, which corrupts spectral
+    derivatives (and through them every lensing gradient)."""
     if _PRECISION == "bf16":
         return jnp.matmul(a.astype(jnp.bfloat16), M.T.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32).astype(a.dtype)
-    return jnp.matmul(a, M.T, preferred_element_type=a.dtype)
+    return jnp.matmul(a, M.T, preferred_element_type=a.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _mm_y(M, a):
@@ -69,7 +74,8 @@ def _mm_y(M, a):
         return jnp.einsum("ij,...jk->...ik", M.astype(jnp.bfloat16),
                           a.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32).astype(a.dtype)
-    return jnp.einsum("ij,...jk->...ik", M, a)
+    return jnp.einsum("ij,...jk->...ik", M, a,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 import contextlib

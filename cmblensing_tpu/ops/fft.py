@@ -95,15 +95,18 @@ def _matmul_rfft2(x):
     Wy = _dft_mats(Ny, str(rdt))                         # (Ny, Ny)
     WxT_re = jnp.asarray(Wx.real.T.astype(ndt))          # (Nx, Nxh)
     WxT_im = jnp.asarray(Wx.imag.T.astype(ndt))
-    # x-axis rfft: (..., Ny, Nx) @ (Nx, Nxh)
-    re = jnp.matmul(x, WxT_re, preferred_element_type=rdt)
-    im = jnp.matmul(x, WxT_im, preferred_element_type=rdt)
+    # x-axis rfft: (..., Ny, Nx) @ (Nx, Nxh); HIGHEST precision — the
+    # TPU default truncates f32 matmul inputs to bf16
+    HI = jax.lax.Precision.HIGHEST
+    re = jnp.matmul(x, WxT_re, preferred_element_type=rdt, precision=HI)
+    im = jnp.matmul(x, WxT_im, preferred_element_type=rdt, precision=HI)
     # y-axis full complex fft: contract over Ny (axis -2):
     Wy_re = jnp.asarray(Wy.real.astype(ndt))
     Wy_im = jnp.asarray(Wy.imag.astype(ndt))
     # out[k,m] = sum_j Wy[k,j] z[j,m]
-    out_re = jnp.einsum("kj,...jm->...km", Wy_re, re) - jnp.einsum("kj,...jm->...km", Wy_im, im)
-    out_im = jnp.einsum("kj,...jm->...km", Wy_re, im) + jnp.einsum("kj,...jm->...km", Wy_im, re)
+    es = lambda A, B: jnp.einsum("kj,...jm->...km", A, B, precision=HI)
+    out_re = es(Wy_re, re) - es(Wy_im, im)
+    out_im = es(Wy_re, im) + es(Wy_im, re)
     return jax.lax.complex(out_re, out_im)
 
 
@@ -122,8 +125,10 @@ def _matmul_irfft2(X, Nx: int):
     Wyi_re = jnp.asarray((Wy.real / Ny).astype(ndt))
     Wyi_im = jnp.asarray((-Wy.imag / Ny).astype(ndt))
     Xre, Xim = jnp.real(X), jnp.imag(X)
-    z_re = jnp.einsum("kj,...jm->...km", Wyi_re, Xre) - jnp.einsum("kj,...jm->...km", Wyi_im, Xim)
-    z_im = jnp.einsum("kj,...jm->...km", Wyi_re, Xim) + jnp.einsum("kj,...jm->...km", Wyi_im, Xre)
+    HI = jax.lax.Precision.HIGHEST
+    es = lambda A, B: jnp.einsum("kj,...jm->...km", A, B, precision=HI)
+    z_re = es(Wyi_re, Xre) - es(Wyi_im, Xim)
+    z_im = es(Wyi_re, Xim) + es(Wyi_im, Xre)
     # irfft along x: real result = sum_k lam_k Re(conj-expanded)
     # Build (Nxh, Nx) matrices: out[j] = (1/Nx) * sum_k w_k [Re X_k cos(2πkj/Nx) - Im X_k sin(2πkj/Nx)]
     k = np.arange(Nxh)
@@ -134,7 +139,8 @@ def _matmul_irfft2(X, Nx: int):
     S = (lam[:, None] * np.sin(ang)) / Nx
     C = jnp.asarray(C.astype(ndt))
     S = jnp.asarray(S.astype(ndt))
-    return jnp.matmul(z_re, C, preferred_element_type=rdt) - jnp.matmul(z_im, S, preferred_element_type=rdt)
+    return (jnp.matmul(z_re, C, preferred_element_type=rdt, precision=HI)
+            - jnp.matmul(z_im, S, preferred_element_type=rdt, precision=HI))
 
 
 def rfft2(x):

@@ -58,8 +58,10 @@ def _kernel(f_ref, gx_ref, gy_ref, hxx_ref, hxy_ref, hyy_ref,
         out = []
         for c in range(ncomp):
             yc = y[c]
-            fx = jnp.dot(yc, DxT, preferred_element_type=jnp.float32)
-            fy = jnp.dot(Dy, yc, preferred_element_type=jnp.float32)
+            fx = jnp.dot(yc, DxT, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            fy = jnp.dot(Dy, yc, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
             out.append(px * fx + py * fy)
         return out
 

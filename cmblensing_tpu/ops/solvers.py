@@ -233,5 +233,6 @@ def gmres(A, b, maxiter, Pl=None):
         K.append(apply_P(apply_A(K[-1])))
     Kmat = jnp.stack(K[1:], axis=1)       # columns (Pl A)^i Pl b, i=1..n
     alpha, *_ = jnp.linalg.lstsq(Kmat, K[0])
-    xv = jnp.stack(K[:n], axis=1) @ alpha
+    xv = jnp.matmul(jnp.stack(K[:n], axis=1), alpha,
+                        precision=jax.lax.Precision.HIGHEST)
     return from_vec(xv)

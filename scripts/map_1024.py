@@ -29,8 +29,13 @@ def main(N=1024, nsteps=6):
 
     t0 = time.time()
     res = MAP_joint(ds_d, nsteps=nsteps, linesearch="grid",
+                    history_keys=("logpdf", "alpha"),
                     conjgrad_kwargs=dict(tol=0.0, nsteps=30, fixed_iters=True))
     dt = time.time() - t0
+    print("alphas:", [round(h["alpha"], 4) for h in res["history"]], flush=True)
+    import jax.numpy as jnp
+    pa = res["phi"].arr
+    print("phi stats:", float(jnp.sum(jnp.abs(pa))), float(jnp.sum(jnp.isnan(pa))), flush=True)
     from cmblensing_tpu.utils.transfer import device_get_safe
     pm = np.asarray(device_get_safe(res["phi"].to(res["phi"].basis.with_space("map")).arr)).ravel()
     corr = float(pm @ pt / (np.linalg.norm(pm) * np.linalg.norm(pt)))
