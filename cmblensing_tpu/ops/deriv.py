@@ -47,25 +47,37 @@ def get_deriv_mode():
 
 
 def set_matmul_precision(p):
-    """'f32' (default) or 'bf16': feed the MXU bf16 operands with f32
-    accumulation for ~2x throughput at ~1e-3 relative accuracy —
-    acceptable for MAP/HMC gradients, not for strict-parity tests."""
+    """MXU operand precision for the circulant-derivative matmuls:
+
+      'f32'  (default) — Precision.HIGHEST: true float32 (6 bf16 MXU
+               passes). Required for gradients that must match the FFT
+               backend / CPU to float32 tolerance.
+      'high' — Precision.HIGH: 3-pass bf16 (~2^-21 relative, ~2x the
+               throughput of 'f32'). Fine for MAP/HMC line searches.
+      'bf16' — single-pass bf16 operands, f32 accumulate (~1e-3
+               relative, fastest). Not for strict-parity tests.
+
+    NOTE the TPU *default* matmul precision truncates f32 inputs to
+    bf16 — leaving precision unset silently corrupts spectral
+    derivatives (and through them every lensing gradient), so every
+    matmul here pins it explicitly."""
     global _PRECISION
-    assert p in ("f32", "bf16")
+    assert p in ("f32", "high", "bf16")
     _PRECISION = p
 
 
-def _mm_x(a, M):
-    """a @ M^T over the last axis (x-derivative).
+def _prec():
+    return (jax.lax.Precision.HIGH if _PRECISION == "high"
+            else jax.lax.Precision.HIGHEST)
 
-    NOTE: full Precision.HIGHEST in the f32 path — the TPU default
-    truncates f32 matmul inputs to bf16, which corrupts spectral
-    derivatives (and through them every lensing gradient)."""
+
+def _mm_x(a, M):
+    """a @ M^T over the last axis (x-derivative)."""
     if _PRECISION == "bf16":
         return jnp.matmul(a.astype(jnp.bfloat16), M.T.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32).astype(a.dtype)
     return jnp.matmul(a, M.T, preferred_element_type=a.dtype,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=_prec())
 
 
 def _mm_y(M, a):
@@ -75,7 +87,7 @@ def _mm_y(M, a):
                           a.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32).astype(a.dtype)
     return jnp.einsum("ij,...jk->...ik", M, a,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=_prec())
 
 
 import contextlib

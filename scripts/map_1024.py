@@ -3,6 +3,11 @@ import sys, time
 sys.path.insert(0, ".")
 import numpy as np
 import jax
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 def main(N=1024, nsteps=6):
     cpu = jax.devices("cpu")[0]

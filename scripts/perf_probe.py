@@ -79,7 +79,12 @@ def main(N=256, pol="P"):
     timed_pair(make_scan("matmul"), "scan + matmul derivs")
     timed_pair(make_pallas, "fused pallas kernel")
 
-    # correctness cross-check (realistic phi, weak lensing)
+    # correctness cross-check (realistic phi, weak lensing); the fused
+    # kernel only exists for VMEM-resident sizes
+    if N > 512:
+        print("pallas cross-check skipped (map exceeds VMEM kernel limit)",
+              flush=True)
+        return
     deriv.set_deriv_mode("matmul")
     g, h = jax.jit(lambda p: _gradhess_phi(p, proj))(parr)
     a = jax.jit(lambda f, g, h: _rk4(lambda t, y: _velocity(t, y, g, h, proj), f, 0., 1., 7))(farr, g, h)

@@ -86,3 +86,40 @@ def test_pallas_kernel_interpret_matches_scan():
         interpret=True,
     )(f, g[0], g[1], h[0], h[1], h[2], jnp.asarray(Dx1.T.copy()), jnp.asarray(Dy1))
     assert float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref))) < 1e-3
+
+
+def test_matmul_precision_pinned_in_jaxpr():
+    """Regression guard for the TPU default-matmul-precision pitfall:
+    the f32 path must pin Precision.HIGHEST on every dot (TPU's default
+    truncates f32 operands to bf16, corrupting lensing gradients), and
+    the 'high'/'bf16' knobs must change that deliberately."""
+    proj = ProjLambert(16, 16, thetapix=3, T=np.float32)
+    x = jnp.ones((1, 16, 16), jnp.float32)
+
+    def dots_of(fn, *args):
+        jaxpr = jax.make_jaxpr(fn)(*args)
+        return [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "dot_general"]
+
+    deriv.set_deriv_mode("matmul")
+    try:
+        for setting, expect in [("f32", jax.lax.Precision.HIGHEST),
+                                ("high", jax.lax.Precision.HIGH)]:
+            deriv.set_matmul_precision(setting)
+            dots = dots_of(lambda a: deriv.grad_xy(a, proj), x)
+            assert dots, "matmul backend should lower to dot_general"
+            for e in dots:
+                assert e.params["precision"] == (expect, expect), (setting, e.params)
+        deriv.set_matmul_precision("bf16")
+        dots = dots_of(lambda a: deriv.grad_xy(a, proj), x)
+        for e in dots:
+            assert e.invars[0].aval.dtype == jnp.bfloat16
+            assert e.params["preferred_element_type"] == jnp.float32
+    finally:
+        deriv.set_matmul_precision("f32")
+
+    # the matmul-DFT backend pins it too
+    from cmblensing_tpu.ops import fft as _fft
+    dots = dots_of(lambda a: _fft._matmul_irfft2(_fft._matmul_rfft2(a), 16), x)
+    assert dots
+    for e in dots:
+        assert e.params["precision"] == (jax.lax.Precision.HIGHEST,) * 2

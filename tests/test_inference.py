@@ -144,3 +144,27 @@ def test_theta_gradient(sim32):
     n_eff = float((nz * lam[None, None, :]).sum())
     expected = (quad - n_eff) / 2
     assert abs(g - expected) < 1e-2 * max(abs(expected), 10.0)
+
+
+@pytest.mark.slow
+def test_gibbs_theta_posterior_calibrated():
+    """Physical validation of the theta Gibbs block: data simulated at
+    the fiducial Aphi=1 should give an Aphi chain that wanders around 1
+    (not collapsed at a grid edge, nor stuck at its start value).
+    Mirrors the reference's standard Aphi demo (src/dataset.jl:274)."""
+    out = load_sim(thetapix=3, Nside=32, pol="I", T=np.float32, seed=7)
+    ds = out["ds"]
+    grid = np.linspace(0.2, 3.0, 32)
+    res = sample_joint(ds, nsamps_per_chain=16, nchains=2,
+                       key=jax.random.PRNGKey(11),
+                       theta_range={"Aphi": grid},
+                       theta_start={"Aphi": 2.5},
+                       nburnin_always_accept=6,
+                       symp_kwargs=[dict(N=10, eps=0.02)],
+                       conjgrad_kwargs=dict(tol=1e-2, nsteps=60))
+    A = np.array([th["Aphi"] for th in res["theta"][0]][6:])
+    assert A.std() > 0.02, "theta chain never moved"
+    assert grid.min() < A.min() and A.max() < grid.max(), "chain pinned at grid edge"
+    # posterior on a 32^2 patch is broad; demand the mean is in a loose
+    # bracket around the truth and far from the 2.5 start
+    assert 0.3 < A.mean() < 2.2, f"Aphi mean {A.mean():.2f} inconsistent with truth 1.0"
