@@ -1,0 +1,36 @@
+"""MUSE: estimate theta (here the phi-spectrum amplitude Aphi) with the
+Marginal Unbiased Score Expansion (Millea & Seljak 2021).
+
+The reference exposes MUSE through the MuseInference.jl bridge
+(ext/CMBLensingMuseInferenceExt.jl); here it's implemented natively on
+DataSets (cmblensing_tpu/inference/muse.py) with the simulation
+ensemble as a batch axis.
+
+Run on CPU (a few minutes):  python examples/07_muse.py
+"""
+import sys
+sys.path.insert(0, ".")
+import numpy as np
+import jax
+
+with jax.default_device(jax.devices("cpu")[0]):
+    from cmblensing_tpu.models.dataset import load_sim
+    from cmblensing_tpu.inference.muse import muse
+
+    # simulate data at the fiducial Aphi = 1
+    out = load_sim(thetapix=3, Nside=32, pol="I", T=np.float32, seed=5)
+    ds = out["ds"]
+
+    # start deliberately wrong, let MUSE find its way back
+    res = muse(
+        ds, dict(Aphi=2.0),
+        nsims=12, nsteps=4,
+        MAP_kwargs=dict(nsteps=4, conjgrad_kwargs=dict(tol=1e-2, nsteps=40)),
+        progress=True,
+    )
+
+    Aphi = float(np.asarray(res["theta"]["Aphi"]))
+    sigma = float(np.sqrt(np.asarray(res["Sigma"]).ravel()[0]))
+    print(f"\nMUSE: Aphi = {Aphi:.3f} +/- {sigma:.3f}  (truth: 1.0)")
+    print("history:", [round(float(np.asarray(h["theta"]["Aphi"])), 3)
+                       for h in res["history"]])

@@ -9,7 +9,9 @@ try:
 except Exception:
     pass
 
-def main(N=1024, nsteps=6):
+def main(N=1024, nsteps=6, precision="f32"):
+    from cmblensing_tpu.ops import deriv
+    deriv.set_matmul_precision(precision)
     cpu = jax.devices("cpu")[0]
     t0 = time.time()
     with jax.default_device(cpu):
@@ -51,4 +53,5 @@ def main(N=1024, nsteps=6):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1024)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1024,
+         precision=(sys.argv[2] if len(sys.argv) > 2 else "f32"))
