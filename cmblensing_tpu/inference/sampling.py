@@ -33,8 +33,8 @@ def symplectic_integrate(x0, p0, Lambda, U_grad, N=50, eps=0.1, U=None):
 
     U_grad(x) returns grad of U at x (a Field). Returns (dH, x, p).
     Convention matches the reference: H(x,p) = U(x) - p' Lambda^-1 p / 2
-    with the sign conventions of src/sampling.jl:14-46 (U = logpdf)."""
-    eps = float(eps)
+    with the sign conventions of src/sampling.jl:14-46 (U = logpdf).
+    eps may be a traced scalar (it only scales field updates)."""
 
     def energy(x, p):
         quad = field_dot(p, Lambda.solve(p))
@@ -149,49 +149,82 @@ def grid_and_sample(key, logpdf_fn, xs, nsamples=1, smooth_frac=0.1):
 # =========================================================================
 # Gibbs sampler (reference sample_joint, src/sampling.jl:180-335)
 # =========================================================================
+# Each default pass is one module-level jit taking (ds, theta, fields)
+# as pytree ARGUMENTS: repeated Gibbs steps hit the same compile cache,
+# and — critically on remotely-attached TPUs — no field op ever runs
+# eagerly (eager complex primitives are unimplemented there, and eager
+# dispatch latency would dominate a leapfrog trajectory).
+
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _jit_gibbs_sample_f(ds, key, phi, theta, fstart, nsteps, tol, fixed_iters):
+    """Posterior f-sample by constrained simulation, fully in-graph
+    (reference src/maximization.jl:56-62 inside src/sampling.jl:388)."""
+    from .maximization import _argmaxf_core
+    sim = ds.simulate(key, theta=theta, phi=phi)
+    df, _ = _argmaxf_core(ds, theta, phi, ds.d - sim["d"], fstart,
+                          nsteps, tol, fixed_iters, True)
+    return sim["f"] + df.to(sim["f"].basis)
+
+
+@jax.jit
+def _jit_gibbs_mix(ds, f, phi, theta):
+    m = mix(ds, f=f, phi=phi, theta=theta)
+    # keep phi_mix in map basis: HMC momenta/gradients live on the
+    # pixel DOF (see core.field.fgrad)
+    return m["f_mix"], m["phi_mix"].to(m["phi_mix"].basis.with_space("map"))
+
+
+@jax.jit
+def _jit_gibbs_unmix(ds, f_mix, phi_mix, theta):
+    u = unmix(ds, f_mix=f_mix, phi_mix=phi_mix, theta=theta)
+    return u["f"], u["phi"]
+
+
+@partial(jax.jit, static_argnums=(5,))
+def _jit_hmc_phi(ds, key, f_mix, phi_mix, theta, N, eps, always_accept):
+    """One full HMC trajectory (leapfrog scan + accept/reject) as a
+    single XLA program."""
+    mixed = Mixed(ds)
+
+    def U(pm):
+        return mixed.logpdf(f_mix=f_mix, phi_mix=pm, theta=theta)
+
+    Lam = mass_matrix_phi(theta, ds)
+    return hmc_step(key, U, phi_mix, Lam, N=N, eps=eps,
+                    always_accept=always_accept)
+
 
 def gibbs_sample_f(state, ds, conjgrad_kwargs):
-    key = state["key"]
-    key, sub = jax.random.split(key)
-    f, hist = sample_f(sub, ds.at(state["theta"]), phi=state["phi"],
-                       theta=state["theta"],
-                       fstart=state.get("f"), conjgrad_kwargs=conjgrad_kwargs)
-    state = dict(state, key=key, f=f)
-    return state
+    key, sub = jax.random.split(state["key"])
+    cg = dict(tol=1e-1, nsteps=500)
+    cg.update(conjgrad_kwargs or {})
+    f = _jit_gibbs_sample_f(ds, sub, state["phi"], state["theta"],
+                            state.get("f"), int(cg["nsteps"]),
+                            float(cg["tol"]), bool(cg.get("fixed_iters", False)))
+    return dict(state, key=key, f=f)
 
 
 def gibbs_mix(state, ds):
-    m = mix(ds, f=state["f"], phi=state["phi"], theta=state["theta"])
-    # keep phi_mix in map basis: HMC momenta/gradients live on the
-    # pixel DOF (see core.field.fgrad)
-    pm = m["phi_mix"].to(m["phi_mix"].basis.with_space("map"))
-    return dict(state, f_mix=m["f_mix"], phi_mix=pm)
+    f_mix, pm = _jit_gibbs_mix(ds, state["f"], state["phi"], state["theta"])
+    return dict(state, f_mix=f_mix, phi_mix=pm)
 
 
 def gibbs_unmix(state, ds):
-    u = unmix(ds, f_mix=state["f_mix"], phi_mix=state["phi_mix"],
-              theta=state["theta"])
-    return dict(state, f=u["f"], phi=u["phi"])
+    f, phi = _jit_gibbs_unmix(ds, state["f_mix"], state["phi_mix"],
+                              state["theta"])
+    return dict(state, f=f, phi=phi)
 
 
 def gibbs_sample_phi(state, ds, symp_kwargs, always_accept=False):
-    key = state["key"]
-    key, sub = jax.random.split(key)
-    theta = state["theta"]
-    dst = ds.at(theta)
-    mixed = Mixed(dst)
-    f_mix = state["f_mix"]
-
-    def U(phi_mix):
-        return mixed.logpdf(f_mix=f_mix, phi_mix=phi_mix, theta=theta)
-
-    Lam = mass_matrix_phi(theta, ds)
+    key, sub = jax.random.split(state["key"])
     phi_mix = state["phi_mix"]
     dH = accept = None
     for kw in symp_kwargs:
         sub, k = jax.random.split(sub)
-        phi_mix, dH, accept = hmc_step(k, U, phi_mix, Lam,
-                                       always_accept=always_accept, **kw)
+        phi_mix, dH, accept = _jit_hmc_phi(
+            ds, k, state["f_mix"], phi_mix, state["theta"],
+            int(kw.get("N", 25)), float(kw.get("eps", 0.01)),
+            bool(always_accept))
     return dict(state, key=key, phi_mix=phi_mix, dH=dH, accept=accept)
 
 
@@ -221,10 +254,16 @@ def gibbs_sample_slice_theta(name, xs):
     return pass_fn
 
 
+@jax.jit
+def _jit_gibbs_postprocess(ds, f, phi, theta):
+    lp = ds.logpdf(f=f, phi=phi, theta=theta)
+    ft = ds.L(phi) @ f
+    return lp, ft
+
+
 def gibbs_postprocess(state, ds):
-    lp = ds.at(state["theta"]).logpdf(f=state["f"], phi=state["phi"],
-                                      theta=state["theta"])
-    ft = ds.L(state["phi"]) @ state["f"]
+    lp, ft = _jit_gibbs_postprocess(ds, state["f"], state["phi"],
+                                    state["theta"])
     return dict(state, logpdf=lp, ft=ft)
 
 
@@ -404,6 +443,11 @@ def _load_last_chunk(filename):
     if not recs:
         raise FileNotFoundError(f"no valid checkpoint records in {_ckpt_name(filename)}")
     payload = pickle.loads(recs[-1])
+    # device_put_safe, not jnp.asarray: complex h2d is unimplemented on
+    # remotely-attached TPUs, so complex leaves stage as re/im pairs
+    from ..utils.transfer import device_put_safe
+    dev = getattr(jax.config, "jax_default_device", None) or jax.devices()[0]
     states = jax.tree_util.tree_map(
-        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, payload["state"])
+        lambda x: device_put_safe(x, dev) if isinstance(x, np.ndarray) else x,
+        payload["state"])
     return states, int(payload["state"]["step"])
