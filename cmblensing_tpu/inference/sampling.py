@@ -105,15 +105,24 @@ def hmc_step(key, U, x, Lambda, U_grad=None, N=25, eps=0.01,
 # src/sampling.jl:80-135)
 # =========================================================================
 
-def grid_and_sample(key, logpdf_fn, xs, nsamples=1, smooth_frac=0.1):
+def grid_and_sample(key, logpdf_fn, xs, nsamples=1, smooth_frac=0.1,
+                    batched=False):
     """Grid-evaluate a 1-D logpdf, smooth it, and draw samples by
     inverse-transform sampling. logpdf_fn may return per-batch arrays,
     in which case sampling is per batch entry.
 
+    With batched=True, logpdf_fn takes the whole grid at once and
+    returns (nx,) or (nx, nbatch) — one device dispatch for the whole
+    grid instead of nx round trips (vital on remotely-attached chips).
+
     Returns (samples, interp_logpdf_callable, logpdfs_grid)."""
     xs = np.asarray(xs, dtype=np.float64)
-    lps = np.stack([np.atleast_1d(np.asarray(logpdf_fn(float(x)), dtype=np.float64))
-                    for x in xs])                       # (nx, nbatch)
+    if batched:
+        lps = np.asarray(jax.device_get(logpdf_fn(xs)), dtype=np.float64)
+        lps = lps.reshape(len(xs), -1)                  # (nx, nbatch)
+    else:
+        lps = np.stack([np.atleast_1d(np.asarray(logpdf_fn(float(x)), dtype=np.float64))
+                        for x in xs])                   # (nx, nbatch)
     nb = lps.shape[1]
     out = np.zeros((nsamples, nb))
     interp_fns = []
@@ -233,6 +242,20 @@ def _jit_mixed_logpdf_theta(ds, f_mix, phi_mix, theta):
     return Mixed(ds).logpdf(f_mix=f_mix, phi_mix=phi_mix, theta=theta)
 
 
+@partial(jax.jit, static_argnums=(4,))
+def _jit_mixed_logpdf_theta_grid(ds, f_mix, phi_mix, theta, name, vals):
+    """Mixed logpdf vmapped over a grid of values for theta[name]:
+    the whole slice-sampling grid in one dispatch."""
+    mixed = Mixed(ds)
+
+    def lp(v):
+        th = dict(theta)
+        th[name] = v
+        return mixed.logpdf(f_mix=f_mix, phi_mix=phi_mix, theta=th)
+
+    return jax.vmap(lp)(vals)
+
+
 def gibbs_sample_slice_theta(name, xs):
     """Slice-sample one scalar theta parameter on a grid
     (reference gibbs_sample_slice_θ!, src/sampling.jl:427-437)."""
@@ -242,12 +265,12 @@ def gibbs_sample_slice_theta(name, xs):
         key, sub = jax.random.split(key)
         theta = dict(state["theta"])
 
-        def lp(v):
-            th = dict(theta)
-            th[name] = jnp.float32(v)
-            return _jit_mixed_logpdf_theta(ds, state["f_mix"], state["phi_mix"], th)
+        def lp_grid(vs):
+            return _jit_mixed_logpdf_theta_grid(
+                ds, state["f_mix"], state["phi_mix"], theta, name,
+                jnp.asarray(np.asarray(vs, dtype=np.float32)))
 
-        val, _, _ = grid_and_sample(sub, lp, xs)
+        val, _, _ = grid_and_sample(sub, lp_grid, xs, batched=True)
         theta[name] = float(np.asarray(val).ravel()[0]) if np.ndim(val) == 0 or np.size(val) == 1 else val
         return dict(state, key=key, theta=theta)
 
