@@ -362,6 +362,33 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
 # MAP_marg (reference src/maximization.jl:247-343)
 # =========================================================================
 
+@partial(jax.jit, static_argnums=(4,))
+def _jit_marg_simulate_d(ds, key, theta, phi_b, Nsims):
+    return ds.simulate(key, theta=theta, phi=phi_b, batch_shape=(Nsims,))["d"]
+
+
+@jax.jit
+def _jit_marg_mean_field(g_sims):
+    return Field(jnp.mean(g_sims.arr, axis=0), g_sims.basis, g_sims.proj)
+
+
+@jax.jit
+def _jit_marg_update(ds, theta, phi, g_data, gbar, alpha):
+    """phi <- phi + alpha Hinv (g_data - gbar - Cphi^-1 phi), with
+    Hinv = (Cphi^-1 + Nphi^-1)^-1, as one XLA program."""
+    from ..models.dataset import _op_call
+    from ..core.ops import safe_reciprocal
+    Cphi = _op_call(ds.Cphi, theta)
+    Nphi = _op_call(ds.Nphi, theta)
+    hinv = nan2zero(safe_reciprocal(
+        safe_reciprocal(Cphi.diag.arr)
+        + safe_reciprocal(Nphi.diag.to(Cphi.diag.basis).arr)))
+    Hinv = Diag(Field(hinv, Cphi.diag.basis, Cphi.diag.proj))
+    g = g_data - gbar.to(g_data.basis) - Cphi.solve(phi).to(g_data.basis)
+    phi_new = phi + alpha * (Hinv @ g).to(phi.basis)
+    return phi_new, field_norm(g)
+
+
 def MAP_marg(ds: DataSet, theta=None, key=None, phistart=None, nsteps=10,
              nsteps_with_meanfield_update=4, conjgrad_kwargs=None,
              alpha=0.2, Nsims=50, progress=False):
@@ -380,10 +407,6 @@ def MAP_marg(ds: DataSet, theta=None, key=None, phistart=None, nsteps=10,
     from ..core.ops import Id
     dstheta = dstheta.replace(G=Id)
     Cphi = _fid(dstheta.Cphi)
-    Nphi = _fid(dstheta.Nphi)
-    Hinv = Diag(Field(nan2zero(1.0 / (nan2zero(1.0 / Cphi.diag.arr)
-                                      + nan2zero(1.0 / Nphi.diag.to(Cphi.diag.basis).arr))),
-                      Cphi.diag.basis, Cphi.diag.proj))
 
     phi = phistart if phistart is not None else _zero_map_like(Cphi)
 
@@ -408,19 +431,18 @@ def MAP_marg(ds: DataSet, theta=None, key=None, phistart=None, nsteps=10,
         if step <= nsteps_with_meanfield_update:
             # batched sims at current phi
             phi_b = repeat_batch(phi, Nsims)
-            sims = dstheta.simulate(ksim, theta=theta, phi=phi_b, batch_shape=(Nsims,))
-            d_sims = sims["d"]
+            d_sims = _jit_marg_simulate_d(dstheta, ksim, theta, phi_b, Nsims)
             ds_b = dstheta.replace(d=d_sims)
             f_wf_sims, _ = argmaxf_logpdf(ds_b, phi=phi_b, theta=theta,
                                           fstart=f_wf_sims_prev, conjgrad_kwargs=cg)
             f_wf_sims_prev = f_wf_sims
             g_sims = phi_gradient(phi_b, f_wf_sims, d_sims)
-            gbar = Field(jnp.mean(g_sims.arr, axis=0), g_sims.basis, g_sims.proj)
+            gbar = _jit_marg_mean_field(g_sims)
 
-        g = g_data - gbar.to(g_data.basis) - Cphi.solve(phi).to(g_data.basis)
-        phi = phi + float(alpha) * (Hinv @ g).to(phi.basis)
+        phi, gnorm = _jit_marg_update(dstheta, theta, phi, g_data, gbar,
+                                      jnp.float32(alpha))
         history.append(dict(step=step, phi=phi))
         if progress:
-            print(f"MAP_marg step {step}: |g|={float(field_norm(g)):.3g}")
+            print(f"MAP_marg step {step}: |g|={float(gnorm):.3g}")
 
     return phi, history

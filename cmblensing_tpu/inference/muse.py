@@ -34,6 +34,26 @@ def _theta_dict(vec, names):
     return {n: vec[i] for i, n in enumerate(names)}
 
 
+from functools import partial as _partial
+
+
+@jax.jit
+def _jit_simulate_d(ds, key, theta):
+    """One simulated dataset at theta, fully in-graph (eager complex
+    primitives are unimplemented on remotely-attached TPUs)."""
+    return ds.simulate(key, theta=theta)["d"]
+
+
+@_partial(jax.jit, static_argnums=(4,))
+def _jit_theta_score(ds, f_hat, phi_hat, tvec, names):
+    """d/dtheta logpdf at fixed (f_hat, phi_hat), one XLA program."""
+    def lp(tv):
+        th = {n: tv[i] for i, n in enumerate(names)}
+        return jnp.sum(ds.logpdf(f=f_hat, phi=phi_hat, theta=th))
+
+    return jax.grad(lp)(tvec)
+
+
 def score(ds: DataSet, theta, names, d=None, phi=None, MAP_kwargs=None):
     """s_i = d/dtheta logpdf(d, f_hat, phi_hat | theta) at the joint MAP
     of (f, phi) given theta (ext/CMBLensingMuseInferenceExt.jl:45-88)."""
@@ -42,12 +62,8 @@ def score(ds: DataSet, theta, names, d=None, phi=None, MAP_kwargs=None):
     dsd = ds if d is None else ds.replace(d=d)
     res = MAP_joint(dsd, theta=theta, phistart=phi, **MAP_kwargs)
     f_hat, phi_hat = res["f"], res["phi"]
-
-    def lp(tvec):
-        th = _theta_dict(tvec, names)
-        return jnp.sum(dsd.logpdf(f=f_hat, phi=phi_hat, theta=th))
-
-    g = jax.grad(lp)(_theta_vec(theta, names))
+    g = _jit_theta_score(dsd, f_hat, phi_hat, _theta_vec(theta, names),
+                         tuple(names))
     return g, phi_hat
 
 
@@ -74,8 +90,8 @@ def muse(ds: DataSet, theta0, nsims=20, nsteps=5, alpha=0.7, key=None,
         ks = jax.random.split(key, nsims)
         ss = []
         for i, k in enumerate(ks):
-            sim = ds.at(theta_sim).simulate(k, theta=theta_sim)
-            s, phis[i] = score(ds, theta_eval, names, d=sim["d"],
+            d_sim = _jit_simulate_d(ds, k, theta_sim)
+            s, phis[i] = score(ds, theta_eval, names, d=d_sim,
                                phi=phis[i], MAP_kwargs=MAP_kwargs)
             ss.append(np.asarray(s))
         return np.stack(ss)

@@ -213,6 +213,24 @@ def _spin0_arr(x):
     return x
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(0, 1, 4, 5))
+def _jit_qe(which, proj, arrs, AL, wiener_filtered, weights):
+    """The whole estimator as one XLA program (no eager field ops —
+    eager complex primitives are unimplemented on remotely-attached
+    TPUs, and the legs/FFT chain would be dispatch-bound anyway)."""
+    if which == "TT":
+        return _qe_TT(proj, *arrs, wiener_filtered=wiener_filtered,
+                      weights=weights, AL=AL)
+    if which == "EE":
+        return _qe_EE(proj, *arrs, wiener_filtered=wiener_filtered,
+                      weights=weights, AL=AL)
+    return _qe_EB(proj, *arrs, wiener_filtered=wiener_filtered,
+                  weights=weights, AL=AL)
+
+
 def quadratic_estimate(ds, which=None, wiener_filtered=True, AL=None,
                        weights="unlensed", ds2=None):
     """Quadratic estimate of phi from data (reference
@@ -258,24 +276,20 @@ def quadratic_estimate(ds, which=None, wiener_filtered=True, AL=None,
     Cphi_arr = _spin0_arr(Cphi["I"] if hasattr(Cphi, "__getitem__") and not isinstance(Cphi, Diag) else Cphi)
 
     if which == "TT":
-        d1 = _spin0_arr(ds1.d["I"].to(FOURIER))
-        d2 = _spin0_arr(ds2.d["I"].to(FOURIER))
-        out = _qe_TT(proj, d1, d2, _spin0_arr(Cf["I"]), _spin0_arr(Cft["I"]),
-                     _spin0_arr(Cn["I"]), Cphi_arr, tf_component("I"),
-                     wiener_filtered, weights, AL)
+        arrs = (_spin0_arr(ds1.d["I"].to(FOURIER)),
+                _spin0_arr(ds2.d["I"].to(FOURIER)),
+                _spin0_arr(Cf["I"]), _spin0_arr(Cft["I"]),
+                _spin0_arr(Cn["I"]), Cphi_arr, tf_component("I"))
     elif which == "EE":
-        d1 = _spin0_arr(ds1.d["E"])
-        d2 = _spin0_arr(ds2.d["E"])
-        out = _qe_EE(proj, d1, d2, _spin0_arr(Cf["E"]), _spin0_arr(Cft["E"]),
-                     _spin0_arr(Cn["E"]), Cphi_arr, tf_component("E"),
-                     wiener_filtered, weights, AL)
+        arrs = (_spin0_arr(ds1.d["E"]), _spin0_arr(ds2.d["E"]),
+                _spin0_arr(Cf["E"]), _spin0_arr(Cft["E"]),
+                _spin0_arr(Cn["E"]), Cphi_arr, tf_component("E"))
     else:
-        d1 = _spin0_arr(ds1.d["E"])
-        d2 = _spin0_arr(ds2.d["B"])
-        out = _qe_EB(proj, d1, d2, _spin0_arr(Cf["E"]), _spin0_arr(Cf["B"]),
-                     _spin0_arr(Cft["E"]), _spin0_arr(Cft["B"]),
-                     _spin0_arr(Cn["E"]), _spin0_arr(Cn["B"]), Cphi_arr,
-                     tf_component("E"), tf_component("B"),
-                     wiener_filtered, weights, AL)
+        arrs = (_spin0_arr(ds1.d["E"]), _spin0_arr(ds2.d["B"]),
+                _spin0_arr(Cf["E"]), _spin0_arr(Cf["B"]),
+                _spin0_arr(Cft["E"]), _spin0_arr(Cft["B"]),
+                _spin0_arr(Cn["E"]), _spin0_arr(Cn["B"]), Cphi_arr,
+                tf_component("E"), tf_component("B"))
+    out = _jit_qe(which, proj, arrs, AL, wiener_filtered, weights)
     out["Nphi"] = out["Nphi"] if isinstance(out["Nphi"], Diag) else Diag(out["Nphi"])
     return out
