@@ -157,10 +157,14 @@ def _brent_min(f, a, b, abs_tol=1e-4, maxiter=50):
 
 
 @jax.jit
-def _jit_unmix_and_norm(dstheta, theta, f_mix, phi_mix, dphi):
-    u = unmix(dstheta, f_mix=f_mix, phi_mix=phi_mix, theta=theta)
+def _jit_step_unmix_and_norm(dstheta, theta, f_mix, phi_mix, dphi, alpha):
+    """phi_mix <- phi_mix + alpha dphi, unmix, logpdf and step norm —
+    the whole MAP-step tail in one program (no eager field ops)."""
+    pm = phi_mix + alpha * dphi
+    u = unmix(dstheta, f_mix=f_mix, phi_mix=pm, theta=theta)
     phi = u["phi"].to(u["phi"].basis.with_space("map"))
-    return phi, field_norm(dphi)
+    lp = jnp.sum(Mixed(dstheta).logpdf(f_mix=f_mix, phi_mix=pm, theta=theta))
+    return pm, phi, lp, field_norm(dphi)
 
 
 @jax.jit
@@ -333,11 +337,10 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
                 alpha, nfev = _brent_min(
                     lambda a: -float(mixed_logpdf_alpha(f_mix, phi_mix, dphi, a)),
                     0.0, amax, abs_tol=alpha_tol)
-            phi_mix = phi_mix + alpha * dphi
 
-        lp = float(mixed_logpdf_alpha(f_mix, phi_mix, dphi, 0.0))
-        phi, dnorm_dev = _jit_unmix_and_norm(dstheta, theta, f_mix, phi_mix, dphi)
-        dnorm = float(dnorm_dev)
+        phi_mix, phi, lp_dev, dnorm_dev = _jit_step_unmix_and_norm(
+            dstheta, theta, f_mix, phi_mix, dphi, jnp.float32(alpha))
+        lp, dnorm = float(lp_dev), float(dnorm_dev)
         if progress:
             print(f"MAP_joint step {step}: logpdf={lp:.2f} alpha={alpha:.3g} "
                   f"CG={int(cg_info['iterations'])} linesearch={nfev}")

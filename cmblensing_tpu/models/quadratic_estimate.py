@@ -243,15 +243,22 @@ def quadratic_estimate(ds, which=None, wiener_filtered=True, AL=None,
     if ds2 is None:
         ds2 = ds1
     if isinstance(ds1.d, object) and getattr(ds1.d, "batch_shape", ()):
-        # batched data: estimate per batch entry and stack
+        # batched data: estimate per batch entry (reusing the
+        # data-independent normalization A_L after the first entry)
+        # and stack inside jit
         from ..core.field import batch_index, batch as batch_fields
         n = ds1.d.batch_shape[0]
-        outs = [quadratic_estimate(ds1.replace(d=batch_index(ds1.d, i)), which,
-                                   wiener_filtered, AL, weights,
-                                   ds2.replace(d=batch_index(ds2.d, i)) if ds2 is not ds1 else None)
-                for i in range(n)]
-        return dict(phiqe=batch_fields([o["phiqe"] for o in outs]),
-                    AL=outs[0]["AL"], Nphi=outs[0]["Nphi"])
+        outs = []
+        AL_i = AL
+        for i in range(n):
+            o = quadratic_estimate(
+                ds1.replace(d=batch_index(ds1.d, i)), which,
+                wiener_filtered, AL_i, weights,
+                ds2.replace(d=batch_index(ds2.d, i)) if ds2 is not ds1 else None)
+            AL_i = o["AL"]
+            outs.append(o)
+        phiqe = jax.jit(batch_fields)([o["phiqe"] for o in outs])
+        return dict(phiqe=phiqe, AL=outs[0]["AL"], Nphi=outs[0]["Nphi"])
     if which is None:
         which = "TT" if ds1.d.basis.pol == "I" else "EB"
     assert which in ("TT", "EE", "EB")
