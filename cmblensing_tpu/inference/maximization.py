@@ -394,13 +394,15 @@ def _jit_marg_update(ds, theta, phi, g_data, gbar, alpha):
 
 def MAP_marg(ds: DataSet, theta=None, key=None, phistart=None, nsteps=10,
              nsteps_with_meanfield_update=4, conjgrad_kwargs=None,
-             alpha=0.2, Nsims=50, progress=False):
+             alpha=0.2, Nsims=50, progress=False, mesh=None):
     """MAP of the marginal posterior P(phi | d) via mean-field-subtracted
     gradients: the expectation over f is approximated with Nsims
     vmapped+sharded simulations whose mean gradient is subtracted
     from the data gradient (src/maximization.jl:286-336). The sims run
     as one batched CG/gradient — the TPU-native replacement for the
-    reference's pmap over workers."""
+    reference's pmap over workers. Pass mesh (a jax.sharding.Mesh) to
+    shard the Nsims axis across devices; the mean-field reduction
+    becomes a psum over the mesh."""
     theta = theta or {}
     cg = dict(tol=1e-1, nsteps=500)
     cg.update(conjgrad_kwargs or {})
@@ -434,6 +436,9 @@ def MAP_marg(ds: DataSet, theta=None, key=None, phistart=None, nsteps=10,
         if step <= nsteps_with_meanfield_update:
             # batched sims at current phi
             phi_b = repeat_batch(phi, Nsims)
+            if mesh is not None:
+                from ..parallel.mesh import shard_batch
+                phi_b = shard_batch(phi_b, mesh)
             d_sims = _jit_marg_simulate_d(dstheta, ksim, theta, phi_b, Nsims)
             ds_b = dstheta.replace(d=d_sims)
             f_wf_sims, _ = argmaxf_logpdf(ds_b, phi=phi_b, theta=theta,

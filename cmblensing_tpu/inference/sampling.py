@@ -308,8 +308,14 @@ def sample_joint(
     nsavemaps=1,
     progress=False,
     gibbs_passes=None,
+    mesh=None,
 ):
     """Gibbs-sample P(f, phi, theta | d).
+
+    With mesh (a jax.sharding.Mesh), the chains axis is sharded across
+    the mesh devices — the SPMD replacement for the reference's
+    pmap-over-workers (src/sampling.jl:292-307); XLA propagates the
+    sharding through every jitted Gibbs pass with zero collectives.
 
     Default pass: f ~ Wiener CG -> mix -> HMC on phi_mix -> optional
     theta slice sampling -> unmix -> postprocess
@@ -355,6 +361,13 @@ def sample_joint(
         states = dict(key=key, phi=phi, theta=theta, step=0)
 
     ds_b = ds if ds.d.batch_shape else ds.replace(d=repeat_batch(ds.d, nchains))
+
+    if mesh is not None:
+        from ..parallel.mesh import shard_batch
+        ds_b = ds_b.replace(d=shard_batch(ds_b.d, mesh))
+        states = {k: (shard_batch(v, mesh)
+                      if isinstance(v, Field) and v.batch_shape else v)
+                  for k, v in states.items()}
 
     if gibbs_passes is None:
         def default_passes(state):

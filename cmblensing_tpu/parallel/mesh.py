@@ -66,6 +66,10 @@ def shard_batch(f, mesh=None, axis_name="batch"):
     if isinstance(f, Field):
         if not f.batch_shape:
             return replicate(f, mesh)
+        if f.batch_shape[0] % mesh.size != 0:
+            # batch not evenly divisible: keep replicated rather than
+            # raising from inside pjit (mirrors the generic branch)
+            return replicate(f, mesh)
         spec = P(axis_name, *([None] * (f.arr.ndim - 1)))
         arr = jax.device_put(f.arr, NamedSharding(mesh, spec))
         return Field(arr, f.basis, f.proj)

@@ -63,3 +63,28 @@ def test_batched_posterior_gradient_sharded(mesh8):
 def test_proc_info():
     info = proc_info()
     assert info["process_count"] >= 1
+
+
+def test_sample_joint_chains_sharded(mesh8):
+    """Full Gibbs sampler with the chains axis sharded over the mesh —
+    the SPMD replacement for the reference's pmap of chains
+    (src/sampling.jl:292-307)."""
+    from cmblensing_tpu.inference.sampling import sample_joint
+    out = load_sim(thetapix=3, Nside=16, pol="I", T=np.float32, seed=1)
+    res = sample_joint(out["ds"], nsamps_per_chain=2, nchains=8,
+                       key=jax.random.PRNGKey(0), mesh=mesh8,
+                       symp_kwargs=[dict(N=3, eps=0.01)],
+                       conjgrad_kwargs=dict(tol=1e-1, nsteps=15))
+    lps = np.asarray(res["logpdf"][0])
+    assert lps.shape == (2, 8) or lps.shape == (8,) or lps.size == 16
+    assert np.isfinite(lps).all()
+
+
+def test_MAP_marg_sims_sharded(mesh8):
+    """MAP_marg with the Nsims mean-field axis sharded over the mesh."""
+    from cmblensing_tpu.inference.maximization import MAP_marg
+    out = load_sim(thetapix=3, Nside=16, pol="I", T=np.float32, seed=1)
+    phi, hist = MAP_marg(out["ds"], key=jax.random.PRNGKey(0), nsteps=2,
+                         Nsims=8, mesh=mesh8,
+                         conjgrad_kwargs=dict(tol=1e-1, nsteps=15))
+    assert np.isfinite(float(F.norm(phi)))
