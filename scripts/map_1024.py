@@ -30,14 +30,14 @@ def main(N=1024, nsteps=6, precision="f32"):
 
     t0 = time.time()
     res = MAP_joint(ds_d, nsteps=2, linesearch="grid",
-                    conjgrad_kwargs=dict(tol=0.0, nsteps=30, fixed_iters=True))
+                    conjgrad_kwargs=dict(tol=0.0, nsteps=15, fixed_iters=True))
     t_warm = time.time() - t0
     print(f"first 2 MAP steps (incl. compiles): {t_warm:.1f}s", flush=True)
 
     t0 = time.time()
     res = MAP_joint(ds_d, nsteps=nsteps, linesearch="grid",
                     history_keys=("logpdf", "alpha"),
-                    conjgrad_kwargs=dict(tol=0.0, nsteps=30, fixed_iters=True))
+                    conjgrad_kwargs=dict(tol=0.0, nsteps=15, fixed_iters=True))
     dt = time.time() - t0
     print("alphas:", [round(h["alpha"], 4) for h in res["history"]], flush=True)
     import jax.numpy as jnp
