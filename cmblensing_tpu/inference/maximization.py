@@ -159,12 +159,15 @@ def _brent_min(f, a, b, abs_tol=1e-4, maxiter=50):
 @jax.jit
 def _jit_step_unmix_and_norm(dstheta, theta, f_mix, phi_mix, dphi, alpha):
     """phi_mix <- phi_mix + alpha dphi, unmix, logpdf and step norm —
-    the whole MAP-step tail in one program (no eager field ops)."""
+    the whole MAP-step tail in one program (no eager field ops).
+    alpha may be a scalar or a per-batch-entry vector."""
+    if jnp.ndim(alpha) > 0:
+        alpha = alpha.reshape(alpha.shape + (1,) * (phi_mix.arr.ndim - jnp.ndim(alpha)))
     pm = phi_mix + alpha * dphi
     u = unmix(dstheta, f_mix=f_mix, phi_mix=pm, theta=theta)
     phi = u["phi"].to(u["phi"].basis.with_space("map"))
     lp = jnp.sum(Mixed(dstheta).logpdf(f_mix=f_mix, phi_mix=pm, theta=theta))
-    return pm, phi, lp, field_norm(dphi)
+    return pm, phi, lp, jnp.max(jnp.atleast_1d(field_norm(dphi)))
 
 
 @jax.jit
@@ -225,25 +228,39 @@ def _jit_grid_linesearch(dstheta, theta, f_mix, phi_mix, dphi, amax, ngrid):
     the actual logpdf change), not to the ~1e7 totals whose rounding
     would otherwise swamp the comparison on large maps. One vmapped
     on-device evaluation for all ngrid alphas."""
-    alphas = amax * (jnp.arange(1, ngrid + 1, dtype=phi_mix.arr.real.dtype) / ngrid) ** 1.5
+    rdt = phi_mix.arr.real.dtype
+    steps = (jnp.arange(1, ngrid + 1, dtype=rdt) / ngrid) ** 1.5
+    amax = jnp.asarray(amax, rdt)
+    # amax may be per-batch-entry: each batched dataset gets its own
+    # alpha grid and its own argmax
+    alphas = amax * steps if amax.ndim == 0 else steps[:, None] * amax[None, :]
     res0 = _mixed_gaussian_residuals(dstheta, theta, f_mix, phi_mix)
+
+    def _bcast(alpha):
+        if jnp.ndim(alpha) == 0:
+            return alpha
+        return alpha.reshape(alpha.shape + (1,) * (phi_mix.arr.ndim - jnp.ndim(alpha)))
 
     def dlp_at(alpha):
         res_a = _mixed_gaussian_residuals(dstheta, theta, f_mix,
-                                          phi_mix + alpha * dphi)
+                                          phi_mix + _bcast(alpha) * dphi)
         total = 0.0
         for (za, Sa), (z0, S0) in zip(res_a, res0):
             dz = za - z0.to(za.basis)
             s = za + z0.to(za.basis)
-            total = total - 0.5 * jnp.sum(field_dot(dz, Sa.solve(s)))
+            total = total - 0.5 * field_dot(dz, Sa.solve(s))   # () or (nb,)
         return total
 
-    dlps = jax.vmap(dlp_at)(alphas)
-    alphas = jnp.concatenate([jnp.zeros(1, alphas.dtype), alphas])
-    dlps = jnp.concatenate([jnp.zeros(1, dlps.dtype), dlps])
+    dlps = jax.vmap(dlp_at)(alphas)                    # (ngrid,) or (ngrid, nb)
+    alphas = jnp.concatenate([jnp.zeros_like(alphas[:1]), alphas])
+    dlps = jnp.concatenate([jnp.zeros_like(dlps[:1]), dlps])
     dlps = jnp.where(jnp.isfinite(dlps), dlps, -jnp.inf)
-    i = jnp.argmax(dlps)
-    return alphas[i], dlps[i]
+    i = jnp.argmax(dlps, axis=0)                       # () or (nb,)
+    if alphas.ndim == 1:
+        alpha_sel = alphas[i]
+    else:
+        alpha_sel = jnp.take_along_axis(alphas, i[None, :], axis=0)[0]
+    return alpha_sel, jnp.max(dlps, axis=0)
 
 
 def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
@@ -273,6 +290,12 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
 
     Cphi = _fid(dstheta.Cphi)
     phi = phistart if phistart is not None else _zero_map_like(Cphi)
+    if (isinstance(dstheta.d, Field) and dstheta.d.batch_shape
+            and not phi.batch_shape):
+        # batched data: batch phi so each entry gets its own phi-step
+        # and line-search alpha
+        from ..core.field import repeat_batch
+        phi = repeat_batch(phi, dstheta.d.batch_shape[0])
     f = fstart
     Hpre = hessian_phimix_preconditioner(dstheta) if dstheta.Nphi is not None else Cphi.pinv()
     Hpre_inv = Hpre.pinv()
@@ -328,21 +351,26 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
             dphi = Hpre_inv @ g
             amax = alpha_max0 if alpha_max0 is not None else 2 * alpha
             if linesearch == "grid":
-                # single batched on-device evaluation (see _jit_grid_linesearch)
-                alpha_dev, _ = _jit_grid_linesearch(dstheta, theta, f_mix,
-                                                    phi_mix, dphi,
-                                                    jnp.float32(amax), int(ngrid))
-                alpha, nfev = float(alpha_dev), ngrid
+                # single batched on-device evaluation; batched datasets
+                # get a per-entry alpha (see _jit_grid_linesearch)
+                alpha_dev, _ = _jit_grid_linesearch(
+                    dstheta, theta, f_mix, phi_mix, dphi,
+                    jnp.asarray(amax, jnp.float32), int(ngrid))
+                alpha, nfev = alpha_dev, ngrid
+                alpha_s = float(jnp.max(jnp.atleast_1d(alpha_dev)))
             else:
                 alpha, nfev = _brent_min(
                     lambda a: -float(mixed_logpdf_alpha(f_mix, phi_mix, dphi, a)),
                     0.0, amax, abs_tol=alpha_tol)
+                alpha_s = alpha
 
         phi_mix, phi, lp_dev, dnorm_dev = _jit_step_unmix_and_norm(
-            dstheta, theta, f_mix, phi_mix, dphi, jnp.float32(alpha))
+            dstheta, theta, f_mix, phi_mix, dphi,
+            jnp.asarray(alpha, jnp.float32))
         lp, dnorm = float(lp_dev), float(dnorm_dev)
+        alpha_h = alpha_s if np.ndim(alpha) == 0 or np.size(alpha) == 1 else np.asarray(alpha)
         if progress:
-            print(f"MAP_joint step {step}: logpdf={lp:.2f} alpha={alpha:.3g} "
+            print(f"MAP_joint step {step}: logpdf={lp:.2f} alpha={alpha_s:.3g} "
                   f"CG={int(cg_info['iterations'])} linesearch={nfev}")
         entry = {}
         if "logpdf" in history_keys:
@@ -352,10 +380,10 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
         if "f" in history_keys:
             entry["f"] = f
         if "alpha" in history_keys:
-            entry["alpha"] = alpha
+            entry["alpha"] = alpha_h
         history.append(entry)
         prev_phi_mix, prev_g = phi_mix, g
-        if step > minsteps and dnorm * alpha < gradtol:
+        if step > minsteps and dnorm * alpha_s < gradtol:
             break
 
     return dict(f=f, phi=phi, history=history)

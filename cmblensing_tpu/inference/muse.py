@@ -44,6 +44,24 @@ def _jit_simulate_d(ds, key, theta):
     return ds.simulate(key, theta=theta)["d"]
 
 
+@jax.jit
+def _jit_simulate_batch(ds, keys, theta):
+    """A batch of independent simulated datasets, one per key — the
+    simulation ensemble as a vmapped batch axis."""
+    return jax.vmap(lambda k: ds.simulate(k, theta=theta, batch_shape=())["d"])(keys)
+
+
+@_partial(jax.jit, static_argnums=(4,))
+def _jit_theta_score_batch(ds, f_hat, phi_hat, tvec, names):
+    """Per-sim scores d/dtheta logpdf_i at fixed batched (f_hat,
+    phi_hat): jacfwd of the per-batch logpdf vector, (nsims, ntheta)."""
+    def lp_vec(tv):
+        th = {n: tv[i] for i, n in enumerate(names)}
+        return jnp.atleast_1d(ds.logpdf(f=f_hat, phi=phi_hat, theta=th))
+
+    return jax.jacfwd(lp_vec)(tvec)
+
+
 @_partial(jax.jit, static_argnums=(4,))
 def _jit_theta_score(ds, f_hat, phi_hat, tvec, names):
     """d/dtheta logpdf at fixed (f_hat, phi_hat), one XLA program."""
@@ -80,21 +98,28 @@ def muse(ds: DataSet, theta0, nsims=20, nsteps=5, alpha=0.7, key=None,
 
     history = []
     phi_data = None
-    sims_phi = [None] * nsims
+    sims_phi = [None]   # warm start: one *batched* phi across all sims
+
+    MAP_kw = dict(MAP_kwargs or {})
+    MAP_kw.setdefault("nsteps", 10)
 
     def mean_sim_score(theta_sim, theta_eval, key, phis):
-        """Scores s(theta_eval, d_i) over sims d_i ~ P(d | theta_sim).
-        MUSE's Jacobian perturbs theta_sim ONLY, keeping the evaluation
-        point fixed, so the deterministic score slope cancels
-        (Millea & Seljak 2021, eq. for H)."""
+        """Scores s(theta_eval, d_i) over sims d_i ~ P(d | theta_sim),
+        computed as ONE batched MAP_joint over the whole simulation
+        ensemble (the sims axis is the batch axis, sharded on a mesh if
+        the data is) — the TPU replacement for the reference's
+        pmap-of-MAPs. MUSE's Jacobian perturbs theta_sim ONLY, keeping
+        the evaluation point fixed, so the deterministic score slope
+        cancels (Millea & Seljak 2021, eq. for H)."""
         ks = jax.random.split(key, nsims)
-        ss = []
-        for i, k in enumerate(ks):
-            d_sim = _jit_simulate_d(ds, k, theta_sim)
-            s, phis[i] = score(ds, theta_eval, names, d=d_sim,
-                               phi=phis[i], MAP_kwargs=MAP_kwargs)
-            ss.append(np.asarray(s))
-        return np.stack(ss)
+        d_b = _jit_simulate_batch(ds, ks, theta_sim)
+        dsd = ds.replace(d=d_b)
+        res = MAP_joint(dsd, theta=theta_eval, phistart=phis[0], **MAP_kw)
+        phis[0] = res["phi"]
+        s = _jit_theta_score_batch(dsd, res["f"], res["phi"],
+                                   _theta_vec(theta_eval, names),
+                                   tuple(names))
+        return np.asarray(s).reshape(nsims, len(names))
 
     H = None
     for step in range(1, nsteps + 1):
@@ -112,7 +137,7 @@ def muse(ds: DataSet, theta0, nsims=20, nsteps=5, alpha=0.7, key=None,
             for j, n in enumerate(names):
                 tp = dict(theta)
                 tp[n] = theta[n] + step_eps[n]
-                s_p = mean_sim_score(tp, theta, ksim, [None] * nsims).mean(axis=0)
+                s_p = mean_sim_score(tp, theta, ksim, [None]).mean(axis=0)
                 H[:, j] = (s_p - sbar) / step_eps[n]
 
         # Newton step for F(theta) = s_data - sbar(theta): dF/dtheta = -H
