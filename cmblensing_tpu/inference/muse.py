@@ -86,8 +86,11 @@ def score(ds: DataSet, theta, names, d=None, phi=None, MAP_kwargs=None):
 
 
 def muse(ds: DataSet, theta0, nsims=20, nsteps=5, alpha=0.7, key=None,
-         MAP_kwargs=None, step_eps=None, progress=False):
+         MAP_kwargs=None, step_eps=None, progress=False, mesh=None):
     """Run the MUSE iteration for the parameters in theta0 (a dict).
+
+    Pass mesh (a jax.sharding.Mesh) to shard the simulation ensemble
+    across devices.
 
     Returns dict(theta, history, H, J, Sigma)."""
     names = list(theta0.keys())
@@ -113,6 +116,9 @@ def muse(ds: DataSet, theta0, nsims=20, nsteps=5, alpha=0.7, key=None,
         cancels (Millea & Seljak 2021, eq. for H)."""
         ks = jax.random.split(key, nsims)
         d_b = _jit_simulate_batch(ds, ks, theta_sim)
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+            d_b = shard_batch(d_b, mesh)
         dsd = ds.replace(d=d_b)
         res = MAP_joint(dsd, theta=theta_eval, phistart=phis[0], **MAP_kw)
         phis[0] = res["phi"]
