@@ -241,9 +241,12 @@ class BlockDiagEquiRect:
 
     def solve(self, f: EquiRectField) -> EquiRectField:
         g = self._fld(f)
-        out = jnp.linalg.solve(self.blocks, jnp.moveaxis(g.arr, -1, -3)[..., None])
-        out = jnp.moveaxis(out[..., 0], -3, -1)
-        return EquiRectField(out, self.basis, self.proj)
+        x = jnp.moveaxis(g.arr, -1, 0)[..., None]      # (m, ..., n, 1)
+        nb = x.ndim - 3                                # extra batch dims
+        B = jnp.reshape(self.blocks,
+                        (self.blocks.shape[0],) + (1,) * nb + self.blocks.shape[1:])
+        out = jnp.linalg.solve(B.astype(x.dtype), x)[..., 0]
+        return EquiRectField(jnp.moveaxis(out, 0, -1), self.basis, self.proj)
 
     def logabsdet(self):
         sign, ld = jnp.linalg.slogdet(self.blocks)
@@ -376,7 +379,10 @@ def Cl_to_Cov_EquiRect(pol, proj: ProjEquiRect, *Cls, lmax=3000, units=1):
                 lam = _lambda(lmax, mm, 0, theta)          # (L, nT)
                 blocks[m] += (lam * Cl_arr[:, None]).T @ lam
         blocks *= nP
-        return BlockDiagEquiRect(jnp.asarray(blocks.astype(proj.T)), "az", proj)
+        # host numpy blocks: this is a setup-time constructor, and an
+        # eager complex h2d here would break on remotely-attached TPUs;
+        # move with utils.transfer.device_put_safe (or let jit upload)
+        return BlockDiagEquiRect(blocks.astype(proj.T), "az", proj)
 
     if pol == "P":
         ClEE, ClBB = Cls
@@ -405,7 +411,7 @@ def Cl_to_Cov_EquiRect(pol, proj: ProjEquiRect, *Cls, lmax=3000, units=1):
         # blocks are half the P-covariance (matching the reference's
         # CirculantCov normalization so simulate() reproduces C_l)
         blocks *= nP / 2
-        return BlockDiagEquiRect(jnp.asarray(blocks.astype(proj.complex_T)), "qu_az", proj)
+        return BlockDiagEquiRect(blocks.astype(proj.complex_T), "qu_az", proj)
 
     raise ValueError(pol)
 

@@ -167,3 +167,19 @@ def test_healpix_qu_projection():
     P_expect = hp.interp_val(Q.astype(np.float64) ** 2 + U.astype(np.float64) ** 2,
                              pr.thetas.ravel(), pr.phis.ravel()).reshape(32, 32)
     assert np.abs(P_flat - P_expect).max() < 0.05
+
+
+@pytest.mark.parametrize("pol", ["I", "P"])
+def test_equirect_solve_roundtrip(er_proj, spectra, pol):
+    """C.solve(C @ f) == f for spin-0 and spin-2 block covariances —
+    guards the rank handling in BlockDiagEquiRect.solve."""
+    lmax, ell, CE, CB = spectra
+    if pol == "I":
+        C = Cl_to_Cov_EquiRect("I", er_proj, CE, lmax=lmax)
+    else:
+        C = Cl_to_Cov_EquiRect("P", er_proj, CE, CB, lmax=lmax)
+    f = C.simulate(jax.random.PRNGKey(2))
+    rt = C.solve(C @ f)
+    d = float(jnp.max(jnp.abs(rt.arr - f.to(rt.basis).arr)))
+    m = float(jnp.max(jnp.abs(f.to(rt.basis).arr)))
+    assert d < 1e-3 * m
