@@ -9,6 +9,11 @@ import jax
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# pedagogical example: run eagerly on CPU (remote-tunneled TPU
+# attachments can't run eager complex ops; on a directly-attached TPU
+# you can drop this line)
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
 from cmblensing_tpu import (
     ProjLambert, Cl_to_Cov, camb, LenseFlow, get_Cl,
 )

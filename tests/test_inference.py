@@ -168,3 +168,23 @@ def test_gibbs_theta_posterior_calibrated():
     # posterior on a 32^2 patch is broad; demand the mean is in a loose
     # bracket around the truth and far from the 2.5 start
     assert 0.3 < A.mean() < 2.2, f"Aphi mean {A.mean():.2f} inconsistent with truth 1.0"
+
+
+def test_MAP_joint_batched_matches_solo(sim32):
+    """Batched MAP_joint over distinct datasets: per-entry line-search
+    alphas and entry-wise agreement with solo MAPs."""
+    from cmblensing_tpu.core.field import batch_index, batch as batch_fields
+    ds = sim32["ds"]
+    sims = [ds.simulate(jax.random.PRNGKey(100 + i))["d"] for i in range(2)]
+    ds_b = ds.replace(d=batch_fields(sims))
+    res = MAP_joint(ds_b, nsteps=3, history_keys=("alpha",),
+                    conjgrad_kwargs=dict(tol=1e-2, nsteps=30))
+    assert res["phi"].batch_shape == (2,)
+    a_last = np.atleast_1d(np.asarray(res["history"][-1]["alpha"]))
+    assert a_last.shape == (2,)
+    r0 = MAP_joint(ds.replace(d=sims[0]), nsteps=3,
+                   conjgrad_kwargs=dict(tol=1e-2, nsteps=30))
+    pb = np.asarray(batch_index(res["phi"], 0).arr).ravel()
+    ps = np.asarray(r0["phi"].arr).ravel()
+    corr = pb @ ps / (np.linalg.norm(pb) * np.linalg.norm(ps) + 1e-30)
+    assert corr > 0.999
