@@ -43,6 +43,39 @@ def _slope_time(go, *args, reps=5):
     return max((t(K2) - t(K1)) / (K2 - K1) * 1e3, 1e-3)  # ms
 
 
+_HEADLINE = {}
+_EMITTED = False
+
+
+def _emit_headline():
+    """Print the machine-readable headline as the LAST stdout line.
+
+    The driver parses the final stdout line (BENCH_r01.json recorded
+    parsed=null when the JSON came first and was buried). Everything
+    else in this file prints to stderr; this is the only stdout write.
+    """
+    global _EMITTED
+    if _HEADLINE and not _EMITTED:
+        _EMITTED = True
+        print(json.dumps(_HEADLINE), flush=True)
+
+
+def _install_signal_net():
+    """If the driver times us out with SIGTERM/SIGINT after the headline
+    metric exists, still emit it before dying."""
+    import signal
+
+    def h(signum, frame):
+        _emit_headline()
+        sys.exit(0 if _HEADLINE else 1)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, h)
+        except Exception:
+            pass
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -134,16 +167,19 @@ def main():
                 return pm + eps * g.arr
             return jnp.sum(jnp.abs(jax.lax.fori_loop(0, K, body, pm0)))
 
-        # headline metric first, JSON out immediately
+        # headline metric first so a driver timeout can't starve it
+        # (it is buffered and printed as the LAST stdout line — see
+        # _emit_headline; a SIGTERM net covers early termination)
         results[(pol, "gradlnP")] = _slope_time(gradlnP_loop, phi_mix.arr, ds, f_mix)
         if pol == "P":
             v = results[("P", "gradlnP")]
-            print(json.dumps({
+            _HEADLINE.update({
                 "metric": "spin2_gradlnP_256_ms",
                 "value": round(v, 4),
                 "unit": "ms",
                 "vs_baseline": round(REF[("P", "gradlnP")] / max(v, 1e-6), 2),
-            }), flush=True)
+            })
+            print("headline:", json.dumps(_HEADLINE), file=sys.stderr, flush=True)
         results[(pol, "lnP")] = _slope_time(lnP_loop, phi_mix.arr, ds, f_mix)
         results[(pol, "apply")] = _slope_time(apply_loop, f.arr, phi.arr)
         results[(pol, "adjoint")] = _slope_time(adjoint_loop, f.arr, phi.arr)
@@ -159,4 +195,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    _install_signal_net()
+    try:
+        main()
+    finally:
+        _emit_headline()
