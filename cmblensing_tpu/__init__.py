@@ -39,7 +39,9 @@ from .utils.masking import make_mask
 from .utils.spectra import get_Cl, get_Dl
 from .utils.ud_grade import ud_grade
 from .ops.solvers import rk4_integrate, conjugate_gradient, gmres
-from .models.lenseflow import LenseFlow, lense, get_max_lensing_step
+from .models.lenseflow import (LenseFlow, lense, get_max_lensing_step,
+                               set_lenseflow_backend, get_lenseflow_backend,
+                               lenseflow_backend_ctx)
 from .models.powerlens import PowerLens, antilensing
 from .models.taylens import Taylens
 from .models.bilinearlens import BilinearLens
@@ -74,3 +76,4 @@ from .utils.timing import timed, timer_report, reset_timers
 from .utils.transfer import device_put_safe, device_get_safe
 from .ops.deriv import set_deriv_mode, get_deriv_mode, set_matmul_precision
 from .ops.fft import set_fft_mode, get_fft_mode
+from .utils.summation import set_sum_mode, get_sum_mode

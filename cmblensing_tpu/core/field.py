@@ -336,15 +336,18 @@ def white_noise_like(key, f: Field) -> Field:
 def dot(a: Field, b: Field):
     """Inner product (equals the pixel-space dot product). Computed in
     the harmonic basis by default with rfft degeneracy weights
-    (src/proj_lambert.jl:318-328). Returns per-batch scalars."""
+    (src/proj_lambert.jl:318-328). Returns per-batch scalars. The
+    reduction honors utils.summation.set_sum_mode
+    (fast/kahan/float64 — reference src/util.jl:288-316)."""
+    from ..utils.summation import asum
     if a.basis.is_map and b.basis.is_map and a.basis == b.basis:
         z = a.arr * b.arr
-        return jnp.sum(z, axis=(-1, -2, -3))
+        return asum(z)
     ah = a.to_harmonic()
     bh = b.to(ah.basis)
     lam = jnp.asarray(ah.proj.lam_rfft)
     z = jnp.real(jnp.conj(ah.arr) * bh.arr) * lam
-    return jnp.sum(z, axis=(-1, -2, -3)) / (ah.proj.Ny * ah.proj.Nx)
+    return asum(z) / (ah.proj.Ny * ah.proj.Nx)
 
 
 def norm(f: Field):
@@ -352,9 +355,10 @@ def norm(f: Field):
 
 
 def sum_field(f: Field):
-    """Sum of all (pixel-basis) values."""
+    """Sum of all (pixel-basis) values (sum-mode aware)."""
+    from ..utils.summation import asum
     fm = f.to(f.basis.with_space("map"))
-    return jnp.sum(fm.arr, axis=(-1, -2, -3))
+    return asum(fm.arr)
 
 
 # --- gradients w.r.t. fields ----------------------------------------------

@@ -611,8 +611,11 @@ class BandPass:
     def on(self, proj: ProjLambert, pol="I") -> Diag:
         W = _bandpass_2d(self.ell, self.Wl, proj)
         b = Basis(pol, "fourier")
+        # a bandpass is a real even multiplier of the fourier-basis field,
+        # so a real-dtype diagonal is correct (XLA broadcasts it against
+        # the complex rfft planes without materializing a complex copy)
         arr = np.broadcast_to(W[None], (b.ncomp,) + W.shape)
-        return Diag(Field(jnp.asarray(arr, dtype=proj.complex_T.type if False else proj.T.type), b, proj))
+        return Diag(Field(jnp.asarray(arr, dtype=proj.T.type), b, proj))
 
     def __call__(self, ell):
         return np.interp(np.asarray(ell, dtype=np.float64), self.ell, self.Wl, left=0.0, right=0.0)

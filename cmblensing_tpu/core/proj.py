@@ -51,6 +51,10 @@ class ProjLambert:
         self.Ny = Ny
         self.Nx = Nx
         self.thetapix = thetapix
+        # sky placement (ZYX Euler angles, degrees) — not used by any
+        # flat-sky computation, but read by ProjHealpix `project`
+        # (core/proj_healpix.py:125,133) to place this patch on the
+        # sphere, mirroring the reference (src/proj_lambert.jl:24-43)
         self.rotator = rotator
         self.T = T
         self.complex_T = np.dtype(np.complex64) if T == np.dtype(np.float32) else np.dtype(np.complex128)

@@ -256,14 +256,17 @@ class BlockDiagEquiRect:
         l, s = self.logabsdet()
         return l + jnp.log(s)
 
-    def simulate(self, key):
-        """sqrt(M) @ white map noise (src/proj_equirect.jl:399-405)."""
+    def simulate(self, key, batch_shape=()):
+        """sqrt(M) @ white map noise (src/proj_equirect.jl:399-405);
+        batch_shape adds leading batch axes (one sim per entry)."""
         proj = self.proj
         if self.basis == "az":
-            xi = jax.random.normal(key, (proj.Ny, proj.Nx), dtype=proj.T.type)
+            xi = jax.random.normal(key, batch_shape + (proj.Ny, proj.Nx),
+                                   dtype=proj.T.type)
             f = EquiRectField(xi, "map", proj)
         else:
-            xi = jax.random.normal(key, (2, proj.Ny, proj.Nx), dtype=proj.T.type)
+            xi = jax.random.normal(key, batch_shape + (2, proj.Ny, proj.Nx),
+                                   dtype=proj.T.type)
             f = EquiRectField(xi, "qu_map", proj)
         return self.sqrt() @ f
 

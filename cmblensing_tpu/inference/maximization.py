@@ -92,19 +92,24 @@ def argmaxf_logpdf(ds: DataSet, phi=None, theta=None, d=None, fstart=None,
     if jit:
         return _jit_argmaxf(ds, theta, phi, d, fstart,
                             int(cg["nsteps"]), float(cg["tol"]),
-                            bool(cg.get("fixed_iters", False)), bool(offset))
+                            bool(cg.get("fixed_iters", False)), bool(offset),
+                            bool(cg.get("record_history", False)))
     return _argmaxf_core(ds, theta, phi, d, fstart, int(cg["nsteps"]),
                          float(cg["tol"]), bool(cg.get("fixed_iters", False)),
-                         bool(offset))
+                         bool(offset), bool(cg.get("record_history", False)))
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8))
-def _jit_argmaxf(ds, theta, phi, d, fstart, nsteps, tol, fixed_iters, offset):
-    return _argmaxf_core(ds, theta, phi, d, fstart, nsteps, tol, fixed_iters, offset)
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def _jit_argmaxf(ds, theta, phi, d, fstart, nsteps, tol, fixed_iters, offset,
+                 record_history=False):
+    return _argmaxf_core(ds, theta, phi, d, fstart, nsteps, tol, fixed_iters,
+                         offset, record_history)
 
 
-def _argmaxf_core(ds, theta, phi, d, fstart, nsteps, tol, fixed_iters, offset):
-    cg = dict(tol=tol, nsteps=nsteps, fixed_iters=fixed_iters)
+def _argmaxf_core(ds, theta, phi, d, fstart, nsteps, tol, fixed_iters, offset,
+                  record_history=False):
+    cg = dict(tol=tol, nsteps=nsteps, fixed_iters=fixed_iters,
+              record_history=record_history)
     precond = hessian_f_preconditioner(ds)
     Cfop = _fid(ds.Cf)
     dfield = Cfop.diag if isinstance(Cfop, Diag) else Cfop.diag()
@@ -168,6 +173,9 @@ def _jit_step_unmix_and_norm(dstheta, theta, f_mix, phi_mix, dphi, alpha):
     phi = u["phi"].to(u["phi"].basis.with_space("map"))
     lp = jnp.sum(Mixed(dstheta).logpdf(f_mix=f_mix, phi_mix=pm, theta=theta))
     return pm, phi, lp, jnp.max(jnp.atleast_1d(field_norm(dphi)))
+
+
+_jit_field_norm = jax.jit(lambda g: field_norm(g))
 
 
 @jax.jit
@@ -381,6 +389,16 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
             entry["f"] = f
         if "alpha" in history_keys:
             entry["alpha"] = alpha_h
+        # reference showvalues/history parity (src/maximization.jl:107,
+        # 209-218): CG iteration count+residual (trace) and |grad|
+        if "cg_iters" in history_keys:
+            entry["cg_iters"] = int(cg_info["iterations"])
+        if "cg_res" in history_keys:
+            entry["cg_res"] = np.asarray(cg_info["res"])
+        if "cg_res_history" in history_keys and "res_history" in cg_info:
+            entry["cg_res_history"] = np.asarray(cg_info["res_history"])
+        if "gradnorm" in history_keys:
+            entry["gradnorm"] = np.asarray(_jit_field_norm(g))
         history.append(entry)
         prev_phi_mix, prev_g = phi_mix, g
         if step > minsteps and dnorm * alpha_s < gradtol:

@@ -86,11 +86,20 @@ def score(ds: DataSet, theta, names, d=None, phi=None, MAP_kwargs=None):
 
 
 def muse(ds: DataSet, theta0, nsims=20, nsteps=5, alpha=0.7, key=None,
-         MAP_kwargs=None, step_eps=None, progress=False, mesh=None):
+         MAP_kwargs=None, step_eps=None, progress=False, mesh=None,
+         final_H=True):
     """Run the MUSE iteration for the parameters in theta0 (a dict).
 
     Pass mesh (a jax.sharding.Mesh) to shard the simulation ensemble
     across devices.
+
+    During the Newton iterations H is estimated once by cheap one-sided
+    forward differences (its only job there is step direction); before
+    forming Sigma = H^-1 J H^-T it is recomputed at the *converged*
+    theta with seed-matched two-sided central differences, matching the
+    reference MuseInference semantics
+    (ext/CMBLensingMuseInferenceExt.jl:45-88). Disable with
+    final_H=False to save 2*ntheta+1 batched MAPs.
 
     Returns dict(theta, history, H, J, Sigma)."""
     names = list(theta0.keys())
@@ -159,6 +168,26 @@ def muse(ds: DataSet, theta0, nsims=20, nsteps=5, alpha=0.7, key=None,
                             s_data=s_data, sbar=sbar))
         if progress:
             print(f"muse step {step}: theta={theta}")
+
+    if final_H:
+        # recompute H and J at the converged theta: seed-matched
+        # (same kH keys on both sides) two-sided central differences,
+        # so the O(eps) bias and the MC noise of the one-sided
+        # iteration-H drop out of Sigma
+        key, kH = jax.random.split(key)
+        s_sims_f = mean_sim_score(theta, theta, kH, [sims_phi[0]])
+        J = (np.atleast_2d(np.cov(s_sims_f.T)) if nsims > 1
+             else np.eye(len(names)))
+        Hf = np.zeros((len(names), len(names)))
+        for j, n in enumerate(names):
+            tp = dict(theta)
+            tp[n] = theta[n] + step_eps[n]
+            tm = dict(theta)
+            tm[n] = theta[n] - step_eps[n]
+            s_p = mean_sim_score(tp, theta, kH, [None]).mean(axis=0)
+            s_m = mean_sim_score(tm, theta, kH, [None]).mean(axis=0)
+            Hf[:, j] = (s_p - s_m) / (2 * step_eps[n])
+        H = Hf
 
     Sigma = np.linalg.solve(H, J) @ np.linalg.inv(H).T
     return dict(theta=theta, history=history, H=H, J=J, Sigma=Sigma)

@@ -307,6 +307,7 @@ def sample_joint(
     nfilewrite=5,
     nsavemaps=1,
     progress=False,
+    verbose_timing=False,
     gibbs_passes=None,
     mesh=None,
 ):
@@ -369,22 +370,30 @@ def sample_joint(
                       if isinstance(v, Field) and v.batch_shape else v)
                   for k, v in states.items()}
 
+    from ..utils.timing import timed
     if gibbs_passes is None:
         def default_passes(state):
-            state = gibbs_sample_f(state, ds_b, cg)
-            state = gibbs_mix(state, ds_b)
-            state = gibbs_sample_phi(state, ds_b, symp_kwargs,
-                                     always_accept=(state["step"] < nburnin_always_accept))
-            for name, rng_ in theta_range.items():
-                state = gibbs_sample_slice_theta(name, rng_)(state, ds_b)
-            state = gibbs_unmix(state, ds_b)
-            state = gibbs_postprocess(state, ds_b)
+            with timed("gibbs/sample_f"):
+                state = gibbs_sample_f(state, ds_b, cg)
+            with timed("gibbs/mix"):
+                state = gibbs_mix(state, ds_b)
+            with timed("gibbs/sample_phi"):
+                state = gibbs_sample_phi(state, ds_b, symp_kwargs,
+                                         always_accept=(state["step"] < nburnin_always_accept))
+            with timed("gibbs/sample_theta"):
+                for name, rng_ in theta_range.items():
+                    state = gibbs_sample_slice_theta(name, rng_)(state, ds_b)
+            with timed("gibbs/unmix"):
+                state = gibbs_unmix(state, ds_b)
+            with timed("gibbs/postprocess"):
+                state = gibbs_postprocess(state, ds_b)
             return state
         passes = default_passes
     else:
         def passes(state):
             for p in gibbs_passes:
-                state = p(state, ds_b)
+                with timed(f"gibbs/{getattr(p, '__name__', 'pass')}"):
+                    state = p(state, ds_b)
             return state
 
     # async native chunk writer (cmblensing_tpu.native) — sampling never
@@ -398,7 +407,13 @@ def sample_joint(
     try:
         for step in range(start_step + 1, nsamps_per_chain + 1):
             states["step"] = step
+            if verbose_timing:
+                from ..utils.timing import timers_snapshot, timer_report
+                snap = timers_snapshot()
             states = passes(states)
+            if verbose_timing:
+                print(f"--- gibbs step {step} timing ---\n"
+                      + timer_report(since=snap), flush=True)
             entry = _filter_for_saving(states, step, nsavemaps)
             chain.append(entry)
             chunk.append(entry)

@@ -131,75 +131,157 @@ def _rk4(F, y0, t0, t1, nsteps):
 
 
 # =========================================================================
+# integration backend selection (scan of XLA ops vs fused Pallas kernels)
+# =========================================================================
+
+_BACKEND = "auto"
+
+
+def set_lenseflow_backend(backend):
+    """'scan'   — lax.scan RK4 over XLA ops (matmul or FFT derivatives
+                  per ops/deriv.py). Works everywhere.
+       'pallas' — fused Pallas TPU kernels (ops/pallas_lenseflow.py):
+                  whole integrations (or single velocity evaluations at
+                  sizes where the whole flow exceeds VMEM) run as one
+                  kernel with state and derivative matrices VMEM-
+                  resident. Interpreted (slow, test-only) off-TPU.
+       'auto'   — pallas on TPU when the kernel fits, else scan."""
+    global _BACKEND
+    assert backend in ("scan", "pallas", "auto")
+    _BACKEND = backend
+
+
+def get_lenseflow_backend():
+    return _BACKEND
+
+
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def lenseflow_backend_ctx(backend):
+    global _BACKEND
+    prev = _BACKEND
+    set_lenseflow_backend(backend)
+    try:
+        yield
+    finally:
+        _BACKEND = prev
+
+
+def _resolve_backend(arr, proj, nstate_bwd):
+    """Pick the integration backend. The pallas path stages through
+    jax.lax.platform_dependent (native Mosaic kernel for TPU targets,
+    the identical lax.scan integrator for every other platform), so
+    'auto' can choose it whenever the kernel fits VMEM without knowing
+    where the trace will execute. nstate_bwd is the largest state the
+    custom_vjp backward flow will carry (2*ncomp+1)."""
+    from ..ops import pallas_lenseflow as _plf
+    if _BACKEND == "scan":
+        return "scan"
+    fits = _plf.flow_available("backward", nstate_bwd, proj.Ny, proj.Nx,
+                               arr.dtype)
+    if _BACKEND == "pallas":
+        if not fits:
+            raise ValueError("pallas LenseFlow backend requested but the "
+                             "map exceeds the per-stage VMEM budget")
+        return "pallas"
+    return "pallas" if fits else "scan"
+
+
+def _kernel_precision():
+    from ..ops.deriv import _PRECISION
+    return _PRECISION
+
+
+# =========================================================================
 # the differentiable primitive
 # =========================================================================
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _lenseflow_apply(phi_map, f_map, t0, t1, nsteps, proj):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _lenseflow_apply(phi_map, f_map, t0, t1, nsteps, proj, backend="scan"):
     """Integrate f from t0 to t1 under the LenseFlow velocity.
     phi_map: (..., 1, Ny, Nx); f_map: (..., ncomp, Ny, Nx) map arrays."""
     g, h = _gradhess_phi(phi_map, proj)
+    if backend == "pallas":
+        from ..ops.pallas_lenseflow import pallas_flow_apply
+        return pallas_flow_apply(f_map, g, h, float(t0), float(t1),
+                                 int(nsteps), proj, "forward",
+                                 _kernel_precision())
     return _rk4(lambda t, y: _velocity(t, y, g, h, proj), f_map, t0, t1, nsteps)
 
 
-def _lenseflow_fwd(phi_map, f_map, t0, t1, nsteps, proj):
-    out = _lenseflow_apply(phi_map, f_map, t0, t1, nsteps, proj)
+def _lenseflow_fwd(phi_map, f_map, t0, t1, nsteps, proj, backend="scan"):
+    out = _lenseflow_apply(phi_map, f_map, t0, t1, nsteps, proj, backend)
     return out, (phi_map, out)
 
 
-def _lenseflow_bwd(t0, t1, nsteps, proj, res, dy):
+def _backward_velocity(t, state, g, h, proj):
+    """Velocity of the coupled (f, delta_f, delta_phi) transpose-delta
+    system (reference negδvelocityᴴ, src/lenseflow.jl:176-214)."""
+    f, df, dphi = state
+    px, py = _p_t(t, g, h)
+    m11, m12, m22 = _Minv_t(t, h)
+
+    # d(delta_f)/dt = -grad' . (p delta_f) = +div(p * delta_f)
+    ddf = _div(px[..., None, :, :] * df, py[..., None, :, :] * df, proj)
+
+    # df/dt = p . grad f
+    fx, fy = _grad_f(f, proj)
+    dfdt = px[..., None, :, :] * fx + py[..., None, :, :] * fy
+
+    # d(delta_phi)/dt:
+    #   w_i = sum_comp delta_f * (grad f)_i          (2 planes)
+    #   u = M^-1 w
+    #   ddphi = +div(u) + sum_ij d_i d_j ( t p_j u_i )
+    wx = jnp.sum(df * fx, axis=-3)
+    wy = jnp.sum(df * fy, axis=-3)
+    ux = m11 * wx + m12 * wy
+    uy = m12 * wx + m22 * wy
+    # first term: -grad'.(u) = +div(u)  [phi-type, single comp]
+    ddphi = _div(ux[..., None, :, :], uy[..., None, :, :], proj)
+    # second term: sum_{i,j} d_i d_j (t * p_j * u_i)
+    # components: s_ij = t * p_j * u_i
+    s = jnp.stack([
+        t * px * ux, t * py * ux,     # j=x,i=x ; j=y,i=x
+        t * px * uy, t * py * uy,     # j=x,i=y ; j=y,i=y
+    ], axis=-3)
+    ddphi = ddphi + _deriv_dij_sum(s, proj)
+
+    return (dfdt, ddf, ddphi)
+
+
+def _lenseflow_bwd(t0, t1, nsteps, proj, backend, res, dy):
     """Continuous adjoint: integrate the coupled (f, delta_f, delta_phi)
     system backward t1->t0 (reference negδvelocityᴴ,
     src/lenseflow.jl:176-214), starting from (f(t1), cotangent, 0)."""
     phi_map, f1 = res
     g, h = _gradhess_phi(phi_map, proj)
-    ilx, ily = _grids(proj)
-
-    def vel(t, state):
-        f, df, dphi = state
-        px, py = _p_t(t, g, h)
-        m11, m12, m22 = _Minv_t(t, h)
-
-        # d(delta_f)/dt = -grad' . (p delta_f) = +div(p * delta_f)
-        ddf = _div(px[..., None, :, :] * df, py[..., None, :, :] * df, proj)
-
-        # df/dt = p . grad f
-        fx, fy = _grad_f(f, proj)
-        dfdt = px[..., None, :, :] * fx + py[..., None, :, :] * fy
-
-        # d(delta_phi)/dt:
-        #   w_i = sum_comp delta_f * (grad f)_i          (2 planes)
-        #   u = M^-1 w
-        #   ddphi = +div(u) + sum_ij d_i d_j ( t p_j u_i )
-        wx = jnp.sum(df * fx, axis=-3)
-        wy = jnp.sum(df * fy, axis=-3)
-        ux = m11 * wx + m12 * wy
-        uy = m12 * wx + m22 * wy
-        # first term: -grad'.(u) = +div(u)  [phi-type, single comp]
-        ddphi = _div(ux[..., None, :, :], uy[..., None, :, :], proj)
-        # second term: sum_{i,j} d_i d_j (t * p_j * u_i)
-        # components: s_ij = t * p_j * u_i
-        s = jnp.stack([
-            t * px * ux, t * py * ux,     # j=x,i=x ; j=y,i=x
-            t * px * uy, t * py * uy,     # j=x,i=y ; j=y,i=y
-        ], axis=-3)
-        ddphi = ddphi + _deriv_dij_sum(s, proj)
-
-        return (dfdt, ddf, ddphi)
+    if backend == "pallas":
+        from ..ops.pallas_lenseflow import pallas_flow_bwd
+        return pallas_flow_bwd(dy, f1, g, h, float(t0), float(t1),
+                               int(nsteps), proj, _kernel_precision())
 
     dphi0 = jnp.zeros_like(phi_map)
-    f0, df0, dphi = _rk4(vel, (f1, dy, dphi0), t1, t0, nsteps)
+    f0, df0, dphi = _rk4(lambda t, y: _backward_velocity(t, y, g, h, proj),
+                         (f1, dy, dphi0), t1, t0, nsteps)
     return (dphi, df0)
 
 
 _lenseflow_apply.defvjp(_lenseflow_fwd, _lenseflow_bwd)
 
 
-def _lenseflow_apply_adjoint(phi_map, f_map, t0, t1, nsteps, proj):
+def _lenseflow_apply_adjoint(phi_map, f_map, t0, t1, nsteps, proj,
+                             backend="scan"):
     """Apply L(phi)^dagger (or its inverse-adjoint depending on t0/t1
     direction): integrate the adjoint velocity backward
     (reference flowops.jl:12)."""
     g, h = _gradhess_phi(phi_map, proj)
+    if backend == "pallas":
+        from ..ops.pallas_lenseflow import pallas_flow_apply
+        return pallas_flow_apply(f_map, g, h, float(t1), float(t0),
+                                 int(nsteps), proj, "adjoint",
+                                 _kernel_precision())
     return _rk4(lambda t, y: _velocity_adj(t, y, g, h, proj), f_map, t1, t0, nsteps)
 
 
@@ -254,8 +336,12 @@ class LenseFlow:
         B = f.basis
         fl = f.to(lense_basis(B))
         phi_map = self._phi_map()
+        nstate_bwd = 2 * fl.arr.shape[-3] + 1
+        backend = _resolve_backend(fl.arr, f.proj, nstate_bwd)
         # pin the derivative backend while inputs are still concrete:
-        # inside the scan the placement check only sees tracers
+        # inside the scan the placement check only sees tracers (this
+        # also covers _gradhess_phi and the pallas path's non-TPU
+        # platform_dependent fallback)
         ctx = contextlib.nullcontext()
         if _deriv.get_deriv_mode() == "auto":
             on_accel = _deriv._arr_on_accel(fl.arr)
@@ -263,9 +349,11 @@ class LenseFlow:
             ctx = _deriv.mode_ctx("matmul" if (on_accel and small) else "fft")
         with ctx:
             if adjoint:
-                out = _lenseflow_apply_adjoint(phi_map, fl.arr, t0, t1, self.nsteps, f.proj)
+                out = _lenseflow_apply_adjoint(phi_map, fl.arr, t0, t1,
+                                               self.nsteps, f.proj, backend)
             else:
-                out = _lenseflow_apply(phi_map, fl.arr, t0, t1, self.nsteps, f.proj)
+                out = _lenseflow_apply(phi_map, fl.arr, t0, t1,
+                                       self.nsteps, f.proj, backend)
         return Field(out, fl.basis, f.proj).to(B)
 
     def __matmul__(self, f: Field) -> Field:

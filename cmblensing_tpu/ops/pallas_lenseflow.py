@@ -1,23 +1,35 @@
-"""Fully-fused LenseFlow forward integration as a single Pallas TPU
-kernel.
+"""Fused LenseFlow integration as Pallas TPU kernels.
 
-The velocity of the LenseFlow ODE is (SURVEY.md section 3.2):
+The LenseFlow ODE velocity (SURVEY.md section 3.2, reference
+src/lenseflow.jl:150-214) and its adjoint/transpose-delta variants are,
+with circulant-matmul spectral derivatives (ops/deriv.py), chains of
+NxN matmuls glued by elementwise work. XLA runs each matmul as a
+separate HBM-level op; these kernels fuse a whole velocity evaluation
+— and, when VMEM allows, the *entire* RK4 integration — into single
+Pallas programs that keep the ODE state, the derivative matrices and
+grad/Hess(phi) resident in VMEM and feed the MXU back-to-back.
 
-    v(t, f) = p(t) . grad f,   p(t) = (I + t Hess(phi))^-T grad(phi)
+Three flows (mirroring models/lenseflow.py, which cites the reference):
 
-With spectral derivatives expressed as real circulant matmuls
-(ops/deriv.py), one RK4 integration is ~(4 stages x nsteps x ncomp x 2)
-matmuls plus elementwise work. XLA runs these as separate HBM-level
-ops; this kernel keeps the ODE state, the derivative matrices and
-grad/Hess(phi) resident in VMEM for the *entire* integration — zero
-HBM traffic between stages — and feeds the MXU back-to-back.
+  forward   df/dt = p(t) . grad f                 (velocity)
+  adjoint   df/dt = div(p(t) f)                   (velocityᴴ)
+  backward  coupled (f, delta_f, delta_phi) transpose-delta flow
+            (negδvelocityᴴ, src/lenseflow.jl:176-214)
 
-Fits comfortably in VMEM for maps up to 512^2 (f32): state+scratch
-~12 planes + two NxN derivative matrices.
+Granularity is chosen by a VMEM plane-count estimate (the v5e has
+128MB of VMEM — measured, not the 16MB of older generations):
+
+  'flow'  — one pallas_call integrates all nsteps RK4 steps, zero HBM
+            traffic between stages. Fits comfortably at <=512^2 for
+            all flows and at 1024^2 for the forward flow.
+  'stage' — one pallas_call per velocity evaluation (4 per RK step,
+            driven by lax.scan); only the state round-trips HBM.
+            Fits at 1024^2 and beyond for every flow.
 """
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -33,90 +45,374 @@ except ImportError:  # pragma: no cover
     _HAS_PALLAS = False
 
 
-def _kernel(f_ref, gx_ref, gy_ref, hxx_ref, hxy_ref, hyy_ref,
-            dxt_ref, dy_ref, out_ref, *, nsteps, t0, t1, ncomp):
+# v5e VMEM is 128MB; leave headroom for Mosaic's own scratch. Override
+# with CMBL_PALLAS_VMEM_MB for other generations.
+_VMEM_BUDGET_MB = float(os.environ.get("CMBL_PALLAS_VMEM_MB", "100"))
+
+
+def _dot_kwargs(precision: str):
+    if precision == "bf16":
+        return None  # handled by casting operands
+    return dict(
+        preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGH if precision == "high"
+                   else jax.lax.Precision.HIGHEST))
+
+
+def _make_ddx_ddy(DxT, Dy, precision):
+    if precision == "bf16":
+        DxTb = DxT.astype(jnp.bfloat16)
+        Dyb = Dy.astype(jnp.bfloat16)
+
+        def ddx(a):
+            return jnp.dot(a.astype(jnp.bfloat16), DxTb,
+                           preferred_element_type=jnp.float32)
+
+        def ddy(a):
+            return jnp.dot(Dyb, a.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+    else:
+        kw = _dot_kwargs(precision)
+
+        def ddx(a):
+            return jnp.dot(a, DxT, **kw)
+
+        def ddy(a):
+            return jnp.dot(Dy, a, **kw)
+    return ddx, ddy
+
+
+def _p_of_t(t, gx, gy, hxx, hxy, hyy):
+    a = 1.0 + t * hxx
+    b = t * hxy
+    d = 1.0 + t * hyy
+    idet = 1.0 / (a * d - b * b)
+    px = (d * gx - b * gy) * idet
+    py = (-b * gx + a * gy) * idet
+    return px, py
+
+
+def _minv_of_t(t, hxx, hxy, hyy):
+    a = 1.0 + t * hxx
+    b = t * hxy
+    d = 1.0 + t * hyy
+    idet = 1.0 / (a * d - b * b)
+    return d * idet, -b * idet, a * idet  # (m11, m12, m22)
+
+
+def _vel_forward(t, y, phi_planes, ddx, ddy):
+    """v_c = p . grad y_c (reference src/lenseflow.jl:150-161)."""
+    gx, gy, hxx, hxy, hyy = phi_planes
+    px, py = _p_of_t(t, gx, gy, hxx, hxy, hyy)
+    return [px * ddx(yc) + py * ddy(yc) for yc in y]
+
+
+def _vel_adjoint(t, y, phi_planes, ddx, ddy):
+    """v_c = div(p y_c) (reference velocityᴴ, src/lenseflow.jl:163-174)."""
+    gx, gy, hxx, hxy, hyy = phi_planes
+    px, py = _p_of_t(t, gx, gy, hxx, hxy, hyy)
+    return [ddx(px * yc) + ddy(py * yc) for yc in y]
+
+
+def _vel_backward(t, y, phi_planes, ddx, ddy, ncomp):
+    """Coupled transpose-delta velocity (reference negδvelocityᴴ,
+    src/lenseflow.jl:176-214). State y = [f_0..f_{c-1},
+    df_0..df_{c-1}, dphi]; matches models/lenseflow.py::_lenseflow_bwd
+    term by term, with the div/dij matmuls regrouped as
+        ddphi = ddx(ux + ddx(A) + ddy(B)) + ddy(uy + ddx(C) + ddy(D))
+    (6 matmuls instead of 10)."""
+    gx, gy, hxx, hxy, hyy = phi_planes
+    f = y[:ncomp]
+    df = y[ncomp:2 * ncomp]
+    px, py = _p_of_t(t, gx, gy, hxx, hxy, hyy)
+    m11, m12, m22 = _minv_of_t(t, hxx, hxy, hyy)
+
+    out_f = []
+    out_df = []
+    wx = None
+    wy = None
+    for c in range(ncomp):
+        fx = ddx(f[c])
+        fy = ddy(f[c])
+        out_f.append(px * fx + py * fy)                     # df/dt
+        out_df.append(ddx(px * df[c]) + ddy(py * df[c]))    # d(delta_f)/dt
+        wx = df[c] * fx if wx is None else wx + df[c] * fx
+        wy = df[c] * fy if wy is None else wy + df[c] * fy
+    ux = m11 * wx + m12 * wy
+    uy = m12 * wx + m22 * wy
+    # d(delta_phi)/dt = div(u) + sum_ij d_i d_j (t p_j u_i), regrouped
+    ddphi = (ddx(ux + ddx(t * px * ux) + ddy(t * py * ux))
+             + ddy(uy + ddx(t * px * uy) + ddy(t * py * uy)))
+    return out_f + out_df + [ddphi]
+
+
+_VELS = {"forward": _vel_forward, "adjoint": _vel_adjoint,
+         "backward": _vel_backward}
+
+
+def _rk4_steps(vel, y, t0, t1, nsteps):
+    """Classical RK4, python-unrolled (inside a kernel) over a list-of-
+    planes state."""
     h = (t1 - t0) / nsteps
-    gx = gx_ref[:]
-    gy = gy_ref[:]
-    hxx = hxx_ref[:]
-    hxy = hxy_ref[:]
-    hyy = hyy_ref[:]
-    DxT = dxt_ref[:]
-    Dy = dy_ref[:]
-
-    def p_of_t(t):
-        a = 1.0 + t * hxx
-        b = t * hxy
-        d = 1.0 + t * hyy
-        idet = 1.0 / (a * d - b * b)
-        px = (d * gx - b * gy) * idet
-        py = (-b * gx + a * gy) * idet
-        return px, py
-
-    def vel(t, y):
-        px, py = p_of_t(t)
-        out = []
-        for c in range(ncomp):
-            yc = y[c]
-            fx = jnp.dot(yc, DxT, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-            fy = jnp.dot(Dy, yc, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-            out.append(px * fx + py * fy)
-        return out
-
-    y = [f_ref[c] for c in range(ncomp)]
     for i in range(nsteps):
         t = t0 + i * h
         k1 = vel(t, y)
-        k2 = vel(t + h / 2, [y[c] + (h / 2) * k1[c] for c in range(ncomp)])
-        k3 = vel(t + h / 2, [y[c] + (h / 2) * k2[c] for c in range(ncomp)])
-        k4 = vel(t + h, [y[c] + h * k3[c] for c in range(ncomp)])
+        k2 = vel(t + h / 2, [y[c] + (h / 2) * k1[c] for c in range(len(y))])
+        k3 = vel(t + h / 2, [y[c] + (h / 2) * k2[c] for c in range(len(y))])
+        k4 = vel(t + h, [y[c] + h * k3[c] for c in range(len(y))])
         y = [y[c] + (h / 6) * (k1[c] + 2 * (k2[c] + k3[c]) + k4[c])
-             for c in range(ncomp)]
-    for c in range(ncomp):
+             for c in range(len(y))]
+    return y
+
+
+def _plane_mb(Ny, Nx, dtype):
+    return Ny * Nx * np.dtype(dtype).itemsize / 2 ** 20
+
+
+def _flow_fits(kind, nstate, Ny, Nx, dtype):
+    """Conservative live-plane estimate for the whole-flow kernel:
+    inputs (5 phi planes + 2 derivative matrices + nstate) + outputs
+    (nstate) + RK4 working set (4x nstate) + velocity temporaries."""
+    temps = {"forward": 4, "adjoint": 4, "backward": 10}[kind]
+    planes = 5 + nstate * 6 + temps
+    mats = _plane_mb(Ny, Ny, dtype) + _plane_mb(Nx, Nx, dtype)
+    return planes * _plane_mb(Ny, Nx, dtype) + mats <= _VMEM_BUDGET_MB
+
+
+def _stage_fits(kind, nstate, Ny, Nx, dtype):
+    temps = {"forward": 4, "adjoint": 4, "backward": 10}[kind]
+    planes = 5 + nstate * 2 + temps
+    mats = _plane_mb(Ny, Ny, dtype) + _plane_mb(Nx, Nx, dtype)
+    return planes * _plane_mb(Ny, Nx, dtype) + mats <= _VMEM_BUDGET_MB
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=int(127 * 2 ** 20))
+
+
+def _mats_for(proj, dtype):
+    Dx1, _ = _deriv_matrices(proj.Nx, float(proj.deltax), str(np.dtype(dtype)))
+    Dy1, _ = _deriv_matrices(proj.Ny, float(proj.deltax), str(np.dtype(dtype)))
+    return jnp.asarray(Dx1.T.copy()), jnp.asarray(Dy1)
+
+
+# scan-equivalent fallbacks (models/lenseflow.py implementations) used
+# as the non-TPU branch of jax.lax.platform_dependent: the TPU plugin
+# registers itself regardless of JAX_PLATFORMS, so "which platform will
+# this trace run on" is only decidable at lowering time — emitting both
+# branches and letting the lowering pick keeps the pallas backend safe
+# under jit/vmap on any device.
+
+def _scan_fallback(state, phi_planes, proj, kind, nsteps, t0, t1):
+    from ..models import lenseflow as lf
+    g = phi_planes[:2]
+    h = phi_planes[2:]
+    if kind == "forward":
+        return lf._rk4(lambda t, y: lf._velocity(t, y, g, h, proj),
+                       state, t0, t1, nsteps)
+    if kind == "adjoint":
+        return lf._rk4(lambda t, y: lf._velocity_adj(t, y, g, h, proj),
+                       state, t0, t1, nsteps)
+    # backward: state = [f, df, dphi] stacked on the component axis
+    ncomp = (state.shape[-3] - 1) // 2
+    y0 = (state[..., :ncomp, :, :], state[..., ncomp:2 * ncomp, :, :],
+          state[..., 2 * ncomp:, :, :])
+    f0, df0, dphi = lf._rk4(
+        lambda t, y: lf._backward_velocity(t, y, g, h, proj),
+        y0, t0, t1, nsteps)
+    return jnp.concatenate([f0, df0, dphi], axis=-3)
+
+
+# =========================================================================
+# whole-flow kernels
+# =========================================================================
+
+def _flow_kernel(*refs, kind, nstate, ncomp, nsteps, t0, t1, precision):
+    # refs: state, gx, gy, hxx, hxy, hyy, DxT, Dy, out
+    state_ref = refs[0]
+    gx, gy, hxx, hxy, hyy = (refs[i][:] for i in range(1, 6))
+    ddx, ddy = _make_ddx_ddy(refs[6][:], refs[7][:], precision)
+    out_ref = refs[8]
+    phi_planes = (gx, gy, hxx, hxy, hyy)
+    base = _VELS[kind]
+    if kind == "backward":
+        vel = lambda t, y: base(t, y, phi_planes, ddx, ddy, ncomp)
+    else:
+        vel = lambda t, y: base(t, y, phi_planes, ddx, ddy)
+    y = [state_ref[c] for c in range(nstate)]
+    y = _rk4_steps(vel, y, t0, t1, nsteps)
+    for c in range(nstate):
         out_ref[c] = y[c]
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def pallas_lenseflow_apply(f_map, g, h, t0, t1, nsteps, proj):
-    """Integrate the LenseFlow ODE with the fused kernel.
-
-    f_map: (ncomp, Ny, Nx); g=(gx,gy); h=(hxx,hxy,hyy) map planes.
-    No batch axis (vmap externally if needed)."""
-    assert _HAS_PALLAS
-    ncomp, Ny, Nx = f_map.shape
-    # VMEM budget: ~(5 + 2*ncomp*6) planes + 2 derivative matrices must
-    # stay under ~16MB; 512^2 f32 is the practical ceiling
-    vmem_bytes = 4 * (Ny * Nx * (5 + ncomp * 7) + Ny * Ny + Nx * Nx)
-    if vmem_bytes > 14 * 1024 * 1024:
-        raise ValueError(
-            f"map too large for the fused VMEM-resident kernel "
-            f"(~{vmem_bytes/2**20:.0f}MB needed); use the lax.scan path")
-    dt = f_map.dtype
-    Dx1, _ = _deriv_matrices(Nx, float(proj.deltax), str(np.dtype(dt)))
-    Dy1, _ = _deriv_matrices(Ny, float(proj.deltax), str(np.dtype(dt)))
-    DxT = jnp.asarray(Dx1.T.copy())
-    Dy = jnp.asarray(Dy1)
-    gx, gy = g
-    hxx, hxy, hyy = h
-
-    kern = functools.partial(_kernel, nsteps=nsteps, t0=t0, t1=t1, ncomp=ncomp)
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def _flow_call(state, phi_planes, mats, kind, nsteps, t0, t1, precision,
+               interpret=False):
+    """state: (nstate, Ny, Nx); phi_planes: 5-tuple of (Ny, Nx);
+    mats: (DxT, Dy). Integrates t0->t1."""
+    nstate, Ny, Nx = state.shape
+    ncomp = {"backward": (nstate - 1) // 2}.get(kind, nstate)
+    kern = functools.partial(
+        _flow_kernel, kind=kind, nstate=nstate, ncomp=ncomp,
+        nsteps=nsteps, t0=t0, t1=t1, precision=precision)
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((ncomp, Ny, Nx), dt),
+        out_shape=jax.ShapeDtypeStruct((nstate, Ny, Nx), state.dtype),
         in_specs=[vm() for _ in range(8)],
         out_specs=vm(),
-    )(f_map, gx, gy, hxx, hxy, hyy, DxT, Dy)
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(state, *phi_planes, *mats)
+
+
+# =========================================================================
+# per-stage kernels (lax.scan drives the RK4 outside)
+# =========================================================================
+
+def _stage_kernel(t_ref, *refs, kind, nstate, ncomp, precision):
+    state_ref = refs[0]
+    gx, gy, hxx, hxy, hyy = (refs[i][:] for i in range(1, 6))
+    ddx, ddy = _make_ddx_ddy(refs[6][:], refs[7][:], precision)
+    out_ref = refs[8]
+    phi_planes = (gx, gy, hxx, hxy, hyy)
+    t = t_ref[0]
+    y = [state_ref[c] for c in range(nstate)]
+    base = _VELS[kind]
+    if kind == "backward":
+        k = base(t, y, phi_planes, ddx, ddy, ncomp)
+    else:
+        k = base(t, y, phi_planes, ddx, ddy)
+    for c in range(nstate):
+        out_ref[c] = k[c]
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def _stage_call(state, phi_planes, mats, kind, nsteps, t0, t1, precision,
+                interpret=False):
+    nstate, Ny, Nx = state.shape
+    ncomp = {"backward": (nstate - 1) // 2}.get(kind, nstate)
+    kern = functools.partial(_stage_kernel, kind=kind, nstate=nstate,
+                             ncomp=ncomp, precision=precision)
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    call = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((nstate, Ny, Nx), state.dtype),
+        in_specs=[smem] + [vm() for _ in range(8)],
+        out_specs=vm(),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )
+
+    def vel(t, y):
+        return call(jnp.reshape(t, (1,)).astype(state.dtype), y,
+                    *phi_planes, *mats)
+
+    h = (t1 - t0) / nsteps
+
+    def step(y, i):
+        t = t0 + i * h
+        k1 = vel(t, y)
+        k2 = vel(t + h / 2, y + (h / 2) * k1)
+        k3 = vel(t + h / 2, y + (h / 2) * k2)
+        k4 = vel(t + h, y + h * k3)
+        return y + (h / 6) * (k1 + 2 * (k2 + k3) + k4), None
+
+    y, _ = jax.lax.scan(step, state, jnp.arange(nsteps, dtype=state.dtype))
+    return y
+
+
+# =========================================================================
+# public entry points (batched: leading dims vmapped)
+# =========================================================================
+
+def flow_available(kind, nstate, Ny, Nx, dtype=np.float32):
+    return _HAS_PALLAS and _stage_fits(kind, nstate, Ny, Nx, dtype)
+
+
+def _run_flow(state, phi_planes, proj, kind, nsteps, t0, t1, precision,
+              interpret=False):
+    """state: (..., nstate, Ny, Nx); phi_planes (gx,gy,hxx,hxy,hyy)
+    each (..., Ny, Nx). Chooses whole-flow vs per-stage granularity.
+
+    Unless interpret=True (test-only: run the kernel logic through the
+    pallas interpreter on any backend), the call is staged through
+    jax.lax.platform_dependent: the native Mosaic kernel lowers only
+    for TPU targets, every other platform gets the identical lax.scan
+    integrator — so the 'pallas' backend is safe inside jit regardless
+    of where the trace eventually executes."""
+    assert _HAS_PALLAS
+    nstate, Ny, Nx = state.shape[-3:]
+    mats = _mats_for(proj, state.dtype)
+    if _flow_fits(kind, nstate, Ny, Nx, state.dtype):
+        call = _flow_call
+    elif _stage_fits(kind, nstate, Ny, Nx, state.dtype):
+        call = _stage_call
+    else:
+        raise ValueError(
+            f"map {Ny}x{Nx} too large even for the per-stage fused kernel "
+            f"under a {_VMEM_BUDGET_MB:.0f}MB VMEM budget; use the scan path")
+    fn = lambda s, pp: call(s, pp, mats, kind, int(nsteps),
+                            float(t0), float(t1), precision, interpret)
+    batch = state.shape[:-3]
+    for _ in batch:
+        fn = jax.vmap(fn)
+    if interpret:
+        return fn(state, phi_planes)
+    return jax.lax.platform_dependent(
+        tpu=lambda: fn(state, phi_planes),
+        default=lambda: _scan_fallback(state, phi_planes, proj, kind,
+                                       nsteps, t0, t1))
+
+
+def pallas_flow_apply(f_map, g, h, t0, t1, nsteps, proj, kind="forward",
+                      precision="f32", interpret=False):
+    """Integrate the forward or adjoint LenseFlow from t0 to t1.
+    f_map: (..., ncomp, Ny, Nx); g=(gx,gy), h=(hxx,hxy,hyy) map planes
+    broadcastable to (..., Ny, Nx)."""
+    batch = jnp.broadcast_shapes(f_map.shape[:-3], g[0].shape[:-2])
+    f_map = jnp.broadcast_to(f_map, batch + f_map.shape[-3:])
+    phi_planes = tuple(jnp.broadcast_to(p, batch + p.shape[-2:])
+                       for p in (*g, *h))
+    return _run_flow(f_map, phi_planes, proj, kind, nsteps, t0, t1, precision,
+                     interpret)
+
+
+def pallas_flow_bwd(dy, f1, g, h, t0, t1, nsteps, proj, precision="f32",
+                    interpret=False):
+    """Integrate the coupled (f, delta_f, delta_phi) transpose-delta
+    system from t1 back to t0 starting at (f1, dy, 0); returns
+    (dphi, df0). Mirrors models/lenseflow.py::_lenseflow_bwd."""
+    ncomp = f1.shape[-3]
+    batch = jnp.broadcast_shapes(f1.shape[:-3], dy.shape[:-3],
+                                 g[0].shape[:-2])
+    f1 = jnp.broadcast_to(f1, batch + f1.shape[-3:])
+    dy = jnp.broadcast_to(dy, batch + dy.shape[-3:])
+    dphi0 = jnp.zeros(batch + (1,) + f1.shape[-2:], f1.dtype)
+    state = jnp.concatenate([f1, dy, dphi0], axis=-3)
+    phi_planes = tuple(jnp.broadcast_to(p, batch + p.shape[-2:])
+                       for p in (*g, *h))
+    out = _run_flow(state, phi_planes, proj, "backward", nsteps, t1, t0,
+                    precision, interpret)
+    df0 = out[..., ncomp:2 * ncomp, :, :]
+    dphi = out[..., 2 * ncomp:, :, :]
+    return dphi, df0
+
+
+# --- legacy wrappers kept for the existing tests ---------------------------
+
+def pallas_lenseflow_apply(f_map, g, h, t0, t1, nsteps, proj):
+    return pallas_flow_apply(f_map, g, h, t0, t1, nsteps, proj,
+                             kind="forward")
 
 
 def lenseflow_apply_fused(phi_map, f_map, t0, t1, nsteps, proj):
-    """Convenience wrapper computing grad/Hess(phi) then running the
-    fused kernel. Falls back to the lax.scan implementation if Pallas
-    is unavailable."""
+    """Compute grad/Hess(phi) then run the fused forward kernel; falls
+    back to the lax.scan implementation if Pallas is unavailable."""
     from ..models.lenseflow import _gradhess_phi, _rk4, _velocity
     g, h = _gradhess_phi(phi_map, proj)
     if not _HAS_PALLAS:
         return _rk4(lambda t, y: _velocity(t, y, g, h, proj), f_map, t0, t1, nsteps)
-    return pallas_lenseflow_apply(f_map, g, h, float(t0), float(t1), int(nsteps), proj)
+    return pallas_flow_apply(f_map, g, h, float(t0), float(t1), int(nsteps), proj)

@@ -62,7 +62,8 @@ def rk4_integrate(F: Callable, y0, t0, t1, nsteps: int):
     return y
 
 
-def conjugate_gradient(M, A, b, x0=None, nsteps=500, tol=1e-1, fixed_iters=False):
+def conjugate_gradient(M, A, b, x0=None, nsteps=500, tol=1e-1, fixed_iters=False,
+                       record_history=False):
     """Solve A x = b (A positive definite) by preconditioned CG.
 
     M, A: callables applying the preconditioner-inverse-ish solve and
@@ -73,7 +74,11 @@ def conjugate_gradient(M, A, b, x0=None, nsteps=500, tol=1e-1, fixed_iters=False
 
     Stops when the (per-batch) residual dot(r, z) < tol for all batch
     entries, or after nsteps. Returns (bestx, info) where info has the
-    final iteration count and residual.
+    final iteration count and residual; with record_history=True, info
+    also carries "res_history", a fixed-length (nsteps+1, ...) residual
+    trace recorded *inside* jit (NaN past the converged iteration) —
+    the in-graph analog of the reference's history_keys machinery
+    (src/numerical_algorithms.jl:60-71).
     """
     def _apply(op, x):
         if callable(op) and not hasattr(op, "solve"):
@@ -94,11 +99,11 @@ def conjugate_gradient(M, A, b, x0=None, nsteps=500, tol=1e-1, fixed_iters=False
     res0 = tree_dot(r0, z0)
 
     def cond(carry):
-        i, x, r, z, p, res, bestres, bestx = carry
+        i, x, r, z, p, res, bestres, bestx, hist = carry
         return jnp.logical_and(i < nsteps, jnp.any(res > tol))
 
     def body(carry):
-        i, x, r, z, p, res, bestres, bestx = carry
+        i, x, r, z, p, res, bestres, bestx, hist = carry
         Ap = _apply(A, p)
         pAp = tree_dot(p, Ap)
         # guarded divisions: in fixed-iteration mode the loop runs past
@@ -113,7 +118,9 @@ def conjugate_gradient(M, A, b, x0=None, nsteps=500, tol=1e-1, fixed_iters=False
         better = res_new < bestres
         bestx = _tmap(lambda bxi, xi: jnp.where(_bb_arr(better, xi), xi, bxi), bestx, x)
         bestres = jnp.where(better, res_new, bestres)
-        return (i + 1, x, r, z, p, res_new, bestres, bestx)
+        if hist is not None:
+            hist = hist.at[i + 1].set(res_new)
+        return (i + 1, x, r, z, p, res_new, bestres, bestx, hist)
 
     def _bb(s, leaf):
         """Broadcast per-batch scalar s against a leaf's array."""
@@ -130,7 +137,12 @@ def conjugate_gradient(M, A, b, x0=None, nsteps=500, tol=1e-1, fixed_iters=False
             return s
         return s.reshape(s.shape + (1,) * (leaf.ndim - s.ndim))
 
-    carry0 = (jnp.asarray(0), x0, r0, z0, p0, res0, res0, x0)
+    hist0 = None
+    if record_history:
+        res0a = jnp.asarray(res0)
+        hist0 = jnp.full((nsteps + 1,) + res0a.shape, jnp.nan,
+                         dtype=res0a.dtype).at[0].set(res0a)
+    carry0 = (jnp.asarray(0), x0, r0, z0, p0, res0, res0, x0, hist0)
     if fixed_iters:
         # static trip count (lax.scan): no data-dependent control flow —
         # preferred on TPU (no host sync; some backends can't run
@@ -138,10 +150,13 @@ def conjugate_gradient(M, A, b, x0=None, nsteps=500, tol=1e-1, fixed_iters=False
         def sbody(carry, _):
             return body(carry), None
         carry, _ = jax.lax.scan(sbody, carry0, None, length=nsteps)
-        i, x, r, z, p, res, bestres, bestx = carry
+        i, x, r, z, p, res, bestres, bestx, hist = carry
     else:
-        i, x, r, z, p, res, bestres, bestx = jax.lax.while_loop(cond, body, carry0)
-    return bestx, {"iterations": i, "res": bestres}
+        i, x, r, z, p, res, bestres, bestx, hist = jax.lax.while_loop(cond, body, carry0)
+    info = {"iterations": i, "res": bestres}
+    if record_history:
+        info["res_history"] = hist
+    return bestx, info
 
 
 def conjugate_gradient_with_history(M, A, b, x0=None, nsteps=100, tol=1e-1,
@@ -201,7 +216,20 @@ def conjugate_gradient_with_history(M, A, b, x0=None, nsteps=100, tol=1e-1,
 
 def gmres(A, b, maxiter, Pl=None):
     """Dense small-Krylov GMRES over flattened pytrees
-    (reference src/numerical_algorithms.jl:193-214)."""
+    (reference src/numerical_algorithms.jl:193-214).
+
+    NOTE: like the reference, this builds an *unorthogonalized* power
+    basis (Pl A)^i Pl b and solves by lstsq. The columns become
+    numerically dependent after ~10 iterations, so larger maxiter
+    silently stops improving (lstsq on a rank-deficient basis is
+    stable but adds nothing). Its one consumer, BilinearLens.solve,
+    converges in <10; maxiter is clamped to 12 here to keep the
+    footgun disarmed."""
+    if maxiter > 12:
+        import warnings
+        warnings.warn("gmres: power-Krylov basis degenerates beyond ~10 "
+                      "iterations; clamping maxiter to 12", stacklevel=2)
+        maxiter = 12
     leaves, treedef = jax.tree_util.tree_flatten(b)
     shapes = [l.shape for l in leaves]
     sizes = [int(jnp.size(l)) for l in leaves]

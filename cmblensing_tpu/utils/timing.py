@@ -50,9 +50,22 @@ def timed_fn(label: str):
     return deco
 
 
-def timer_report():
+def timers_snapshot():
+    """Copy of the registry, for delta reports (timer_report(since=...))."""
+    return {k: tuple(v) for k, v in _timers.items()}
+
+
+def timer_report(since=None):
+    """Formatted table of accumulated timings; pass since= an earlier
+    timers_snapshot() to report only the delta (the analog of the
+    reference's per-step merged worker timers, src/sampling.jl:296-328)."""
     lines = ["label                              total(s)   calls    avg(ms)"]
     for k, (tot, n) in sorted(_timers.items(), key=lambda kv: -kv[1][0]):
+        if since is not None:
+            t0, n0 = since.get(k, (0.0, 0))
+            tot, n = tot - t0, n - n0
+            if n == 0 and tot <= 0:
+                continue
         lines.append(f"{k:<34s} {tot:8.3f} {n:7d} {1e3 * tot / max(n, 1):9.2f}")
     return "\n".join(lines)
 

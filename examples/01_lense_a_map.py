@@ -9,10 +9,11 @@ import jax
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# pedagogical example: run eagerly on CPU (remote-tunneled TPU
-# attachments can't run eager complex ops; on a directly-attached TPU
-# you can drop this line)
-jax.config.update("jax_default_device", jax.devices("cpu")[0])
+# default to CPU for eager pedagogy (remote-tunneled TPU attachments
+# can't run eager complex ops); set CMBL_EXAMPLE_DEVICE=tpu on a
+# directly-attached chip to run the example there
+_dev = os.environ.get("CMBL_EXAMPLE_DEVICE", "cpu")
+jax.config.update("jax_default_device", jax.devices(_dev)[0])
 
 from cmblensing_tpu import (
     ProjLambert, Cl_to_Cov, camb, LenseFlow, get_Cl,

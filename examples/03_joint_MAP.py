@@ -8,10 +8,11 @@ import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
-# pedagogical example: run on CPU (remote-tunneled TPU attachments
-# can't run the eager tail ops; drop this on a directly-attached TPU
-# or use scripts/map_1024.py for the on-chip workflow)
-jax.config.update("jax_default_device", jax.devices("cpu")[0])
+# default to CPU (remote-tunneled TPU attachments can't run the eager
+# tail ops); set CMBL_EXAMPLE_DEVICE=tpu on a directly-attached chip,
+# or use scripts/map_1024.py for the fully on-chip workflow
+_dev = os.environ.get("CMBL_EXAMPLE_DEVICE", "cpu")
+jax.config.update("jax_default_device", jax.devices(_dev)[0])
 
 from cmblensing_tpu import load_sim, MAP_joint
 from cmblensing_tpu.core import field as F

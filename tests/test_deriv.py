@@ -57,35 +57,73 @@ def test_dij_sum_consistency():
     assert float(jnp.max(jnp.abs(outs[0] - outs[1]))) < 5e-3 * float(jnp.max(jnp.abs(outs[0])))
 
 
-def test_pallas_kernel_interpret_matches_scan():
-    """Fused Pallas LenseFlow (interpreter mode, CPU-safe) equals the
-    lax.scan integrator."""
-    from jax.experimental import pallas as pl
-    from cmblensing_tpu.models.lenseflow import _gradhess_phi, _rk4, _velocity
-    from cmblensing_tpu.ops import pallas_lenseflow as plf
-    from cmblensing_tpu.ops.deriv import _deriv_matrices
-
-    deriv.set_deriv_mode("matmul")
-    N = 32
+def _weak_lensing_setup(N=32, ncomp=2):
     proj = ProjLambert(N, N, thetapix=3, T=np.float32)
-    key = jax.random.PRNGKey(0)
-    # smooth, weak phi
     phi_f = jnp.zeros((1, N, N // 2 + 1), dtype=jnp.complex64)
     phi_f = phi_f.at[0, 1, 1].set(1e-3)   # weak-lensing-regime deflection
     phi = jnp.fft.irfft2(phi_f, s=(N, N))
-    f = jax.random.normal(jax.random.fold_in(key, 1), (2, N, N))
-    g, h = _gradhess_phi(phi, proj)
-    ref = _rk4(lambda t, y: _velocity(t, y, g, h, proj), f, 0., 1., 7)
+    f = jax.random.normal(jax.random.PRNGKey(1), (ncomp, N, N))
+    return proj, phi, f
 
-    Dx1, _ = _deriv_matrices(N, float(proj.deltax), "float32")
-    Dy1, _ = _deriv_matrices(N, float(proj.deltax), "float32")
-    kern = functools.partial(plf._kernel, nsteps=7, t0=0., t1=1., ncomp=2)
-    out = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((2, N, N), jnp.float32),
-        interpret=True,
-    )(f, g[0], g[1], h[0], h[1], h[2], jnp.asarray(Dx1.T.copy()), jnp.asarray(Dy1))
-    assert float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref))) < 1e-3
+
+def test_pallas_flows_interpret_match_scan():
+    """All three fused Pallas flows (forward, adjoint, backward
+    transpose-delta) equal the lax.scan integrator, in interpreter mode
+    (CPU-safe; a real-TPU compiled check lives in test_lensing.py)."""
+    from cmblensing_tpu.models.lenseflow import (
+        _gradhess_phi, _rk4, _velocity, _velocity_adj, _lenseflow_bwd)
+    from cmblensing_tpu.ops import pallas_lenseflow as plf
+
+    deriv.set_deriv_mode("matmul")
+    proj, phi, f = _weak_lensing_setup()
+    g, h = _gradhess_phi(phi, proj)
+    nsteps = 3
+
+    rel = lambda a, b: float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(b)))
+
+    ref = _rk4(lambda t, y: _velocity(t, y, g, h, proj), f, 0., 1., nsteps)
+    out = plf.pallas_flow_apply(f, g, h, 0., 1., nsteps, proj, "forward",
+                                interpret=True)
+    assert rel(out, ref) < 1e-5
+
+    ref = _rk4(lambda t, y: _velocity_adj(t, y, g, h, proj), f, 1., 0., nsteps)
+    out = plf.pallas_flow_apply(f, g, h, 1., 0., nsteps, proj, "adjoint",
+                                interpret=True)
+    assert rel(out, ref) < 1e-5
+
+    dy = jax.random.normal(jax.random.PRNGKey(2), f.shape)
+    dphi_ref, df0_ref = _lenseflow_bwd(0., 1., nsteps, proj, "scan", (phi, f), dy)
+    dphi, df0 = plf.pallas_flow_bwd(dy, f, g, h, 0., 1., nsteps, proj,
+                                    interpret=True)
+    assert rel(df0, df0_ref) < 1e-5
+    assert rel(dphi, dphi_ref) < 1e-5
+
+
+def test_pallas_stage_granularity_matches_flow():
+    """The per-stage (scan-driven) kernel path equals the whole-flow
+    kernel: force it by shrinking the VMEM budget."""
+    from cmblensing_tpu.ops import pallas_lenseflow as plf
+
+    deriv.set_deriv_mode("matmul")
+    proj, phi, f = _weak_lensing_setup(N=16)
+    from cmblensing_tpu.models.lenseflow import _gradhess_phi
+    g, h = _gradhess_phi(phi, proj)
+    ref = plf.pallas_flow_apply(f, g, h, 0., 1., 3, proj, "forward",
+                                interpret=True)
+    assert plf._flow_fits("forward", 2, 16, 16, np.float32)
+    old = plf._VMEM_BUDGET_MB
+    try:
+        # force stage granularity: below flow-fit, above stage-fit
+        plf._VMEM_BUDGET_MB = 0.018
+        assert not plf._flow_fits("forward", 2, 16, 16, np.float32)
+        assert plf._stage_fits("forward", 2, 16, 16, np.float32)
+        out = plf.pallas_flow_apply(f, g, h, 0., 1., 3, proj, "forward",
+                                    interpret=True)
+    finally:
+        plf._VMEM_BUDGET_MB = old
+    # f32 association differs between the in-kernel RK combination and
+    # the lax.scan one; ~1e-5 relative is expected rounding noise
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-4 * float(jnp.max(jnp.abs(ref)))
 
 
 def test_matmul_precision_pinned_in_jaxpr():

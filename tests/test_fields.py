@@ -132,3 +132,46 @@ def test_vmap_and_jit_through_fields():
     # grad through conversion + dot
     g = jax.grad(lambda f: jnp.sum(F.dot(f.to(FOURIER), f.to(FOURIER))))(f)
     assert jnp.allclose(g.arr, 2 * f.arr, atol=1e-4)
+
+
+def test_sum_accuracy_modes():
+    """kahan / float64 sum modes (reference src/util.jl:288-316) beat
+    plain f32 summation on an adversarial ill-conditioned sum, and all
+    modes agree on well-conditioned data."""
+    import jax
+    from cmblensing_tpu.utils import summation as sm
+
+    # adversarial: huge value + many tiny ones that f32-cancel
+    n = 64
+    arr = np.full((1, n, n), 1e-4, np.float32)
+    arr[0, 0, 0] = 1e7
+    arr[0, 0, 1] = -1e7
+    z = jnp.asarray(arr)
+    exact = 1e-4 * (n * n - 2)
+    err = {}
+    for mode in ["fast", "kahan"]:
+        err[mode] = abs(float(sm.asum(z, mode=mode)) - exact)
+    assert err["kahan"] <= err["fast"] + 1e-12
+    assert err["kahan"] < 1e-3 * abs(exact)
+
+    # well-conditioned random data: all modes agree closely
+    key = jax.random.PRNGKey(0)
+    y = jax.random.normal(key, (2, 3, 16, 16))
+    s_fast = np.asarray(sm.asum(y, mode="fast"))
+    s_kahan = np.asarray(sm.asum(y, mode="kahan"))
+    assert np.allclose(s_fast, s_kahan, rtol=1e-5)
+    assert s_fast.shape == (2,)
+
+    # the global switch reaches field dot
+    from cmblensing_tpu.core.proj import ProjLambert
+    from cmblensing_tpu.core.field import Field, dot
+    from cmblensing_tpu.core.basis import Basis
+    proj = ProjLambert(16, 16, thetapix=3, T=np.float32)
+    f = Field(jax.random.normal(key, (1, 16, 16)), Basis("I", "map"), proj)
+    d_fast = float(dot(f, f))
+    try:
+        sm.set_sum_mode("kahan")
+        d_kahan = float(dot(f, f))
+    finally:
+        sm.set_sum_mode("fast")
+    assert abs(d_fast - d_kahan) < 1e-4 * abs(d_fast)

@@ -18,6 +18,32 @@ def test_muse_micro():
 
 
 @pytest.mark.slow
+def test_muse_sigma_consistency():
+    """Recovered Aphi is within a few sigma of truth across seeds, with
+    H recomputed at the converged theta by seed-matched two-sided
+    differences (VERDICT r1 item 6; reference semantics
+    ext/CMBLensingMuseInferenceExt.jl:45-88)."""
+    pulls = []
+    for seed in [1, 2, 3]:
+        out = load_sim(thetapix=5, Nside=16, pol="I", T=np.float32, seed=seed)
+        ds = out["ds"]
+        truth = 1.5
+        sim = ds.at(dict(Aphi=truth)).simulate(
+            jax.random.PRNGKey(100 + seed), theta=dict(Aphi=truth))
+        dsd = ds.replace(d=sim["d"])
+        res = muse(dsd, dict(Aphi=1.0), nsims=8, nsteps=3,
+                   key=jax.random.PRNGKey(seed),
+                   MAP_kwargs=dict(nsteps=3,
+                                   conjgrad_kwargs=dict(tol=1e-2, nsteps=30)))
+        sigma = float(np.sqrt(res["Sigma"][0, 0]))
+        assert np.isfinite(sigma) and sigma > 0
+        pulls.append((res["theta"]["Aphi"] - truth) / sigma)
+    # each seed within 4 sigma; tiny 16^2 maps have broad posteriors so
+    # this mostly guards against bias from a stale/one-sided H
+    assert np.all(np.abs(pulls) < 4.0), f"pulls={pulls}"
+
+
+@pytest.mark.slow
 def test_muse_score_monotone():
     """Score at fixed theta increases with the Aphi of the data."""
     out = load_sim(thetapix=3, Nside=32, pol="I", T=np.float32, seed=9)

@@ -183,3 +183,113 @@ def test_equirect_solve_roundtrip(er_proj, spectra, pol):
     d = float(jnp.max(jnp.abs(rt.arr - f.to(rt.basis).arr)))
     m = float(jnp.max(jnp.abs(f.to(rt.basis).arr)))
     assert d < 1e-3 * m
+
+
+# =========================================================================
+# AD / jit / batching through EquiRect (VERDICT r1 item 8; mirrors the
+# reference's EquiRect AD tests, test/runtests.jl:625-752)
+# =========================================================================
+
+def _fd_grad(fun, x, eps=1e-3):
+    """Central finite-difference gradient of scalar fun at numpy x."""
+    g = np.zeros_like(x)
+    it = np.nditer(x, flags=["multi_index"])
+    while not it.finished:
+        i = it.multi_index
+        xp = x.copy(); xp[i] += eps
+        xm = x.copy(); xm[i] -= eps
+        g[i] = (fun(xp) - fun(xm)) / (2 * eps)
+        it.iternext()
+    return g
+
+
+@pytest.mark.parametrize("pol", ["I", "P"])
+def test_equirect_ad_quadratic_form(er_proj, spectra, pol):
+    """jax.grad of f -> f' C f (through the az transform and the block
+    matvec) matches central finite differences."""
+    lmax, ell, CE, CB = spectra
+    if pol == "I":
+        C = Cl_to_Cov_EquiRect("I", er_proj, CE, lmax=lmax)
+        shape, basis = (4, 8), "map"
+        proj_small = ProjEquiRect(Ny=4, Nx=8, theta_span=(1.2, 1.8),
+                                  phi_span=(0, 2 * np.pi))
+        C = Cl_to_Cov_EquiRect("I", proj_small, CE, lmax=lmax)
+    else:
+        proj_small = ProjEquiRect(Ny=4, Nx=8, theta_span=(1.2, 1.8),
+                                  phi_span=(0, 2 * np.pi))
+        C = Cl_to_Cov_EquiRect("P", proj_small, CE, CB, lmax=lmax)
+        shape, basis = (2, 4, 8), "qu_map"
+
+    def obj(arr):
+        f = EquiRectField(jnp.asarray(arr, jnp.float32), basis, proj_small)
+        return 0.5 * er_dot(f, C @ f).real.astype(jnp.float32)
+
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(3), shape), np.float64)
+    g_ad = np.asarray(jax.grad(lambda a: obj(a))(jnp.asarray(x, jnp.float32)))
+    g_fd = _fd_grad(lambda a: float(obj(a)), x.astype(np.float32), eps=3e-2)
+    denom = np.abs(g_fd).max() + 1e-12
+    assert np.abs(g_ad - g_fd).max() < 5e-2 * denom
+
+
+def test_equirect_jit_matvec_solve_logpdf(er_proj, spectra):
+    """BlockDiagEquiRect matvec/solve/logabsdet and the EquiRect
+    MvNormal logpdf all compile under jit."""
+    from cmblensing_tpu.models.distributions import MvNormal
+    lmax, ell, CE, CB = spectra
+    C = Cl_to_Cov_EquiRect("I", er_proj, CE, lmax=lmax)
+    f = C.simulate(jax.random.PRNGKey(4))
+
+    @jax.jit
+    def go(C, f):
+        y = C @ f
+        x = C.solve(y)
+        lp = MvNormal(0, C).logpdf(f)
+        return x, lp
+
+    x, lp = go(C, f)
+    assert np.isfinite(float(lp))
+    assert float(jnp.max(jnp.abs(x.arr - f.to(x.basis).arr))) < 1e-3 * float(
+        jnp.max(jnp.abs(f.to(x.basis).arr)))
+    # logpdf of a sample should be in a sane range (not degenerate)
+    lp2 = float(jax.jit(lambda C, f: MvNormal(0, C).logpdf(f))(C, C.simulate(jax.random.PRNGKey(5))))
+    assert np.isfinite(lp2)
+
+
+@pytest.mark.parametrize("pol", ["I", "P"])
+def test_equirect_batched(er_proj, spectra, pol):
+    """Leading batch axes flow through matvec, solve and simulate;
+    batched results equal per-entry results."""
+    lmax, ell, CE, CB = spectra
+    if pol == "I":
+        C = Cl_to_Cov_EquiRect("I", er_proj, CE, lmax=lmax)
+    else:
+        C = Cl_to_Cov_EquiRect("P", er_proj, CE, CB, lmax=lmax)
+    fb = C.simulate(jax.random.PRNGKey(6), batch_shape=(3,))
+    assert fb.arr.shape[0] == 3
+    yb = C @ fb
+    xb = C.solve(yb)
+    for i in range(3):
+        fi = EquiRectField(fb.arr[i], fb.basis, er_proj)
+        yi = C @ fi
+        assert float(jnp.max(jnp.abs(yb.arr[i] - yi.arr))) < 1e-4 * float(
+            jnp.max(jnp.abs(yi.arr)) + 1e-20)
+        assert float(jnp.max(jnp.abs(xb.arr[i] - fi.to(xb.basis).arr))) < 1e-3 * float(
+            jnp.max(jnp.abs(fi.to(xb.basis).arr)))
+
+
+def test_equirect_sqrt_pinv_ad():
+    """Gradients flow through sqrt/pinv (SVD-based) without NaNs."""
+    proj = ProjEquiRect(Ny=4, Nx=8, theta_span=(1.2, 1.8),
+                        phi_span=(0, 2 * np.pi))
+    lmax = 20
+    ell = np.arange(lmax + 1)
+    CE = Cls(ell, np.where(ell >= 2, 1.0 / (ell + 1.0) ** 2, 0.0))
+    C = Cl_to_Cov_EquiRect("I", proj, CE, lmax=lmax)
+
+    def obj(scale):
+        Cs = BlockDiagEquiRect(C.blocks * scale, C.basis, C.proj)
+        f = EquiRectField(jnp.ones((4, 8), jnp.float32), "map", proj)
+        return er_dot(f, (Cs.sqrt() @ f)) + er_dot(f, Cs.pinv() @ f)
+
+    g = jax.grad(obj)(jnp.float32(1.0))
+    assert np.isfinite(float(g))
