@@ -151,18 +151,23 @@ _VELS = {"forward": _vel_forward, "adjoint": _vel_adjoint,
 
 
 def _rk4_steps(vel, y, t0, t1, nsteps):
-    """Classical RK4, python-unrolled (inside a kernel) over a list-of-
-    planes state."""
+    """Classical RK4 over a list-of-planes state, inside a kernel. The
+    step loop is a lax.fori_loop so the Mosaic program holds ONE step's
+    code (4 velocity evaluations) instead of nsteps unrolled copies —
+    cuts compile time ~nsteps-fold with identical VMEM residency."""
     h = (t1 - t0) / nsteps
-    for i in range(nsteps):
-        t = t0 + i * h
+    n = len(y)
+
+    def body(i, y):
+        t = t0 + i.astype(y[0].dtype) * h
         k1 = vel(t, y)
-        k2 = vel(t + h / 2, [y[c] + (h / 2) * k1[c] for c in range(len(y))])
-        k3 = vel(t + h / 2, [y[c] + (h / 2) * k2[c] for c in range(len(y))])
-        k4 = vel(t + h, [y[c] + h * k3[c] for c in range(len(y))])
-        y = [y[c] + (h / 6) * (k1[c] + 2 * (k2[c] + k3[c]) + k4[c])
-             for c in range(len(y))]
-    return y
+        k2 = vel(t + h / 2, [y[c] + (h / 2) * k1[c] for c in range(n)])
+        k3 = vel(t + h / 2, [y[c] + (h / 2) * k2[c] for c in range(n)])
+        k4 = vel(t + h, [y[c] + h * k3[c] for c in range(n)])
+        return tuple(y[c] + (h / 6) * (k1[c] + 2 * (k2[c] + k3[c]) + k4[c])
+                     for c in range(n))
+
+    return list(jax.lax.fori_loop(0, nsteps, body, tuple(y)))
 
 
 def _plane_mb(Ny, Nx, dtype):
@@ -278,12 +283,31 @@ def _stage_kernel(t_ref, *refs, kind, nstate, ncomp, precision):
     out_ref = refs[8]
     phi_planes = (gx, gy, hxx, hxy, hyy)
     t = t_ref[0]
-    y = [state_ref[c] for c in range(nstate)]
-    base = _VELS[kind]
     if kind == "backward":
-        k = base(t, y, phi_planes, ddx, ddy, ncomp)
-    else:
-        k = base(t, y, phi_planes, ddx, ddy)
+        # stream outputs into out_ref as they are produced — keeps peak
+        # VMEM liveness ~4 planes lower than building the full velocity
+        # list first, which is what lets this kernel fit at 1024^2
+        px, py = _p_of_t(t, gx, gy, hxx, hxy, hyy)
+        m11, m12, m22 = _minv_of_t(t, hxx, hxy, hyy)
+        wx = None
+        wy = None
+        for c in range(ncomp):
+            fc = state_ref[c]
+            dfc = state_ref[ncomp + c]
+            fx = ddx(fc)
+            fy = ddy(fc)
+            out_ref[c] = px * fx + py * fy
+            out_ref[ncomp + c] = ddx(px * dfc) + ddy(py * dfc)
+            wx = dfc * fx if wx is None else wx + dfc * fx
+            wy = dfc * fy if wy is None else wy + dfc * fy
+        ux = m11 * wx + m12 * wy
+        uy = m12 * wx + m22 * wy
+        out_ref[2 * ncomp] = (
+            ddx(ux + ddx(t * px * ux) + ddy(t * py * ux))
+            + ddy(uy + ddx(t * px * uy) + ddy(t * py * uy)))
+        return
+    y = [state_ref[c] for c in range(nstate)]
+    k = _VELS[kind](t, y, phi_planes, ddx, ddy)
     for c in range(nstate):
         out_ref[c] = k[c]
 
