@@ -65,15 +65,34 @@ from .parallel.mesh import (
     make_mesh, shard_batch, replicate, local_mesh, distributed_initialize, proc_info,
 )
 from .core.field import fgrad, fvalue_and_grad
-from .core.field_tuple import FieldTuple, DiagFieldTuple
+from .core.field_tuple import FieldTuple
+from .core.field_tuple import DiagFieldTuple
+from .core.field_vectors import (FieldVector, FieldMatrix, gradient_vector,
+                                 hessian_matrix, magnification_matrix)
 from .core.proj_equirect import (
     ProjEquiRect, EquiRectField, BlockDiagEquiRect, Cl_to_Cov_EquiRect,
     Cl_to_Beam_EquiRect, mapblocks,
 )
 from .core.proj_healpix import ProjHealpix, HealpixField, project
-from .utils.cls import smooth, get_rho_l, shift_l, get_l4Cl, ell2, ell4, toCl, toDl
+from .utils.cls import (smooth, get_rho_l, shift_l, get_l4Cl, ell2, ell4,
+                        toCl, toDl)
 from .utils.timing import timed, timer_report, reset_timers
 from .utils.transfer import device_put_safe, device_get_safe
 from .ops.deriv import set_deriv_mode, get_deriv_mode, set_matmul_precision
 from .ops.fft import set_fft_mode, get_fft_mode
 from .utils.summation import set_sum_mode, get_sum_mode
+
+# export-list parity with the reference (src/CMBLensing.jl:94-117)
+from .core.ops import nan2zero, SymmetricFuncOp, gradient
+from .utils.plotting import animate
+from .utils.summation import asum as _asum  # noqa: F401 (sum modes exported above)
+from .inference.sampling import (
+    gibbs_sample_f, gibbs_sample_phi, gibbs_sample_slice_theta,
+    gibbs_mix, gibbs_unmix, gibbs_postprocess, once_every, start_after_burnin,
+)
+
+
+def expnorm(x):
+    """exp(x - max(x)) (reference src/util.jl:325)."""
+    import jax.numpy as _jnp
+    return _jnp.exp(x - _jnp.max(x))

@@ -324,6 +324,9 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
     key = key if key is not None else jax.random.PRNGKey(0)
     prev_phi_mix = prev_g = None
 
+    from ..utils.progress import progress_bar
+    pbar_cm = progress_bar(nsteps, "MAP_joint", enabled=progress)
+    pbar = pbar_cm.__enter__()
     for step in range(1, nsteps + 1):
         # f-step
         with timed("MAP_joint/f_step"):
@@ -377,9 +380,9 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
             jnp.asarray(alpha, jnp.float32))
         lp, dnorm = float(lp_dev), float(dnorm_dev)
         alpha_h = alpha_s if np.ndim(alpha) == 0 or np.size(alpha) == 1 else np.asarray(alpha)
-        if progress:
-            print(f"MAP_joint step {step}: logpdf={lp:.2f} alpha={alpha_s:.3g} "
-                  f"CG={int(cg_info['iterations'])} linesearch={nfev}")
+        # reference ProgressMeter showvalues parity (maximization.jl:209-216)
+        pbar.update(logpdf=lp, alpha=float(alpha_s),
+                    CG=int(cg_info["iterations"]), ls=nfev)
         entry = {}
         if "logpdf" in history_keys:
             entry["logpdf"] = lp
@@ -404,6 +407,7 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
         if step > minsteps and dnorm * alpha_s < gradtol:
             break
 
+    pbar_cm.__exit__(None, None, None)
     return dict(f=f, phi=phi, history=history)
 
 

@@ -404,6 +404,10 @@ def sample_joint(
         writer = CheckpointWriter(_ckpt_name(filename), append=bool(resume))
 
     chunk = []
+    from ..utils.progress import progress_bar
+    pbar_cm = progress_bar(nsamps_per_chain - start_step, "sample_joint",
+                           enabled=progress)
+    pbar = pbar_cm.__enter__()
     try:
         for step in range(start_step + 1, nsamps_per_chain + 1):
             states["step"] = step
@@ -419,8 +423,13 @@ def sample_joint(
             chunk.append(entry)
             if progress:
                 lp = states.get("logpdf")
-                lps = np.array2string(np.atleast_1d(np.asarray(lp)), precision=2) if lp is not None else ""
-                print(f"gibbs step {step}: logpdf={lps} accept={np.asarray(states.get('accept'))}")
+                acc = states.get("accept")
+                sv = {}
+                if lp is not None:
+                    sv["logpdf"] = float(np.mean(np.asarray(lp)))
+                if acc is not None:
+                    sv["accept"] = float(np.mean(np.asarray(acc)))
+                pbar.update(**sv)
             if writer and (step % nfilewrite == 0):
                 _write_chunk(writer, chunk, states)
                 chunk = []
@@ -428,6 +437,7 @@ def sample_joint(
         if writer and chunk:
             _write_chunk(writer, chunk, states)
     finally:
+        pbar_cm.__exit__(None, None, None)
         if writer:
             writer.flush()
             writer.close()

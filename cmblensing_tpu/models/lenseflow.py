@@ -238,15 +238,12 @@ def _backward_velocity(t, state, g, h, proj):
     wy = jnp.sum(df * fy, axis=-3)
     ux = m11 * wx + m12 * wy
     uy = m12 * wx + m22 * wy
-    # first term: -grad'.(u) = +div(u)  [phi-type, single comp]
-    ddphi = _div(ux[..., None, :, :], uy[..., None, :, :], proj)
-    # second term: sum_{i,j} d_i d_j (t * p_j * u_i)
-    # components: s_ij = t * p_j * u_i
-    s = jnp.stack([
-        t * px * ux, t * py * ux,     # j=x,i=x ; j=y,i=x
-        t * px * uy, t * py * uy,     # j=x,i=y ; j=y,i=y
-    ], axis=-3)
-    ddphi = ddphi + _deriv_dij_sum(s, proj)
+    # div(u) + sum_ij d_i d_j (t p_j u_i), regrouped into 6 matmuls
+    # (ops/deriv.py::div_plus_dij; matches the fused pallas B kernel)
+    from ..ops.deriv import div_plus_dij
+    ddphi = div_plus_dij(ux, uy,
+                         t * px * ux, t * py * ux,
+                         t * px * uy, t * py * uy, proj)[..., None, :, :]
 
     return (dfdt, ddf, ddphi)
 

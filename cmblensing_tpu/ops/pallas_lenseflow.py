@@ -45,9 +45,12 @@ except ImportError:  # pragma: no cover
     _HAS_PALLAS = False
 
 
-# v5e VMEM is 128MB; leave headroom for Mosaic's own scratch. Override
-# with CMBL_PALLAS_VMEM_MB for other generations.
-_VMEM_BUDGET_MB = float(os.environ.get("CMBL_PALLAS_VMEM_MB", "100"))
+# v5e VMEM is 128MB raw (measured: a trivial copy kernel fits 64MB in +
+# 64MB out), but matmul kernels carry Mosaic staging overhead: the
+# backward stage kernel compiles at an ~83MB live-plane estimate and
+# fails at ~95MB. Budget 85MB steers granularity selection to what the
+# hardware actually accepts. Override with CMBL_PALLAS_VMEM_MB.
+_VMEM_BUDGET_MB = float(os.environ.get("CMBL_PALLAS_VMEM_MB", "85"))
 
 
 def _dot_kwargs(precision: str):
@@ -349,11 +352,150 @@ def _stage_call(state, phi_planes, mats, kind, nsteps, t0, t1, precision,
 
 
 # =========================================================================
+# split per-stage kernels (backward only): at sizes where even the
+# single fused velocity kernel exceeds the usable VMEM (the Mosaic
+# matmul staging overhead caps usable VMEM well below the 128MB raw
+# capacity at 1024^2), the velocity is computed as 2*ncomp+1 smaller
+# kernels with the cheap elementwise glue (p(t), M^-1(t), u = M^-1 w)
+# left to XLA. Matmuls stay fused with their adjacent elementwise work;
+# only ~50MB/stage of elementwise traffic rides HBM.
+# =========================================================================
+
+def _bwdA_kernel(f_ref, df_ref, px_ref, py_ref, dxt_ref, dy_ref, out_ref,
+                 *, precision):
+    """Per-component: dfdt, ddf, and the w-products."""
+    ddx, ddy = _make_ddx_ddy(dxt_ref[:], dy_ref[:], precision)
+    px = px_ref[:]
+    py = py_ref[:]
+    f = f_ref[:]
+    df = df_ref[:]
+    fx = ddx(f)
+    fy = ddy(f)
+    out_ref[0] = px * fx + py * fy            # df/dt
+    out_ref[1] = ddx(px * df) + ddy(py * df)  # d(delta_f)/dt
+    out_ref[2] = df * fx                      # w_x contribution
+    out_ref[3] = df * fy                      # w_y contribution
+
+
+def _bwdB_kernel(t_ref, ux_ref, uy_ref, px_ref, py_ref, dxt_ref, dy_ref,
+                 out_ref, *, precision):
+    """d(delta_phi)/dt from u = M^-1 w."""
+    ddx, ddy = _make_ddx_ddy(dxt_ref[:], dy_ref[:], precision)
+    t = t_ref[0]
+    ux = ux_ref[:]
+    uy = uy_ref[:]
+    px = px_ref[:]
+    py = py_ref[:]
+    out_ref[0] = (ddx(ux + ddx(t * px * ux) + ddy(t * py * ux))
+                  + ddy(uy + ddx(t * px * uy) + ddy(t * py * uy)))
+
+
+def _bwdAB_kernel(s_ref, a_ref, b_ref, px_ref, py_ref, dxt_ref, dy_ref,
+                  out_ref, *, precision):
+    """Role-switched union of the A and B kernels: the axon remote
+    compile helper aborts on XLA programs containing two *distinct*
+    Mosaic kernels at 1024^2 (many instances of ONE kernel are fine —
+    the stage-kernel scan compiles), so the split path emits a single
+    kernel whose scalar `role` selects the math.
+
+    role 0 (A): a=f_c, b=df_c -> out [dfdt, ddf, wx_c, wy_c]
+    role 1 (B): a=ux,  b=uy   -> out [ddphi, 0, 0, 0] (s[0] = t)
+    """
+    ddx, ddy = _make_ddx_ddy(dxt_ref[:], dy_ref[:], precision)
+    t = s_ref[0]
+    role = s_ref[1]
+    px = px_ref[:]
+    py = py_ref[:]
+    a = a_ref[:]
+    b = b_ref[:]
+
+    @pl.when(role == 0)
+    def _():
+        fx = ddx(a)
+        fy = ddy(a)
+        out_ref[0] = px * fx + py * fy
+        out_ref[1] = ddx(px * b) + ddy(py * b)
+        out_ref[2] = b * fx
+        out_ref[3] = b * fy
+
+    @pl.when(role != 0)
+    def _():
+        out_ref[0] = (ddx(a + ddx(t * px * a) + ddy(t * py * a))
+                      + ddy(b + ddx(t * px * b) + ddy(t * py * b)))
+        zero = jnp.zeros_like(a)
+        out_ref[1] = zero
+        out_ref[2] = zero
+        out_ref[3] = zero
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def _split_call(state, phi_planes, mats, kind, nsteps, t0, t1, precision,
+                interpret=False):
+    assert kind == "backward"
+    nstate, Ny, Nx = state.shape
+    ncomp = (nstate - 1) // 2
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    callAB = pl.pallas_call(
+        functools.partial(_bwdAB_kernel, precision=precision),
+        out_shape=jax.ShapeDtypeStruct((4, Ny, Nx), state.dtype),
+        in_specs=[smem] + [vm() for _ in range(6)],
+        out_specs=vm(),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )
+    gx, gy, hxx, hxy, hyy = phi_planes
+    DxT, Dy = mats
+
+    def vel(t, y):
+        px, py = _p_of_t(t, gx, gy, hxx, hxy, hyy)       # XLA elementwise
+        m11, m12, m22 = _minv_of_t(t, hxx, hxy, hyy)
+        tA = jnp.stack([t.astype(state.dtype) if hasattr(t, "astype")
+                        else jnp.asarray(t, state.dtype),
+                        jnp.asarray(0, state.dtype)])
+        tB = tA.at[1].set(1)
+        outs = [callAB(tA, y[c], y[ncomp + c], px, py, DxT, Dy)
+                for c in range(ncomp)]
+        wx = sum(o[2] for o in outs)
+        wy = sum(o[3] for o in outs)
+        ux = m11 * wx + m12 * wy
+        uy = m12 * wx + m22 * wy
+        ddphi = callAB(tB, ux, uy, px, py, DxT, Dy)[:1]
+        return jnp.concatenate([jnp.stack([o[0] for o in outs]),
+                                jnp.stack([o[1] for o in outs]),
+                                ddphi], axis=0)
+
+    h = (t1 - t0) / nsteps
+
+    def step(y, i):
+        t = t0 + i * h
+        k1 = vel(t, y)
+        k2 = vel(t + h / 2, y + (h / 2) * k1)
+        k3 = vel(t + h / 2, y + (h / 2) * k2)
+        k4 = vel(t + h, y + h * k3)
+        return y + (h / 6) * (k1 + 2 * (k2 + k3) + k4), None
+
+    y, _ = jax.lax.scan(step, state, jnp.arange(nsteps, dtype=state.dtype))
+    return y
+
+
+def _split_fits(kind, nstate, Ny, Nx, dtype):
+    """The split path exists only for the backward flow; its largest
+    kernel holds ~13 planes + the two derivative matrices."""
+    if kind != "backward":
+        return False
+    mats = _plane_mb(Ny, Ny, dtype) + _plane_mb(Nx, Nx, dtype)
+    return 13 * _plane_mb(Ny, Nx, dtype) + mats <= _VMEM_BUDGET_MB
+
+
+# =========================================================================
 # public entry points (batched: leading dims vmapped)
 # =========================================================================
 
 def flow_available(kind, nstate, Ny, Nx, dtype=np.float32):
-    return _HAS_PALLAS and _stage_fits(kind, nstate, Ny, Nx, dtype)
+    return _HAS_PALLAS and (_stage_fits(kind, nstate, Ny, Nx, dtype)
+                            or _split_fits(kind, nstate, Ny, Nx, dtype))
 
 
 def _run_flow(state, phi_planes, proj, kind, nsteps, t0, t1, precision,
@@ -374,9 +516,11 @@ def _run_flow(state, phi_planes, proj, kind, nsteps, t0, t1, precision,
         call = _flow_call
     elif _stage_fits(kind, nstate, Ny, Nx, state.dtype):
         call = _stage_call
+    elif _split_fits(kind, nstate, Ny, Nx, state.dtype):
+        call = _split_call
     else:
         raise ValueError(
-            f"map {Ny}x{Nx} too large even for the per-stage fused kernel "
+            f"map {Ny}x{Nx} too large even for the split fused kernels "
             f"under a {_VMEM_BUDGET_MB:.0f}MB VMEM budget; use the scan path")
     fn = lambda s, pp: call(s, pp, mats, kind, int(nsteps),
                             float(t0), float(t1), precision, interpret)

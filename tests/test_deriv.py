@@ -99,6 +99,28 @@ def test_pallas_flows_interpret_match_scan():
     assert rel(dphi, dphi_ref) < 1e-5
 
 
+def test_pallas_split_backward_matches_scan():
+    """The split (A/B kernels + XLA glue) backward path — used when the
+    single-stage velocity kernel exceeds VMEM at 1024^2 — equals the
+    scan integrator."""
+    from cmblensing_tpu.models.lenseflow import _gradhess_phi, _lenseflow_bwd
+    from cmblensing_tpu.ops import pallas_lenseflow as plf
+
+    deriv.set_deriv_mode("matmul")
+    proj, phi, f = _weak_lensing_setup()
+    dy = jax.random.normal(jax.random.PRNGKey(2), f.shape)
+    g, h = _gradhess_phi(phi, proj)
+    dphi_ref, df0_ref = _lenseflow_bwd(0., 1., 3, proj, "scan", (phi, f), dy)
+    state = jnp.concatenate([f, dy, jnp.zeros((1,) + f.shape[-2:], f.dtype)],
+                            axis=0)
+    mats = plf._mats_for(proj, np.float32)
+    out = plf._split_call(state, (*g, *h), mats, "backward", 3, 1.0, 0.0,
+                          "f32", True)
+    rel = lambda a, b: float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(b)))
+    assert rel(out[2:4], df0_ref) < 1e-5
+    assert rel(out[4:], dphi_ref) < 1e-5
+
+
 def test_pallas_stage_granularity_matches_flow():
     """The per-stage (scan-driven) kernel path equals the whole-flow
     kernel: force it by shrinking the VMEM budget."""
