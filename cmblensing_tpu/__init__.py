@@ -83,9 +83,10 @@ from .ops.fft import set_fft_mode, get_fft_mode
 from .utils.summation import set_sum_mode, get_sum_mode
 
 # export-list parity with the reference (src/CMBLensing.jl:94-117)
-from .core.ops import nan2zero, SymmetricFuncOp, gradient
+from .core.ops import nan2zero, SymmetricFuncOp, gradient, tr
 from .utils.plotting import animate
 from .utils.summation import asum as _asum  # noqa: F401 (sum modes exported above)
+from .utils.transfer import device_put_safe, cpu, tpu
 from .inference.sampling import (
     gibbs_sample_f, gibbs_sample_phi, gibbs_sample_slice_theta,
     gibbs_mix, gibbs_unmix, gibbs_postprocess, once_every, start_after_burnin,
@@ -96,3 +97,15 @@ def expnorm(x):
     """exp(x - max(x)) (reference src/util.jl:325)."""
     import jax.numpy as _jnp
     return _jnp.exp(x - _jnp.max(x))
+
+
+def diag(op):
+    """Diagonal field of a diagonal-like operator (reference `diag`)."""
+    d = op.diag
+    return d() if callable(d) else d
+
+
+def fieldinfo(f):
+    """One-line description of a field (reference `fieldinfo`)."""
+    return (f"{type(f).__name__}(basis={f.basis}, shape={tuple(f.arr.shape)}, "
+            f"dtype={f.arr.dtype}, proj={f.proj})")

@@ -17,14 +17,20 @@ Three flows (mirroring models/lenseflow.py, which cites the reference):
             (negδvelocityᴴ, src/lenseflow.jl:176-214)
 
 Granularity is chosen by a VMEM plane-count estimate (the v5e has
-128MB of VMEM — measured, not the 16MB of older generations):
+128MB of raw VMEM — measured — but matmul kernels see a ~85MB usable
+ceiling from Mosaic staging overhead):
 
   'flow'  — one pallas_call integrates all nsteps RK4 steps, zero HBM
-            traffic between stages. Fits comfortably at <=512^2 for
-            all flows and at 1024^2 for the forward flow.
+            traffic between stages. Fits at <=512^2 for all flows.
   'stage' — one pallas_call per velocity evaluation (4 per RK step,
             driven by lax.scan); only the state round-trips HBM.
-            Fits at 1024^2 and beyond for every flow.
+            Fits at 1024^2 for the forward/adjoint flows.
+  'split' — (backward only) the velocity as 2*ncomp+1 calls of ONE
+            role-switched kernel with the cheap elementwise glue in
+            XLA; fits the backward flow at 1024^2. A single kernel
+            *type* per program is deliberate: the axon remote compile
+            helper aborts on programs containing two distinct Mosaic
+            kernels at this size.
 """
 from __future__ import annotations
 
@@ -51,6 +57,11 @@ except ImportError:  # pragma: no cover
 # fails at ~95MB. Budget 85MB steers granularity selection to what the
 # hardware actually accepts. Override with CMBL_PALLAS_VMEM_MB.
 _VMEM_BUDGET_MB = float(os.environ.get("CMBL_PALLAS_VMEM_MB", "85"))
+
+# delta-phi term of the split backward velocity: 'pallas' (role-B of
+# the unified kernel) or 'xla' (plain matmuls — one kernel type per
+# program, safest for the remote compile helper)
+_SPLIT_DPHI_BACKEND = os.environ.get("CMBL_SPLIT_DPHI", "pallas")
 
 
 def _dot_kwargs(precision: str):
@@ -461,7 +472,15 @@ def _split_call(state, phi_planes, mats, kind, nsteps, t0, t1, precision,
         wy = sum(o[3] for o in outs)
         ux = m11 * wx + m12 * wy
         uy = m12 * wx + m22 * wy
-        ddphi = callAB(tB, ux, uy, px, py, DxT, Dy)[:1]
+        if _SPLIT_DPHI_BACKEND == "xla":
+            # delta-phi term as plain XLA matmuls (same 6-matmul
+            # regrouping; guarantees a single Mosaic kernel type in
+            # the program)
+            xddx, xddy = _make_ddx_ddy(DxT, Dy, precision)
+            ddphi = (xddx(ux + xddx(t * px * ux) + xddy(t * py * ux))
+                     + xddy(uy + xddx(t * px * uy) + xddy(t * py * uy)))[None]
+        else:
+            ddphi = callAB(tB, ux, uy, px, py, DxT, Dy)[:1]
         return jnp.concatenate([jnp.stack([o[0] for o in outs]),
                                 jnp.stack([o[1] for o in outs]),
                                 ddphi], axis=0)

@@ -67,3 +67,18 @@ def device_get_safe(tree):
 @jax.jit
 def _split(z):
     return jnp.real(z), jnp.imag(z)
+
+
+def cpu(x):
+    """Move a pytree of arrays/fields to host CPU (reference `cpu`,
+    src/util.jl:235-246)."""
+    import jax
+    return device_put_safe(x, jax.devices("cpu")[0])
+
+
+def tpu(x, index=0):
+    """Move a pytree of arrays/fields to a TPU chip (reference `gpu`,
+    ext/CMBLensingCUDAExt.jl:43), complex-safe on tunneled
+    attachments."""
+    import jax
+    return device_put_safe(x, jax.devices("tpu")[index])
