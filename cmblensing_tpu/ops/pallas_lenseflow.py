@@ -403,14 +403,19 @@ def _bwdB_kernel(t_ref, ux_ref, uy_ref, px_ref, py_ref, dxt_ref, dy_ref,
 
 def _bwdAB_kernel(s_ref, a_ref, b_ref, px_ref, py_ref, dxt_ref, dy_ref,
                   out_ref, *, precision):
-    """Role-switched union of the A and B kernels: the axon remote
-    compile helper aborts on XLA programs containing two *distinct*
-    Mosaic kernels at 1024^2 (many instances of ONE kernel are fine —
-    the stage-kernel scan compiles), so the split path emits a single
-    kernel whose scalar `role` selects the math.
+    """Role-switched UNIVERSAL velocity kernel. The axon remote compile
+    helper aborts on XLA programs containing two *distinct* Mosaic
+    kernels at 1024^2 (many instances of ONE kernel are fine — the
+    stage-kernel scan compiles), and production programs mix flows (CG
+    = forward+adjoint applies; gradlnP = forward+backward) — so above
+    the whole-flow size every velocity evaluation of every flow is a
+    call of THIS kernel, with a scalar `role` selecting the math:
 
-    role 0 (A): a=f_c, b=df_c -> out [dfdt, ddf, wx_c, wy_c]
-    role 1 (B): a=ux,  b=uy   -> out [ddphi, 0, 0, 0] (s[0] = t)
+    role 0 (bwd A): a=f_c, b=df_c -> out [dfdt, ddf, wx_c, wy_c]
+    role 1 (bwd B): a=ux,  b=uy   -> out [ddphi, 0, 0, 0] (s[0] = t)
+    role 2 (forward): a,b = two components -> out [v(a), v(b), 0, 0]
+                      with v(x) = p . grad x
+    role 3 (adjoint): same, with v(x) = div(p x)
     """
     ddx, ddy = _make_ddx_ddy(dxt_ref[:], dy_ref[:], precision)
     t = s_ref[0]
@@ -429,7 +434,7 @@ def _bwdAB_kernel(s_ref, a_ref, b_ref, px_ref, py_ref, dxt_ref, dy_ref,
         out_ref[2] = b * fx
         out_ref[3] = b * fy
 
-    @pl.when(role != 0)
+    @pl.when(role == 1)
     def _():
         out_ref[0] = (ddx(a + ddx(t * px * a) + ddy(t * py * a))
                       + ddy(b + ddx(t * px * b) + ddy(t * py * b)))
@@ -438,17 +443,34 @@ def _bwdAB_kernel(s_ref, a_ref, b_ref, px_ref, py_ref, dxt_ref, dy_ref,
         out_ref[2] = zero
         out_ref[3] = zero
 
+    @pl.when(role == 2)
+    def _():
+        out_ref[0] = px * ddx(a) + py * ddy(a)
+        out_ref[1] = px * ddx(b) + py * ddy(b)
+        zero = jnp.zeros_like(a)
+        out_ref[2] = zero
+        out_ref[3] = zero
+
+    @pl.when(role == 3)
+    def _():
+        out_ref[0] = ddx(px * a) + ddy(py * a)
+        out_ref[1] = ddx(px * b) + ddy(py * b)
+        zero = jnp.zeros_like(a)
+        out_ref[2] = zero
+        out_ref[3] = zero
+
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
-def _split_call(state, phi_planes, mats, kind, nsteps, t0, t1, precision,
-                interpret=False):
-    assert kind == "backward"
+def _uni_call(state, phi_planes, mats, kind, nsteps, t0, t1, precision,
+              interpret=False):
+    """RK4 integration with every velocity evaluation expressed as
+    calls of the single universal kernel (roles 0-3)."""
     nstate, Ny, Nx = state.shape
-    ncomp = (nstate - 1) // 2
+    ncomp = {"backward": (nstate - 1) // 2}.get(kind, nstate)
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    callAB = pl.pallas_call(
+    callU = pl.pallas_call(
         functools.partial(_bwdAB_kernel, precision=precision),
         out_shape=jax.ShapeDtypeStruct((4, Ny, Nx), state.dtype),
         in_specs=[smem] + [vm() for _ in range(6)],
@@ -459,14 +481,25 @@ def _split_call(state, phi_planes, mats, kind, nsteps, t0, t1, precision,
     gx, gy, hxx, hxy, hyy = phi_planes
     DxT, Dy = mats
 
+    def s_vec(t, role):
+        tv = (t.astype(state.dtype) if hasattr(t, "astype")
+              else jnp.asarray(t, state.dtype))
+        return jnp.stack([tv, jnp.asarray(role, state.dtype)])
+
     def vel(t, y):
         px, py = _p_of_t(t, gx, gy, hxx, hxy, hyy)       # XLA elementwise
+        if kind in ("forward", "adjoint"):
+            role = 2 if kind == "forward" else 3
+            outs = []
+            for c0 in range(0, nstate, 2):
+                c1 = min(c0 + 1, nstate - 1)
+                o = callU(s_vec(t, role), y[c0], y[c1], px, py, DxT, Dy)
+                outs.append(o[0])
+                if c1 > c0:
+                    outs.append(o[1])
+            return jnp.stack(outs)
         m11, m12, m22 = _minv_of_t(t, hxx, hxy, hyy)
-        tA = jnp.stack([t.astype(state.dtype) if hasattr(t, "astype")
-                        else jnp.asarray(t, state.dtype),
-                        jnp.asarray(0, state.dtype)])
-        tB = tA.at[1].set(1)
-        outs = [callAB(tA, y[c], y[ncomp + c], px, py, DxT, Dy)
+        outs = [callU(s_vec(t, 0), y[c], y[ncomp + c], px, py, DxT, Dy)
                 for c in range(ncomp)]
         wx = sum(o[2] for o in outs)
         wy = sum(o[3] for o in outs)
@@ -480,7 +513,7 @@ def _split_call(state, phi_planes, mats, kind, nsteps, t0, t1, precision,
             ddphi = (xddx(ux + xddx(t * px * ux) + xddy(t * py * ux))
                      + xddy(uy + xddx(t * px * uy) + xddy(t * py * uy)))[None]
         else:
-            ddphi = callAB(tB, ux, uy, px, py, DxT, Dy)[:1]
+            ddphi = callU(s_vec(t, 1), ux, uy, px, py, DxT, Dy)[:1]
         return jnp.concatenate([jnp.stack([o[0] for o in outs]),
                                 jnp.stack([o[1] for o in outs]),
                                 ddphi], axis=0)
@@ -499,13 +532,18 @@ def _split_call(state, phi_planes, mats, kind, nsteps, t0, t1, precision,
     return y
 
 
+# kept under its historical name for tests
+_split_call = _uni_call
+
+
 def _split_fits(kind, nstate, Ny, Nx, dtype):
-    """The split path exists only for the backward flow; its largest
-    kernel holds ~13 planes + the two derivative matrices."""
-    if kind != "backward":
-        return False
+    """Universal-kernel path: its largest instantiation holds ~13
+    planes + the two derivative matrices."""
     mats = _plane_mb(Ny, Ny, dtype) + _plane_mb(Nx, Nx, dtype)
     return 13 * _plane_mb(Ny, Nx, dtype) + mats <= _VMEM_BUDGET_MB
+
+
+_uni_fits = _split_fits
 
 
 # =========================================================================
@@ -513,8 +551,8 @@ def _split_fits(kind, nstate, Ny, Nx, dtype):
 # =========================================================================
 
 def flow_available(kind, nstate, Ny, Nx, dtype=np.float32):
-    return _HAS_PALLAS and (_stage_fits(kind, nstate, Ny, Nx, dtype)
-                            or _split_fits(kind, nstate, Ny, Nx, dtype))
+    return _HAS_PALLAS and (_flow_fits("backward", nstate, Ny, Nx, dtype)
+                            or _uni_fits(kind, nstate, Ny, Nx, dtype))
 
 
 def _run_flow(state, phi_planes, proj, kind, nsteps, t0, t1, precision,
@@ -531,15 +569,21 @@ def _run_flow(state, phi_planes, proj, kind, nsteps, t0, t1, precision,
     assert _HAS_PALLAS
     nstate, Ny, Nx = state.shape[-3:]
     mats = _mats_for(proj, state.dtype)
-    if _flow_fits(kind, nstate, Ny, Nx, state.dtype):
+    # policy is per SIZE, not per flow: production programs mix flows
+    # (CG = forward+adjoint, gradlnP = forward+backward), and above the
+    # whole-flow size the compile helper only tolerates one distinct
+    # Mosaic kernel per program — so either every flow at this size
+    # fits as a whole-flow kernel (binding constraint: the backward,
+    # nstate up to 5), or every flow goes through the universal kernel.
+    ncomp = {"backward": (nstate - 1) // 2}.get(kind, nstate)
+    nstate_max = 2 * ncomp + 1
+    if _flow_fits("backward", nstate_max, Ny, Nx, state.dtype):
         call = _flow_call
-    elif _stage_fits(kind, nstate, Ny, Nx, state.dtype):
-        call = _stage_call
-    elif _split_fits(kind, nstate, Ny, Nx, state.dtype):
-        call = _split_call
+    elif _uni_fits(kind, nstate, Ny, Nx, state.dtype):
+        call = _uni_call
     else:
         raise ValueError(
-            f"map {Ny}x{Nx} too large even for the split fused kernels "
+            f"map {Ny}x{Nx} too large even for the universal fused kernel "
             f"under a {_VMEM_BUDGET_MB:.0f}MB VMEM budget; use the scan path")
     fn = lambda s, pp: call(s, pp, mats, kind, int(nsteps),
                             float(t0), float(t1), precision, interpret)

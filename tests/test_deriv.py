@@ -121,31 +121,37 @@ def test_pallas_split_backward_matches_scan():
     assert rel(out[4:], dphi_ref) < 1e-5
 
 
-def test_pallas_stage_granularity_matches_flow():
-    """The per-stage (scan-driven) kernel path equals the whole-flow
+def test_pallas_uni_granularity_matches_flow():
+    """The universal-kernel path (used above the whole-flow size for
+    every flow, incl. forward/adjoint roles) equals the whole-flow
     kernel: force it by shrinking the VMEM budget."""
     from cmblensing_tpu.ops import pallas_lenseflow as plf
+    from cmblensing_tpu.models.lenseflow import (
+        _gradhess_phi, _rk4, _velocity_adj)
 
     deriv.set_deriv_mode("matmul")
     proj, phi, f = _weak_lensing_setup(N=16)
-    from cmblensing_tpu.models.lenseflow import _gradhess_phi
     g, h = _gradhess_phi(phi, proj)
     ref = plf.pallas_flow_apply(f, g, h, 0., 1., 3, proj, "forward",
                                 interpret=True)
-    assert plf._flow_fits("forward", 2, 16, 16, np.float32)
+    adj_ref = _rk4(lambda t, y: _velocity_adj(t, y, g, h, proj), f, 1., 0., 3)
+    assert plf._flow_fits("backward", 5, 16, 16, np.float32)
     old = plf._VMEM_BUDGET_MB
     try:
-        # force stage granularity: below flow-fit, above stage-fit
+        # force uni granularity: below flow-fit, above uni-fit
         plf._VMEM_BUDGET_MB = 0.018
-        assert not plf._flow_fits("forward", 2, 16, 16, np.float32)
-        assert plf._stage_fits("forward", 2, 16, 16, np.float32)
+        assert not plf._flow_fits("backward", 5, 16, 16, np.float32)
+        assert plf._uni_fits("forward", 2, 16, 16, np.float32)
         out = plf.pallas_flow_apply(f, g, h, 0., 1., 3, proj, "forward",
+                                    interpret=True)
+        adj = plf.pallas_flow_apply(f, g, h, 1., 0., 3, proj, "adjoint",
                                     interpret=True)
     finally:
         plf._VMEM_BUDGET_MB = old
     # f32 association differs between the in-kernel RK combination and
     # the lax.scan one; ~1e-5 relative is expected rounding noise
     assert float(jnp.max(jnp.abs(out - ref))) < 1e-4 * float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(adj - adj_ref))) < 1e-4 * float(jnp.max(jnp.abs(adj_ref)))
 
 
 def test_matmul_precision_pinned_in_jaxpr():
