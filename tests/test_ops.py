@@ -145,3 +145,32 @@ def test_simulate_op_spectrum():
         tot = tot + jnp.mean(jnp.abs(xi.arr[..., :, 1:-1]) ** 2)
     var = float(tot / len(keys)) / (64 * 64)
     assert abs(var - 10.0) < 1.0
+
+
+def test_cg_record_history():
+    """In-jit CG residual trace (reference history_keys machinery,
+    numerical_algorithms.jl:60-71): fixed-length, NaN past
+    convergence, monotone-ish decreasing."""
+    import jax
+    import jax.numpy as jnp
+    from cmblensing_tpu.ops.solvers import conjugate_gradient
+
+    A = jnp.diag(jnp.arange(1.0, 9.0))
+    b = jnp.ones(8)
+
+    @jax.jit
+    def solve(b):
+        return conjugate_gradient(lambda r: r, lambda x: A @ x, b,
+                                  nsteps=20, tol=1e-12,
+                                  record_history=True)
+
+    x, info = solve(b)
+    hist = np.asarray(info["res_history"])
+    assert hist.shape == (21,)
+    assert np.isfinite(hist[0])
+    # converges in <= 8 iters (8 distinct eigenvalues): tail is NaN
+    assert np.isnan(hist[-1])
+    fin = hist[np.isfinite(hist)]
+    assert len(fin) >= 2 and fin[-1] < fin[0]
+    assert np.allclose(np.asarray(x), np.asarray(b) / np.arange(1.0, 9.0),
+                       rtol=1e-4)
