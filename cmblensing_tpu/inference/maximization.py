@@ -93,21 +93,23 @@ def argmaxf_logpdf(ds: DataSet, phi=None, theta=None, d=None, fstart=None,
         return _jit_argmaxf(ds, theta, phi, d, fstart,
                             int(cg["nsteps"]), float(cg["tol"]),
                             bool(cg.get("fixed_iters", False)), bool(offset),
-                            bool(cg.get("record_history", False)))
+                            bool(cg.get("record_history", False)),
+                            cg.get("hessian_precision"))
     return _argmaxf_core(ds, theta, phi, d, fstart, int(cg["nsteps"]),
                          float(cg["tol"]), bool(cg.get("fixed_iters", False)),
-                         bool(offset), bool(cg.get("record_history", False)))
+                         bool(offset), bool(cg.get("record_history", False)),
+                         cg.get("hessian_precision"))
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
 def _jit_argmaxf(ds, theta, phi, d, fstart, nsteps, tol, fixed_iters, offset,
-                 record_history=False):
+                 record_history=False, hessian_precision=None):
     return _argmaxf_core(ds, theta, phi, d, fstart, nsteps, tol, fixed_iters,
-                         offset, record_history)
+                         offset, record_history, hessian_precision)
 
 
 def _argmaxf_core(ds, theta, phi, d, fstart, nsteps, tol, fixed_iters, offset,
-                  record_history=False):
+                  record_history=False, hessian_precision=None):
     cg = dict(tol=tol, nsteps=nsteps, fixed_iters=fixed_iters,
               record_history=record_history)
     precond = hessian_f_preconditioner(ds)
@@ -130,7 +132,17 @@ def _argmaxf_core(ds, theta, phi, d, fstart, nsteps, tol, fixed_iters, offset,
     Bb = b.basis
 
     def Hess(f):
-        return -(ds.gradientf_logpdf(f, phi=phi, theta=theta, d=zero_d) - a0).to(Bb)
+        # optional reduced-precision Hessian applies (inexact Krylov):
+        # the lensing matmuls run at e.g. 'high' (3-pass bf16, ~2x
+        # throughput) while b, a0 and the CG residual algebra stay
+        # strict f32 — solution error bounded by the ~2^-21 operator
+        # error (VERDICT r1 item 3c)
+        import contextlib
+        from ..ops.deriv import precision_ctx
+        ctx = (precision_ctx(hessian_precision) if hessian_precision
+               else contextlib.nullcontext())
+        with ctx:
+            return -(ds.gradientf_logpdf(f, phi=phi, theta=theta, d=zero_d) - a0).to(Bb)
 
     x0 = fstart.to(Bb) if fstart is not None else None
     x, info = conjugate_gradient(precond, Hess, b, x0=x0, **cg)

@@ -94,6 +94,21 @@ import contextlib
 
 
 @contextlib.contextmanager
+def precision_ctx(p):
+    """Temporarily override the matmul precision (e.g. 'high' for the
+    Hessian applies inside CG while the residual algebra stays strict
+    f32 — inexact-Krylov: the iterate error is bounded by the operator
+    error ~2^-21, fine for tol >= 1e-4 at ~2x the throughput)."""
+    global _PRECISION
+    prev = _PRECISION
+    set_matmul_precision(p)
+    try:
+        yield
+    finally:
+        _PRECISION = prev
+
+
+@contextlib.contextmanager
 def mode_ctx(mode):
     """Temporarily override the derivative backend (e.g. host-side eager
     setup on CPU wants 'fft'; traced TPU programs want 'matmul')."""

@@ -16,6 +16,9 @@ def main(N=1024, prec="f32", which="both"):
         from cmblensing_tpu.models.dataset import load_sim, mix, Mixed
         out = load_sim(thetapix=2, Nside=N, pol="P", T=np.float32, seed=0)
         ds = out["ds"]
+        # closures bake ds into jitted programs as constants; keep every
+        # leaf real so lowering never needs a complex d2h on the tunnel
+        ds = ds.replace(d=ds.d.to(ds.d.basis.with_space("map")))
         f = out["f"].to(out["f"].basis.with_space("map"))
         phi = out["phi"].to(out["phi"].basis.with_space("map"))
         m = mix(ds, f=f, phi=phi)

@@ -188,3 +188,23 @@ def test_MAP_joint_batched_matches_solo(sim32):
     ps = np.asarray(r0["phi"].arr).ravel()
     corr = pb @ ps / (np.linalg.norm(pb) * np.linalg.norm(ps) + 1e-30)
     assert corr > 0.999
+
+
+def test_argmaxf_mixed_precision_hessian():
+    """CG with 'high'-precision (3-pass bf16) Hessian applies converges
+    to the strict-f32 Wiener solution (inexact Krylov; VERDICT r1 item
+    3c): relative difference bounded by the operator error, far below
+    the CG tolerance."""
+    from cmblensing_tpu.models.dataset import load_sim
+    from cmblensing_tpu.inference.maximization import argmaxf_logpdf
+    from cmblensing_tpu.core import field as F
+
+    out = load_sim(thetapix=3, Nside=32, pol="P", T=np.float32, seed=3)
+    ds, phi = out["ds"], out["phi"]
+    f32, _ = argmaxf_logpdf(ds, phi=phi,
+                            conjgrad_kwargs=dict(tol=1e-4, nsteps=200))
+    fhi, _ = argmaxf_logpdf(ds, phi=phi,
+                            conjgrad_kwargs=dict(tol=1e-4, nsteps=200,
+                                                 hessian_precision="high"))
+    rel = float(F.norm(fhi - f32.to(fhi.basis)) / F.norm(f32))
+    assert rel < 1e-3, rel
