@@ -60,7 +60,7 @@ from .inference.sampling import (
 from .inference.chains import (
     Chain, Chains, load_chains, mean_std_and_errors, effective_sample_size, kde,
 )
-from .inference.muse import muse
+from .inference.muse import muse, MuseProblem
 from .parallel.mesh import (
     make_mesh, shard_batch, replicate, local_mesh, distributed_initialize, proc_info,
 )

@@ -191,3 +191,60 @@ def muse(ds: DataSet, theta0, nsims=20, nsteps=5, alpha=0.7, key=None,
 
     Sigma = np.linalg.solve(H, J) @ np.linalg.inv(H).T
     return dict(theta=theta, history=history, H=H, J=J, Sigma=Sigma)
+
+
+class MuseProblem:
+    """API-compatible analog of the reference's CMBLensingMuseProblem
+    (ext/CMBLensingMuseInferenceExt.jl:21-92): wraps a DataSet as a
+    generic MUSE problem exposing logLike / grad_theta_logLike /
+    sample_x_z / zhat_at_theta, so user code written against the
+    MuseInference interface ports directly. The native `muse()` driver
+    above uses the same primitives internally (batched over the
+    simulation ensemble instead of per-sim calls)."""
+
+    def __init__(self, ds: DataSet, params=("Aphi",), MAP_joint_kwargs=None):
+        self.ds = ds
+        self.params = list(params)
+        self.MAP_joint_kwargs = dict(MAP_joint_kwargs or {})
+        self.MAP_joint_kwargs.setdefault("nsteps", 10)
+
+    def _theta(self, theta):
+        if isinstance(theta, dict):
+            return theta
+        return _theta_dict(jnp.atleast_1d(jnp.asarray(theta)), self.params)
+
+    def logLike(self, d, z, theta):
+        """z = dict(f=..., phi=...) (ext/...MuseInferenceExt.jl:45-47)."""
+        dsd = self.ds.replace(d=d)
+        import jax.numpy as _jnp
+        return _jnp.sum(dsd.logpdf(theta=self._theta(theta), **z))
+
+    def grad_theta_logLike(self, d, z, theta):
+        tvec = _theta_vec(self._theta(theta), self.params)
+        dsd = self.ds.replace(d=d)
+        return _jit_theta_score(dsd, z["f"], z["phi"], tvec,
+                                tuple(self.params))
+
+    def sample_x_z(self, key, theta):
+        """Simulate (x=d, z=(f, phi)) at theta
+        (ext/...MuseInferenceExt.jl:57-66)."""
+        sim = self.ds.simulate(key, theta=self._theta(theta))
+        return dict(x=sim["d"], z=dict(f=sim["f"], phi=sim["phi"]))
+
+    def zhat_at_theta(self, d, theta, zguess=None):
+        """Joint MAP of the latents at fixed theta
+        (ext/...MuseInferenceExt.jl:68-73)."""
+        dsd = self.ds.replace(d=d)
+        kw = dict(self.MAP_joint_kwargs)
+        if zguess is not None:
+            kw.setdefault("fstart", zguess.get("f"))
+            kw.setdefault("phistart", zguess.get("phi"))
+        res = MAP_joint(dsd, theta=self._theta(theta), **kw)
+        return dict(f=res["f"], phi=res["phi"]), res["history"]
+
+    def solve(self, theta0=None, **kwargs):
+        """Run the native batched-ensemble MUSE driver on this problem
+        (reference muse!, ext/...MuseInferenceExt.jl:90-92)."""
+        theta0 = theta0 or {n: 1.0 for n in self.params}
+        return muse(self.ds, theta0, MAP_kwargs=self.MAP_joint_kwargs,
+                    **kwargs)

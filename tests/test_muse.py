@@ -55,3 +55,22 @@ def test_muse_score_monotone():
         s, _ = score(ds, dict(Aphi=1.0), ["Aphi"], d=sim["d"], MAP_kwargs=MAPk)
         scores.append(float(s[0]))
     assert scores[1] > scores[0]
+
+
+def test_muse_problem_adapter():
+    """MuseProblem exposes the reference bridge surface
+    (ext/CMBLensingMuseInferenceExt.jl:45-88): logLike, score,
+    simulate, and zhat consistency."""
+    from cmblensing_tpu.inference.muse import MuseProblem
+    out = load_sim(thetapix=5, Nside=16, pol="I", T=np.float32, seed=4)
+    prob = MuseProblem(out["ds"], params=("Aphi",),
+                       MAP_joint_kwargs=dict(nsteps=2,
+                                             conjgrad_kwargs=dict(tol=1e-1, nsteps=20)))
+    xz = prob.sample_x_z(jax.random.PRNGKey(0), dict(Aphi=1.0))
+    lp = float(prob.logLike(xz["x"], xz["z"], dict(Aphi=1.0)))
+    assert np.isfinite(lp)
+    g = np.asarray(prob.grad_theta_logLike(xz["x"], xz["z"], dict(Aphi=1.0)))
+    assert g.shape == (1,) and np.isfinite(g).all()
+    zhat, hist = prob.zhat_at_theta(xz["x"], dict(Aphi=1.0))
+    lp_hat = float(prob.logLike(xz["x"], zhat, dict(Aphi=1.0)))
+    assert np.isfinite(lp_hat)
