@@ -109,3 +109,13 @@ def fieldinfo(f):
     """One-line description of a field (reference `fieldinfo`)."""
     return (f"{type(f).__name__}(basis={f.basis}, shape={tuple(f.arr.shape)}, "
             f"dtype={f.arr.dtype}, proj={f.proj})")
+
+
+def firsthalf(x):
+    """First half of a sequence/array (reference src/util.jl:285)."""
+    return x[: len(x) // 2]
+
+
+def lasthalf(x):
+    """Last half of a sequence/array (reference src/util.jl:286)."""
+    return x[len(x) // 2:]

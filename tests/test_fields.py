@@ -175,3 +175,32 @@ def test_sum_accuracy_modes():
     finally:
         sm.set_sum_mode("fast")
     assert abs(d_fast - d_kahan) < 1e-4 * abs(d_fast)
+
+
+def test_small_util_exports():
+    """Export-parity helpers: expnorm, firsthalf/lasthalf, fieldinfo,
+    diag, cpu adapter (reference src/util.jl:235-325)."""
+    import jax
+    import cmblensing_tpu as cl
+    from cmblensing_tpu.core.proj import ProjLambert
+    from cmblensing_tpu.core.field import Field
+    from cmblensing_tpu.core.basis import Basis
+
+    x = jnp.asarray([0.0, 1.0, 2.0])
+    e = np.asarray(cl.expnorm(x))
+    assert abs(e[-1] - 1.0) < 1e-6 and e[0] < e[1] < e[2]
+
+    assert cl.firsthalf([1, 2, 3, 4]) == [1, 2]
+    assert cl.lasthalf([1, 2, 3, 4]) == [3, 4]
+
+    proj = ProjLambert(8, 8, thetapix=3, T=np.float32)
+    f = Field(jnp.ones((1, 8, 8)), Basis("I", "map"), proj)
+    info = cl.fieldinfo(f)
+    assert "Field" in info and "8" in info
+
+    C = cl.Cl_to_Cov("I", proj, cl.camb()["unlensed_scalar"]["TT"])
+    d = cl.diag(C)
+    assert d.proj is proj
+
+    f_cpu = cl.cpu(f)
+    assert all(dev.platform == "cpu" for dev in f_cpu.arr.devices())
