@@ -572,14 +572,22 @@ def _run_flow(state, phi_planes, proj, kind, nsteps, t0, t1, precision,
     # policy is per SIZE, not per flow: production programs mix flows
     # (CG = forward+adjoint, gradlnP = forward+backward), and above the
     # whole-flow size the compile helper only tolerates one distinct
-    # Mosaic kernel per program — so either every flow at this size
-    # fits as a whole-flow kernel (binding constraint: the backward,
-    # nstate up to 5), or every flow goes through the universal kernel.
+    # Mosaic kernel per program. Either every flow at this size fits as
+    # a whole-flow kernel (binding constraint: the backward, nstate up
+    # to 5), or ONLY the backward uses the universal kernel and the
+    # forward/adjoint run the XLA scan — measured at 1024^2, XLA's
+    # tuned matmul emitters beat per-velocity Mosaic kernels when
+    # there is little fusion to win (scan fwd 9.9ms vs uni 14.4ms),
+    # while the elementwise-heavy backward still wins fused (uni flow
+    # 39.8ms vs ~60ms scan).
     ncomp = {"backward": (nstate - 1) // 2}.get(kind, nstate)
     nstate_max = 2 * ncomp + 1
     if _flow_fits("backward", nstate_max, Ny, Nx, state.dtype):
         call = _flow_call
     elif _uni_fits(kind, nstate, Ny, Nx, state.dtype):
+        if kind != "backward":
+            return _scan_fallback(state, phi_planes, proj, kind,
+                                  int(nsteps), t0, t1)
         call = _uni_call
     else:
         raise ValueError(

@@ -138,20 +138,27 @@ def test_pallas_uni_granularity_matches_flow():
     assert plf._flow_fits("backward", 5, 16, 16, np.float32)
     old = plf._VMEM_BUDGET_MB
     try:
-        # force uni granularity: below flow-fit, above uni-fit
+        # force uni granularity: below flow-fit, above uni-fit. The
+        # production policy routes forward/adjoint to the XLA scan at
+        # uni sizes (measured faster at 1024^2), so exercise the uni
+        # kernel's role-2/3 paths directly via _uni_call.
         plf._VMEM_BUDGET_MB = 0.018
         assert not plf._flow_fits("backward", 5, 16, 16, np.float32)
         assert plf._uni_fits("forward", 2, 16, 16, np.float32)
         out = plf.pallas_flow_apply(f, g, h, 0., 1., 3, proj, "forward",
                                     interpret=True)
-        adj = plf.pallas_flow_apply(f, g, h, 1., 0., 3, proj, "adjoint",
-                                    interpret=True)
+        mats = plf._mats_for(proj, np.float32)
+        uni_fwd = plf._uni_call(f, (*g, *h), mats, "forward", 3, 0., 1.,
+                                "f32", True)
+        uni_adj = plf._uni_call(f, (*g, *h), mats, "adjoint", 3, 1., 0.,
+                                "f32", True)
     finally:
         plf._VMEM_BUDGET_MB = old
     # f32 association differs between the in-kernel RK combination and
     # the lax.scan one; ~1e-5 relative is expected rounding noise
     assert float(jnp.max(jnp.abs(out - ref))) < 1e-4 * float(jnp.max(jnp.abs(ref)))
-    assert float(jnp.max(jnp.abs(adj - adj_ref))) < 1e-4 * float(jnp.max(jnp.abs(adj_ref)))
+    assert float(jnp.max(jnp.abs(uni_fwd - ref))) < 1e-4 * float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(uni_adj - adj_ref))) < 1e-4 * float(jnp.max(jnp.abs(adj_ref)))
 
 
 def test_matmul_precision_pinned_in_jaxpr():
