@@ -169,8 +169,21 @@ def main():
 
         # headline metric first so a driver timeout can't starve it
         # (it is buffered and printed as the LAST stdout line — see
-        # _emit_headline; a SIGTERM net covers early termination)
-        results[(pol, "gradlnP")] = _slope_time(gradlnP_loop, phi_mix.arr, ds, f_mix)
+        # _emit_headline; a SIGTERM net covers early termination).
+        # Safety: if the fused pallas backend can't compile on this
+        # bench host (compile-helper quirks vary by attachment), fall
+        # back to the scan backend rather than losing the headline.
+        from cmblensing_tpu.models.lenseflow import set_lenseflow_backend
+        try:
+            results[(pol, "gradlnP")] = _slope_time(gradlnP_loop, phi_mix.arr, ds, f_mix)
+        except Exception as e:
+            print(f"pallas backend failed ({type(e).__name__}); retrying "
+                  "with the scan backend", file=sys.stderr, flush=True)
+            set_lenseflow_backend("scan")
+            # the backend is resolved at trace time, and jit caches by
+            # (fn, static args) — drop the poisoned executable
+            gradlnP_loop.clear_cache()
+            results[(pol, "gradlnP")] = _slope_time(gradlnP_loop, phi_mix.arr, ds, f_mix)
         if pol == "P":
             v = results[("P", "gradlnP")]
             _HEADLINE.update({

@@ -20,17 +20,21 @@ Granularity is chosen by a VMEM plane-count estimate (the v5e has
 128MB of raw VMEM — measured — but matmul kernels see a ~85MB usable
 ceiling from Mosaic staging overhead):
 
-  'flow'  — one pallas_call integrates all nsteps RK4 steps, zero HBM
-            traffic between stages. Fits at <=512^2 for all flows.
-  'stage' — one pallas_call per velocity evaluation (4 per RK step,
-            driven by lax.scan); only the state round-trips HBM.
-            Fits at 1024^2 for the forward/adjoint flows.
-  'split' — (backward only) the velocity as 2*ncomp+1 calls of ONE
-            role-switched kernel with the cheap elementwise glue in
-            XLA; fits the backward flow at 1024^2. A single kernel
-            *type* per program is deliberate: the axon remote compile
-            helper aborts on programs containing two distinct Mosaic
-            kernels at this size.
+  'flow' — one pallas_call integrates all nsteps RK4 steps, zero HBM
+           traffic between stages. Fits at <=512^2 for all flows
+           (measured 256^2: backward 0.53ms fused vs 0.80ms scan).
+  'uni'  — above that, ONLY the backward is fused: each velocity is
+           2*ncomp+1 calls of ONE role-switched universal kernel with
+           the cheap elementwise glue in XLA (1024^2 backward flow
+           39.8ms vs ~60ms scan). Forward/adjoint take the XLA scan,
+           whose tuned matmul emitters win when there is little fusion
+           to gain (1024^2 fwd: scan 9.9ms vs uni 14.4ms). A single
+           kernel *type* per program is deliberate: the remote compile
+           helper aborts on programs with two distinct Mosaic kernels
+           at this size, and production programs mix flows.
+
+('stage' kernels — one fused velocity per call — exist for testing and
+other hardware generations but are not auto-selected.)
 """
 from __future__ import annotations
 
