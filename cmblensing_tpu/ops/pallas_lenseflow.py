@@ -68,16 +68,12 @@ _VMEM_BUDGET_MB = float(os.environ.get("CMBL_PALLAS_VMEM_MB", "85"))
 _SPLIT_DPHI_BACKEND = os.environ.get("CMBL_SPLIT_DPHI", "pallas")
 
 
-def _dot_kwargs(precision: str):
-    if precision == "bf16":
-        return None  # handled by casting operands
-    return dict(
-        preferred_element_type=jnp.float32,
-        precision=(jax.lax.Precision.HIGH if precision == "high"
-                   else jax.lax.Precision.HIGHEST))
-
-
 def _make_ddx_ddy(DxT, Dy, precision):
+    """In-kernel derivative matmuls. Mosaic only lowers
+    Precision.HIGHEST/DEFAULT, so 'high' (3-pass bf16, ~2^-21 relative)
+    is emulated explicitly: split each operand into a bf16 head + bf16
+    residual and sum the three significant cross products with f32
+    accumulation — the same arithmetic XLA emits for Precision.HIGH."""
     if precision == "bf16":
         DxTb = DxT.astype(jnp.bfloat16)
         Dyb = Dy.astype(jnp.bfloat16)
@@ -89,8 +85,29 @@ def _make_ddx_ddy(DxT, Dy, precision):
         def ddy(a):
             return jnp.dot(Dyb, a.astype(jnp.bfloat16),
                            preferred_element_type=jnp.float32)
+    elif precision == "high":
+        bf = jnp.bfloat16
+        Dx_h = DxT.astype(bf)
+        Dx_l = (DxT - Dx_h.astype(jnp.float32)).astype(bf)
+        Dy_h = Dy.astype(bf)
+        Dy_l = (Dy - Dy_h.astype(jnp.float32)).astype(bf)
+
+        def ddx(a):
+            ah = a.astype(bf)
+            al = (a - ah.astype(jnp.float32)).astype(bf)
+            return (jnp.dot(ah, Dx_h, preferred_element_type=jnp.float32)
+                    + jnp.dot(ah, Dx_l, preferred_element_type=jnp.float32)
+                    + jnp.dot(al, Dx_h, preferred_element_type=jnp.float32))
+
+        def ddy(a):
+            ah = a.astype(bf)
+            al = (a - ah.astype(jnp.float32)).astype(bf)
+            return (jnp.dot(Dy_h, ah, preferred_element_type=jnp.float32)
+                    + jnp.dot(Dy_l, ah, preferred_element_type=jnp.float32)
+                    + jnp.dot(Dy_h, al, preferred_element_type=jnp.float32))
     else:
-        kw = _dot_kwargs(precision)
+        kw = dict(preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
 
         def ddx(a):
             return jnp.dot(a, DxT, **kw)
