@@ -21,20 +21,23 @@ Granularity is chosen by a VMEM plane-count estimate (the v5e has
 ceiling from Mosaic staging overhead):
 
   'flow' — one pallas_call integrates all nsteps RK4 steps, zero HBM
-           traffic between stages. Fits at <=512^2 for all flows
-           (measured 256^2: backward 0.53ms fused vs 0.80ms scan).
-  'uni'  — above that, ONLY the backward is fused: each velocity is
-           2*ncomp+1 calls of ONE role-switched universal kernel with
-           the cheap elementwise glue in XLA (1024^2 backward flow
-           39.8ms vs ~60ms scan). Forward/adjoint take the XLA scan,
-           whose tuned matmul emitters win when there is little fusion
-           to gain (1024^2 fwd: scan 9.9ms vs uni 14.4ms). A single
-           kernel *type* per program is deliberate: the remote compile
-           helper aborts on programs with two distinct Mosaic kernels
-           at this size, and production programs mix flows.
+           traffic between stages. Used when the whole BACKWARD
+           integration fits VMEM (<=~512^2; measured 256^2: backward
+           0.53ms fused vs 0.80ms scan).
+  above  — the pallas backend degenerates to the identical lax.scan
+           integrator: measured at 1024^2 f32, XLA's tuned matmul
+           emitters beat per-velocity Mosaic kernels for every flow
+           (fwd scan 9.9ms vs fused 14.4ms; per backward flow ~27ms
+           vs 39.8ms; full gradlnP 78.9ms vs 108.8ms) — when there is
+           no VMEM-residency to win, fusion does not pay on this
+           toolchain.
 
-('stage' kernels — one fused velocity per call — exist for testing and
-other hardware generations but are not auto-selected.)
+'stage' kernels (one fused velocity per call) and the role-switched
+universal kernel ('uni', CMBL_FORCE_UNI=1) remain implemented and
+tested for future toolchains/generations; 'uni' exists because the
+remote compile helper aborts on programs containing two distinct large
+Mosaic kernels, and production programs mix flows (CG = forward+
+adjoint, gradlnP = forward+backward).
 """
 from __future__ import annotations
 
@@ -590,30 +593,27 @@ def _run_flow(state, phi_planes, proj, kind, nsteps, t0, t1, precision,
     assert _HAS_PALLAS
     nstate, Ny, Nx = state.shape[-3:]
     mats = _mats_for(proj, state.dtype)
-    # policy is per SIZE, not per flow: production programs mix flows
-    # (CG = forward+adjoint, gradlnP = forward+backward), and above the
-    # whole-flow size the compile helper only tolerates one distinct
-    # Mosaic kernel per program. Either every flow at this size fits as
-    # a whole-flow kernel (binding constraint: the backward, nstate up
-    # to 5), or ONLY the backward uses the universal kernel and the
-    # forward/adjoint run the XLA scan — measured at 1024^2, XLA's
-    # tuned matmul emitters beat per-velocity Mosaic kernels when
-    # there is little fusion to win (scan fwd 9.9ms vs uni 14.4ms),
-    # while the elementwise-heavy backward still wins fused (uni flow
-    # 39.8ms vs ~60ms scan).
+    # Measured policy (1024^2, f32-HIGHEST, v5e): outside the
+    # VMEM-resident whole-flow regime, XLA's tuned matmul emitters beat
+    # per-velocity Mosaic kernels for EVERY flow — forward scan 9.9ms
+    # vs uni 14.4ms; per backward flow scan ~27ms vs uni 39.8ms; full
+    # gradlnP scan 78.9ms vs 108.8ms mixed — so fused kernels are used
+    # ONLY when the whole backward integration fits VMEM (binding
+    # constraint nstate=2*ncomp+1; <=~512^2, where fusion wins: 256^2
+    # backward 0.53ms fused vs 0.80ms scan). Above that the pallas
+    # backend degenerates to the identical scan integrator. The uni
+    # kernels remain available (tests; CMBL_FORCE_UNI=1) for future
+    # toolchains where Mosaic matmul throughput closes the gap.
     ncomp = {"backward": (nstate - 1) // 2}.get(kind, nstate)
     nstate_max = 2 * ncomp + 1
     if _flow_fits("backward", nstate_max, Ny, Nx, state.dtype):
         call = _flow_call
-    elif _uni_fits(kind, nstate, Ny, Nx, state.dtype):
-        if kind != "backward":
-            return _scan_fallback(state, phi_planes, proj, kind,
-                                  int(nsteps), t0, t1)
+    elif os.environ.get("CMBL_FORCE_UNI") and _uni_fits(
+            kind, nstate, Ny, Nx, state.dtype):
         call = _uni_call
     else:
-        raise ValueError(
-            f"map {Ny}x{Nx} too large even for the universal fused kernel "
-            f"under a {_VMEM_BUDGET_MB:.0f}MB VMEM budget; use the scan path")
+        return _scan_fallback(state, phi_planes, proj, kind,
+                              int(nsteps), t0, t1)
     fn = lambda s, pp: call(s, pp, mats, kind, int(nsteps),
                             float(t0), float(t1), precision, interpret)
     batch = state.shape[:-3]
