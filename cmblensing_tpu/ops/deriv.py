@@ -32,7 +32,11 @@ import jax.numpy as jnp
 from . import fft as _fft
 
 _MODE = "auto"
-_MATMUL_MAX = 1024
+# measured on v5e: circulant matmuls beat the XLA TPU FFT through
+# 2048^2 (apply ~100 vs 154ms, spin-2 flow gradient 348 vs 608ms);
+# the crossover to FFT is expected near 4096^2 where matmul FLOPs
+# grow another 8x against the FFT's ~4.4x
+_MATMUL_MAX = 2048
 _PRECISION = "f32"   # "f32" | "bf16" (bf16 inputs, f32 accumulate)
 
 
