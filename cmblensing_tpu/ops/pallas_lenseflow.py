@@ -32,12 +32,13 @@ ceiling from Mosaic staging overhead):
            no VMEM-residency to win, fusion does not pay on this
            toolchain.
 
-'stage' kernels (one fused velocity per call) and the role-switched
-universal kernel ('uni', CMBL_FORCE_UNI=1) remain implemented and
-tested for future toolchains/generations; 'uni' exists because the
-remote compile helper aborts on programs containing two distinct large
-Mosaic kernels, and production programs mix flows (CG = forward+
-adjoint, gradlnP = forward+backward).
+The role-switched universal kernel ('uni', CMBL_FORCE_UNI=1) remains
+implemented and tested for future toolchains/generations; it exists
+because the remote compile helper aborts on programs containing two
+distinct large Mosaic kernels, and production programs mix flows
+(CG = forward+adjoint, gradlnP = forward+backward). Fused kernels
+engage only for single-instance (unbatched, unvmapped) flows — under
+vmap or a batch axis the scan's big batched GEMMs win on the MXU.
 """
 from __future__ import annotations
 
@@ -59,10 +60,10 @@ except ImportError:  # pragma: no cover
 
 
 # v5e VMEM is 128MB raw (measured: a trivial copy kernel fits 64MB in +
-# 64MB out), but matmul kernels carry Mosaic staging overhead: the
-# backward stage kernel compiles at an ~83MB live-plane estimate and
-# fails at ~95MB. Budget 85MB steers granularity selection to what the
-# hardware actually accepts. Override with CMBL_PALLAS_VMEM_MB.
+# 64MB out), but matmul kernels carry Mosaic staging overhead: a fused
+# velocity kernel compiles at an ~83MB live-plane estimate and fails at
+# ~95MB. Budget 85MB steers granularity selection to what the hardware
+# actually accepts. Override with CMBL_PALLAS_VMEM_MB.
 _VMEM_BUDGET_MB = float(os.environ.get("CMBL_PALLAS_VMEM_MB", "85"))
 
 # delta-phi term of the split backward velocity: 'pallas' (role-B of
@@ -222,13 +223,6 @@ def _flow_fits(kind, nstate, Ny, Nx, dtype):
     return planes * _plane_mb(Ny, Nx, dtype) + mats <= _VMEM_BUDGET_MB
 
 
-def _stage_fits(kind, nstate, Ny, Nx, dtype):
-    temps = {"forward": 4, "adjoint": 4, "backward": 10}[kind]
-    planes = 5 + nstate * 2 + temps
-    mats = _plane_mb(Ny, Ny, dtype) + _plane_mb(Nx, Nx, dtype)
-    return planes * _plane_mb(Ny, Nx, dtype) + mats <= _VMEM_BUDGET_MB
-
-
 def _compiler_params():
     return pltpu.CompilerParams(
         vmem_limit_bytes=int(127 * 2 ** 20))
@@ -311,82 +305,6 @@ def _flow_call(state, phi_planes, mats, kind, nsteps, t0, t1, precision,
 
 
 # =========================================================================
-# per-stage kernels (lax.scan drives the RK4 outside)
-# =========================================================================
-
-def _stage_kernel(t_ref, *refs, kind, nstate, ncomp, precision):
-    state_ref = refs[0]
-    gx, gy, hxx, hxy, hyy = (refs[i][:] for i in range(1, 6))
-    ddx, ddy = _make_ddx_ddy(refs[6][:], refs[7][:], precision)
-    out_ref = refs[8]
-    phi_planes = (gx, gy, hxx, hxy, hyy)
-    t = t_ref[0]
-    if kind == "backward":
-        # stream outputs into out_ref as they are produced — keeps peak
-        # VMEM liveness ~4 planes lower than building the full velocity
-        # list first, which is what lets this kernel fit at 1024^2
-        px, py = _p_of_t(t, gx, gy, hxx, hxy, hyy)
-        m11, m12, m22 = _minv_of_t(t, hxx, hxy, hyy)
-        wx = None
-        wy = None
-        for c in range(ncomp):
-            fc = state_ref[c]
-            dfc = state_ref[ncomp + c]
-            fx = ddx(fc)
-            fy = ddy(fc)
-            out_ref[c] = px * fx + py * fy
-            out_ref[ncomp + c] = ddx(px * dfc) + ddy(py * dfc)
-            wx = dfc * fx if wx is None else wx + dfc * fx
-            wy = dfc * fy if wy is None else wy + dfc * fy
-        ux = m11 * wx + m12 * wy
-        uy = m12 * wx + m22 * wy
-        out_ref[2 * ncomp] = (
-            ddx(ux + ddx(t * px * ux) + ddy(t * py * ux))
-            + ddy(uy + ddx(t * px * uy) + ddy(t * py * uy)))
-        return
-    y = [state_ref[c] for c in range(nstate)]
-    k = _VELS[kind](t, y, phi_planes, ddx, ddy)
-    for c in range(nstate):
-        out_ref[c] = k[c]
-
-
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
-def _stage_call(state, phi_planes, mats, kind, nsteps, t0, t1, precision,
-                interpret=False):
-    nstate, Ny, Nx = state.shape
-    ncomp = {"backward": (nstate - 1) // 2}.get(kind, nstate)
-    kern = functools.partial(_stage_kernel, kind=kind, nstate=nstate,
-                             ncomp=ncomp, precision=precision)
-    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    call = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((nstate, Ny, Nx), state.dtype),
-        in_specs=[smem] + [vm() for _ in range(8)],
-        out_specs=vm(),
-        compiler_params=_compiler_params(),
-        interpret=interpret,
-    )
-
-    def vel(t, y):
-        return call(jnp.reshape(t, (1,)).astype(state.dtype), y,
-                    *phi_planes, *mats)
-
-    h = (t1 - t0) / nsteps
-
-    def step(y, i):
-        t = t0 + i * h
-        k1 = vel(t, y)
-        k2 = vel(t + h / 2, y + (h / 2) * k1)
-        k3 = vel(t + h / 2, y + (h / 2) * k2)
-        k4 = vel(t + h, y + h * k3)
-        return y + (h / 6) * (k1 + 2 * (k2 + k3) + k4), None
-
-    y, _ = jax.lax.scan(step, state, jnp.arange(nsteps, dtype=state.dtype))
-    return y
-
-
-# =========================================================================
 # split per-stage kernels (backward only): at sizes where even the
 # single fused velocity kernel exceeds the usable VMEM (the Mosaic
 # matmul staging overhead caps usable VMEM well below the 128MB raw
@@ -395,35 +313,6 @@ def _stage_call(state, phi_planes, mats, kind, nsteps, t0, t1, precision,
 # left to XLA. Matmuls stay fused with their adjacent elementwise work;
 # only ~50MB/stage of elementwise traffic rides HBM.
 # =========================================================================
-
-def _bwdA_kernel(f_ref, df_ref, px_ref, py_ref, dxt_ref, dy_ref, out_ref,
-                 *, precision):
-    """Per-component: dfdt, ddf, and the w-products."""
-    ddx, ddy = _make_ddx_ddy(dxt_ref[:], dy_ref[:], precision)
-    px = px_ref[:]
-    py = py_ref[:]
-    f = f_ref[:]
-    df = df_ref[:]
-    fx = ddx(f)
-    fy = ddy(f)
-    out_ref[0] = px * fx + py * fy            # df/dt
-    out_ref[1] = ddx(px * df) + ddy(py * df)  # d(delta_f)/dt
-    out_ref[2] = df * fx                      # w_x contribution
-    out_ref[3] = df * fy                      # w_y contribution
-
-
-def _bwdB_kernel(t_ref, ux_ref, uy_ref, px_ref, py_ref, dxt_ref, dy_ref,
-                 out_ref, *, precision):
-    """d(delta_phi)/dt from u = M^-1 w."""
-    ddx, ddy = _make_ddx_ddy(dxt_ref[:], dy_ref[:], precision)
-    t = t_ref[0]
-    ux = ux_ref[:]
-    uy = uy_ref[:]
-    px = px_ref[:]
-    py = py_ref[:]
-    out_ref[0] = (ddx(ux + ddx(t * px * ux) + ddy(t * py * ux))
-                  + ddy(uy + ddx(t * px * uy) + ddy(t * py * uy)))
-
 
 def _bwdAB_kernel(s_ref, a_ref, b_ref, px_ref, py_ref, dxt_ref, dy_ref,
                   out_ref, *, precision):
