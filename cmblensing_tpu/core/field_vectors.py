@@ -228,15 +228,24 @@ class FieldMatrix:
         return f"FieldMatrix({self.shape})"
 
 
+def _to_map(x):
+    return x.to(x.basis.with_space("map"))
+
+
 def gradient_vector(f: Field) -> FieldVector:
-    """∇f as a FieldVector (reference ∇*f)."""
-    return FieldVector(*gradient(f))
+    """∇f as a FieldVector (reference ∇*f). Components are returned in
+    the MAP basis: FieldVector/FieldMatrix algebra (pointwise_dot,
+    norm2, outer, det, pinv, sqrt) is pointwise in pixel space, which
+    would silently become coefficient-wise products on Fourier-basis
+    components."""
+    return FieldVector(*(_to_map(g) for g in gradient(f)))
 
 
 def hessian_matrix(f: Field) -> FieldMatrix:
-    """∇∇f as a 2x2 FieldMatrix."""
+    """∇∇f as a 2x2 FieldMatrix (map-basis entries; see
+    gradient_vector)."""
     _, H = gradhess(f)
-    return FieldMatrix(H)
+    return FieldMatrix(tuple(tuple(_to_map(e) for e in row) for row in H))
 
 
 def magnification_matrix(phi: Field, t=1.0) -> FieldMatrix:

@@ -155,10 +155,14 @@ class EquiRectField:
 
 
 def er_dot(a: EquiRectField, b: EquiRectField):
-    """Pixel-space dot product (src/proj_equirect.jl:355)."""
+    """Pixel-space dot product (src/proj_equirect.jl:355). Leading
+    batch axes are preserved (per-sim scalars), matching the Lambert
+    Field dot convention."""
     am = a.to("map" if a.basis in ("map", "az") else "qu_map")
     bm = b.to(am.basis)
-    return jnp.sum(am.arr * bm.arr)
+    nred = 2 if am.basis == "map" else 3
+    axes = tuple(range(-nred, 0))
+    return jnp.sum(am.arr * bm.arr, axis=axes)
 
 
 # =========================================================================

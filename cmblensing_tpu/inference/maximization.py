@@ -339,87 +339,92 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
     from ..utils.progress import progress_bar
     pbar_cm = progress_bar(nsteps, "MAP_joint", enabled=progress)
     pbar = pbar_cm.__enter__()
-    for step in range(1, nsteps + 1):
-        # f-step
-        with timed("MAP_joint/f_step"):
-            if quasi_sample:
-                key, sk = jax.random.split(key)
-                f, cg_info = sample_f(sk, dstheta, phi=phi, theta=theta,
-                                      fstart=f, conjgrad_kwargs=cg)
-            else:
-                f, cg_info = argmaxf_logpdf(dstheta, phi=phi, theta=theta,
-                                            fstart=f, conjgrad_kwargs=cg)
+    try:
+        for step in range(1, nsteps + 1):
+            # f-step
+            with timed("MAP_joint/f_step"):
+                if quasi_sample:
+                    key, sk = jax.random.split(key)
+                    f, cg_info = sample_f(sk, dstheta, phi=phi, theta=theta,
+                                          fstart=f, conjgrad_kwargs=cg)
+                else:
+                    f, cg_info = argmaxf_logpdf(dstheta, phi=phi, theta=theta,
+                                                fstart=f, conjgrad_kwargs=cg)
 
-        # phi-step
-        with timed("MAP_joint/phi_step"):
-            f_mix, phi_mix, g = phi_grad_and_fmix(f, phi)
-            # BFGS-style diagonal Hessian update from smoothed secant
-            # ratios (reference src/maximization.jl:180-186)
-            if (nburnin_update_hessian is not None
-                    and step > nburnin_update_hessian and prev_g is not None):
-                from ..core.cov import cov_to_Cl, Cl_to_Cov
-                from ..utils.cls import smooth
-                dpm = (phi_mix - prev_phi_mix).to_harmonic()
-                dgm = (g - prev_g).to(dpm.basis)
-                ratio = jnp.abs(nan2zero(dpm.arr / dgm.arr))
-                Hinv_unsmooth = Diag(Field(ratio.astype(dpm.arr.dtype), dpm.basis, dpm.proj))
-                cl = cov_to_Cl(Hinv_unsmooth)
-                pos = np.isfinite(cl.Cl) & (cl.Cl > 0) & np.isfinite(cl.ell) & (cl.ell > 0)
-                if pos.sum() >= 4:  # else: keep the current preconditioner
-                    from ..utils.cls import Cls as _Cls
-                    cl_s = smooth(_Cls(cl.ell[pos], (cl.ell[pos] ** 4) * cl.Cl[pos]),
-                                  xscale="log", yscale="log", smoothing=0.3)
-                    cl_s = _Cls(cl_s.ell, cl_s.Cl / np.maximum(cl_s.ell, 1) ** 4)
-                    Hpre_inv = Cl_to_Cov("I", phi.proj, cl_s, units=1)
-            dphi = Hpre_inv @ g
-            amax = alpha_max0 if alpha_max0 is not None else 2 * alpha
-            if linesearch == "grid":
-                # single batched on-device evaluation; batched datasets
-                # get a per-entry alpha (see _jit_grid_linesearch)
-                alpha_dev, _ = _jit_grid_linesearch(
-                    dstheta, theta, f_mix, phi_mix, dphi,
-                    jnp.asarray(amax, jnp.float32), int(ngrid))
-                alpha, nfev = alpha_dev, ngrid
-                alpha_s = float(jnp.max(jnp.atleast_1d(alpha_dev)))
-            else:
-                alpha, nfev = _brent_min(
-                    lambda a: -float(mixed_logpdf_alpha(f_mix, phi_mix, dphi, a)),
-                    0.0, amax, abs_tol=alpha_tol)
-                alpha_s = alpha
+            # phi-step
+            with timed("MAP_joint/phi_step"):
+                f_mix, phi_mix, g = phi_grad_and_fmix(f, phi)
+                # BFGS-style diagonal Hessian update from smoothed secant
+                # ratios (reference src/maximization.jl:180-186)
+                if (nburnin_update_hessian is not None
+                        and step > nburnin_update_hessian and prev_g is not None):
+                    from ..core.cov import cov_to_Cl, Cl_to_Cov
+                    from ..utils.cls import smooth
+                    dpm = (phi_mix - prev_phi_mix).to_harmonic()
+                    dgm = (g - prev_g).to(dpm.basis)
+                    ratio = jnp.abs(nan2zero(dpm.arr / dgm.arr))
+                    Hinv_unsmooth = Diag(Field(ratio.astype(dpm.arr.dtype), dpm.basis, dpm.proj))
+                    cl = cov_to_Cl(Hinv_unsmooth)
+                    pos = np.isfinite(cl.Cl) & (cl.Cl > 0) & np.isfinite(cl.ell) & (cl.ell > 0)
+                    if pos.sum() >= 4:  # else: keep the current preconditioner
+                        from ..utils.cls import Cls as _Cls
+                        cl_s = smooth(_Cls(cl.ell[pos], (cl.ell[pos] ** 4) * cl.Cl[pos]),
+                                      xscale="log", yscale="log", smoothing=0.3)
+                        cl_s = _Cls(cl_s.ell, cl_s.Cl / np.maximum(cl_s.ell, 1) ** 4)
+                        Hpre_inv = Cl_to_Cov("I", phi.proj, cl_s, units=1)
+                dphi = Hpre_inv @ g
+                amax = alpha_max0 if alpha_max0 is not None else 2 * alpha
+                if linesearch == "grid":
+                    # single batched on-device evaluation; batched datasets
+                    # get a per-entry alpha (see _jit_grid_linesearch)
+                    alpha_dev, _ = _jit_grid_linesearch(
+                        dstheta, theta, f_mix, phi_mix, dphi,
+                        jnp.asarray(amax, jnp.float32), int(ngrid))
+                    alpha, nfev = alpha_dev, ngrid
+                    alpha_s = float(jnp.max(jnp.atleast_1d(alpha_dev)))
+                else:
+                    alpha, nfev = _brent_min(
+                        lambda a: -float(mixed_logpdf_alpha(f_mix, phi_mix, dphi, a)),
+                        0.0, amax, abs_tol=alpha_tol)
+                    alpha_s = alpha
 
-        phi_mix, phi, lp_dev, dnorm_dev = _jit_step_unmix_and_norm(
-            dstheta, theta, f_mix, phi_mix, dphi,
-            jnp.asarray(alpha, jnp.float32))
-        lp, dnorm = float(lp_dev), float(dnorm_dev)
-        alpha_h = alpha_s if np.ndim(alpha) == 0 or np.size(alpha) == 1 else np.asarray(alpha)
-        # reference ProgressMeter showvalues parity (maximization.jl:209-216)
-        pbar.update(logpdf=lp, alpha=float(alpha_s),
-                    CG=int(cg_info["iterations"]), ls=nfev)
-        entry = {}
-        if "logpdf" in history_keys:
-            entry["logpdf"] = lp
-        if "phi" in history_keys:
-            entry["phi"] = phi
-        if "f" in history_keys:
-            entry["f"] = f
-        if "alpha" in history_keys:
-            entry["alpha"] = alpha_h
-        # reference showvalues/history parity (src/maximization.jl:107,
-        # 209-218): CG iteration count+residual (trace) and |grad|
-        if "cg_iters" in history_keys:
-            entry["cg_iters"] = int(cg_info["iterations"])
-        if "cg_res" in history_keys:
-            entry["cg_res"] = np.asarray(cg_info["res"])
-        if "cg_res_history" in history_keys and "res_history" in cg_info:
-            entry["cg_res_history"] = np.asarray(cg_info["res_history"])
-        if "gradnorm" in history_keys:
-            entry["gradnorm"] = np.asarray(_jit_field_norm(g))
-        history.append(entry)
-        prev_phi_mix, prev_g = phi_mix, g
-        if step > minsteps and dnorm * alpha_s < gradtol:
-            break
+            phi_mix, phi, lp_dev, dnorm_dev = _jit_step_unmix_and_norm(
+                dstheta, theta, f_mix, phi_mix, dphi,
+                jnp.asarray(alpha, jnp.float32))
+            lp, dnorm = float(lp_dev), float(dnorm_dev)
+            alpha_h = alpha_s if np.ndim(alpha) == 0 or np.size(alpha) == 1 else np.asarray(alpha)
+            # reference ProgressMeter showvalues parity
+            # (maximization.jl:209-216); guard so the int() d2h sync of
+            # the CG iteration count only happens when a bar is shown
+            if progress:
+                pbar.update(logpdf=lp, alpha=float(alpha_s),
+                            CG=int(cg_info["iterations"]), ls=nfev)
+            entry = {}
+            if "logpdf" in history_keys:
+                entry["logpdf"] = lp
+            if "phi" in history_keys:
+                entry["phi"] = phi
+            if "f" in history_keys:
+                entry["f"] = f
+            if "alpha" in history_keys:
+                entry["alpha"] = alpha_h
+            # reference showvalues/history parity (src/maximization.jl:107,
+            # 209-218): CG iteration count+residual (trace) and |grad|
+            if "cg_iters" in history_keys:
+                entry["cg_iters"] = int(cg_info["iterations"])
+            if "cg_res" in history_keys:
+                entry["cg_res"] = np.asarray(cg_info["res"])
+            if "cg_res_history" in history_keys and "res_history" in cg_info:
+                entry["cg_res_history"] = np.asarray(cg_info["res_history"])
+            if "gradnorm" in history_keys:
+                entry["gradnorm"] = np.asarray(_jit_field_norm(g))
+            history.append(entry)
+            prev_phi_mix, prev_g = phi_mix, g
+            if step > minsteps and dnorm * alpha_s < gradtol:
+                break
 
-    pbar_cm.__exit__(None, None, None)
+    finally:
+        pbar_cm.__exit__(None, None, None)
     return dict(f=f, phi=phi, history=history)
 
 

@@ -244,7 +244,8 @@ class MuseProblem:
 
     def solve(self, theta0=None, **kwargs):
         """Run the native batched-ensemble MUSE driver on this problem
-        (reference muse!, ext/...MuseInferenceExt.jl:90-92)."""
+        (reference muse!, ext/...MuseInferenceExt.jl:90-92). A
+        MAP_kwargs keyword overrides the problem's MAP_joint_kwargs."""
         theta0 = theta0 or {n: 1.0 for n in self.params}
-        return muse(self.ds, theta0, MAP_kwargs=self.MAP_joint_kwargs,
-                    **kwargs)
+        map_kw = kwargs.pop("MAP_kwargs", self.MAP_joint_kwargs)
+        return muse(self.ds, theta0, MAP_kwargs=map_kw, **kwargs)

@@ -268,6 +268,7 @@ def _lenseflow_bwd(t0, t1, nsteps, proj, backend, res, dy):
 _lenseflow_apply.defvjp(_lenseflow_fwd, _lenseflow_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _lenseflow_apply_adjoint(phi_map, f_map, t0, t1, nsteps, proj,
                              backend="scan"):
     """Apply L(phi)^dagger (or its inverse-adjoint depending on t0/t1
@@ -280,6 +281,28 @@ def _lenseflow_apply_adjoint(phi_map, f_map, t0, t1, nsteps, proj,
                                  int(nsteps), proj, "adjoint",
                                  _kernel_precision())
     return _rk4(lambda t, y: _velocity_adj(t, y, g, h, proj), f_map, t1, t0, nsteps)
+
+
+def _lenseflow_adj_fwd(phi_map, f_map, t0, t1, nsteps, proj, backend="scan"):
+    out = _lenseflow_apply_adjoint(phi_map, f_map, t0, t1, nsteps, proj, backend)
+    return out, (phi_map, f_map)
+
+
+def _lenseflow_adj_bwd(t0, t1, nsteps, proj, backend, res, u):
+    """VJP of out = L(phi)^H f via <u, L^H f> = <L u, f>:
+    the f-cotangent is the FORWARD apply of u, and the phi-cotangent is
+    the transpose-delta flow evaluated with (primal := u, cotangent :=
+    f) — reusing the forward flow's machinery exactly (a pallas_call
+    has no AD rule of its own, so the adjoint apply needs this explicit
+    custom_vjp to stay differentiable under the fused backend)."""
+    phi_map, f_map = res
+    Lu = _lenseflow_apply(phi_map, u, t0, t1, nsteps, proj, backend)
+    dphi, _ = _lenseflow_bwd(t0, t1, nsteps, proj, backend, (phi_map, Lu),
+                             f_map)
+    return (dphi, Lu)
+
+
+_lenseflow_apply_adjoint.defvjp(_lenseflow_adj_fwd, _lenseflow_adj_bwd)
 
 
 # =========================================================================

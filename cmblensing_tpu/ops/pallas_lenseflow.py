@@ -464,8 +464,15 @@ _uni_fits = _split_fits
 # =========================================================================
 
 def flow_available(kind, nstate, Ny, Nx, dtype=np.float32):
-    return _HAS_PALLAS and (_flow_fits("backward", nstate, Ny, Nx, dtype)
-                            or _uni_fits(kind, nstate, Ny, Nx, dtype))
+    """True when requesting the pallas backend will actually run fused
+    kernels (so an explicit 'pallas' request matches what executes —
+    the uni path only engages under CMBL_FORCE_UNI)."""
+    if not _HAS_PALLAS:
+        return False
+    if _flow_fits("backward", nstate, Ny, Nx, dtype):
+        return True
+    return bool(os.environ.get("CMBL_FORCE_UNI")) and _uni_fits(
+        kind, nstate, Ny, Nx, dtype)
 
 
 def _run_flow(state, phi_planes, proj, kind, nsteps, t0, t1, precision,

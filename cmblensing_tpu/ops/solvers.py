@@ -220,16 +220,17 @@ def gmres(A, b, maxiter, Pl=None):
 
     NOTE: like the reference, this builds an *unorthogonalized* power
     basis (Pl A)^i Pl b and solves by lstsq. The columns become
-    numerically dependent after ~10 iterations, so larger maxiter
-    silently stops improving (lstsq on a rank-deficient basis is
-    stable but adds nothing). Its one consumer, BilinearLens.solve,
-    converges in <10; maxiter is clamped to 12 here to keep the
-    footgun disarmed."""
+    numerically dependent after ~10 iterations, so larger maxiter stops
+    improving (lstsq on the rank-deficient basis is stable but adds
+    nothing) — a warning flags it; the requested maxiter is honored.
+    BilinearLens.solve, the in-package consumer, stays below the
+    bound."""
     if maxiter > 12:
         import warnings
-        warnings.warn("gmres: power-Krylov basis degenerates beyond ~10 "
-                      "iterations; clamping maxiter to 12", stacklevel=2)
-        maxiter = 12
+        warnings.warn("gmres: the unorthogonalized power-Krylov basis "
+                      "degenerates beyond ~10 iterations; extra "
+                      "iterations will not improve the solution",
+                      stacklevel=2)
     leaves, treedef = jax.tree_util.tree_flatten(b)
     shapes = [l.shape for l in leaves]
     sizes = [int(jnp.size(l)) for l in leaves]

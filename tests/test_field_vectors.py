@@ -34,10 +34,13 @@ def test_vector_algebra_and_dot():
 def test_gradient_vector_matches_gradient():
     from cmblensing_tpu.core.ops import gradient
     proj, f = _mk()
-    v = gradient_vector(f)
+    v = gradient_vector(f)   # map-basis components (pointwise algebra)
     gx, gy = gradient(f)
-    assert float(jnp.max(jnp.abs(v[0].to(gx.basis).arr - gx.arr))) < 1e-6
-    assert float(jnp.max(jnp.abs(v[1].to(gy.basis).arr - gy.arr))) < 1e-6
+    gxm = gx.to(gx.basis.with_space("map"))
+    gym = gy.to(gy.basis.with_space("map"))
+    scale = float(jnp.max(jnp.abs(gxm.arr))) + 1e-30
+    assert float(jnp.max(jnp.abs(v[0].arr - gxm.arr))) < 1e-5 * scale
+    assert float(jnp.max(jnp.abs(v[1].arr - gym.arr))) < 1e-5 * scale
 
 
 def test_magnification_pinv_identity():
@@ -81,3 +84,19 @@ def test_hessian_symmetry():
     proj, f = _mk()
     H = hessian_matrix(f)
     assert float(jnp.max(jnp.abs(H[0, 1].arr - H[1, 0].arr))) < 1e-6
+
+
+def test_gradient_vector_pointwise_norm2():
+    """gradient_vector components are map-basis, so norm2 is a true
+    pointwise |grad f|^2 (code-review regression: Fourier-basis
+    components made pointwise algebra coefficient-wise products)."""
+    from cmblensing_tpu.core.ops import gradient
+    proj, f = _mk(5)
+    v = gradient_vector(f)
+    gx, gy = gradient(f)
+    gxm = gx.to(gx.basis.with_space("map")).arr
+    gym = gy.to(gy.basis.with_space("map")).arr
+    n2 = v.norm2().to(v.norm2().basis.with_space("map")).arr
+    rel = float(jnp.max(jnp.abs(n2 - (gxm ** 2 + gym ** 2)))
+                / jnp.max(jnp.abs(gxm ** 2 + gym ** 2)))
+    assert rel < 1e-5, rel

@@ -129,3 +129,35 @@ def test_pallas_backend_matches_scan_on_tpu(setup):
         a = np.asarray(fn("scan", *args))
         b = np.asarray(fn("pallas", *args))
         assert rel(b, a) < 1e-4, (name, rel(b, a))
+
+
+def test_adjoint_apply_gradient(setup):
+    """Gradients flow through L.H @ f under BOTH backends (the fused
+    pallas path has no native AD rule — a code-review-found regression:
+    the adjoint apply needs its own custom_vjp, built from
+    <u, L^H f> = <L u, f>), and the phi-gradient matches finite
+    differences."""
+    from cmblensing_tpu.models.dataset import load_sim
+    from cmblensing_tpu.models.lenseflow import lenseflow_backend_ctx
+    from cmblensing_tpu.ops import deriv
+
+    deriv.set_deriv_mode("matmul")
+    out = load_sim(thetapix=3, Nside=32, pol="I", T=np.float32, seed=0)
+    f = out["f"].to(out["f"].basis.with_space("map"))
+    u = out["ds"].simulate(jax.random.PRNGKey(9))["f"].to(f.basis)
+    phi = out["phi"].to(out["phi"].basis.with_space("map"))
+    dphi = out["ds"].simulate(jax.random.PRNGKey(11))["phi"].to(phi.basis)
+
+    def loss(p):
+        return F.dot(u, LenseFlow(p, 7).H @ f)
+
+    grads = {}
+    for be in ["scan", "pallas"]:
+        from cmblensing_tpu.models.lenseflow import lenseflow_backend_ctx
+        with lenseflow_backend_ctx(be):
+            g = F.fgrad(loss)(phi)
+            grads[be] = float(F.dot(g, dphi))
+    eps = 1e-3
+    fd = float((loss(phi + eps * dphi) - loss(phi - eps * dphi)) / (2 * eps))
+    for be, ad in grads.items():
+        assert abs(ad - fd) < 2e-2 * abs(fd), (be, ad, fd)

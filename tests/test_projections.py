@@ -293,3 +293,16 @@ def test_equirect_sqrt_pinv_ad():
 
     g = jax.grad(obj)(jnp.float32(1.0))
     assert np.isfinite(float(g))
+
+
+def test_equirect_batched_logpdf_per_sim(er_proj, spectra):
+    """MvNormal logpdf over batched EquiRect fields returns per-sim
+    scalars (code-review regression: er_dot summed the batch axis)."""
+    from cmblensing_tpu.models.distributions import MvNormal
+    lmax, ell, CE, CB = spectra
+    C = Cl_to_Cov_EquiRect("I", er_proj, CE, lmax=lmax)
+    fb = C.simulate(jax.random.PRNGKey(5), batch_shape=(3,))
+    lp = MvNormal(0, C).logpdf(fb)
+    assert np.shape(lp) == (3,)
+    lp0 = float(MvNormal(0, C).logpdf(EquiRectField(fb.arr[0], fb.basis, er_proj)))
+    assert abs(float(np.asarray(lp)[0]) - lp0) < 1e-3 * abs(lp0)
