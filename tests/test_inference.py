@@ -208,3 +208,21 @@ def test_argmaxf_mixed_precision_hessian():
                                                  hessian_precision="high"))
     rel = float(F.norm(fhi - f32.to(fhi.basis)) / F.norm(f32))
     assert rel < 1e-3, rel
+
+
+def test_sample_joint_verbose_timing(capsys):
+    """verbose_timing prints per-step pass-timing deltas (reference
+    sample_joint(verbose_timing=true), sampling.jl:296-328)."""
+    from cmblensing_tpu.models.dataset import load_sim
+    from cmblensing_tpu.inference.sampling import sample_joint
+
+    out = load_sim(thetapix=5, Nside=16, pol="I", T=np.float32, seed=2)
+    sample_joint(out["ds"], nsamps_per_chain=2, nchains=1,
+                 key=jax.random.PRNGKey(0),
+                 symp_kwargs=[dict(N=3, eps=0.01)],
+                 conjgrad_kwargs=dict(tol=1e-1, nsteps=5),
+                 verbose_timing=True)
+    captured = capsys.readouterr()
+    assert "gibbs step 1 timing" in captured.out
+    assert "gibbs/sample_f" in captured.out
+    assert "gibbs/sample_phi" in captured.out
