@@ -82,7 +82,15 @@ class EquiRectField:
     bases: 'map' (..., nT, nP) real | 'az' (..., nT, nP//2+1) complex
            'qu_map' (..., 2, nT, nP) real | 'qu_az' (..., 2nT, nP//2+1) complex
     The qu_az layout stacks [P_m(theta); conj(P_{-m})(theta)]
-    (src/proj_equirect.jl:160-178)."""
+    (src/proj_equirect.jl:160-178).
+
+    Gradient convention: like Lambert fields (core/field.py::fgrad),
+    take gradients w.r.t. MAP-basis ('map'/'qu_map') pixel DOF — there
+    the raw jax.grad cotangent IS the gradient field, with no
+    rfft-degeneracy bookkeeping. Differentiating w.r.t. the 'az'
+    half-plane representation would need λ_rfft-style weights (the
+    problem the reference solves in autodiff.jl:27-57); the AD tests
+    (tests/test_projections.py) pin the map-basis convention."""
 
     __slots__ = ("arr", "basis", "proj")
 
