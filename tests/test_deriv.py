@@ -196,3 +196,26 @@ def test_matmul_precision_pinned_in_jaxpr():
     assert dots
     for e in dots:
         assert e.params["precision"] == (jax.lax.Precision.HIGHEST,) * 2
+
+
+def test_div_plus_dij_backends_agree():
+    """The regrouped delta-phi accumulation (div + sum_ij d_i d_j)
+    agrees between the matmul and FFT backends and with the
+    unregrouped primitives."""
+    proj = ProjLambert(16, 16, thetapix=3, T=np.float32)
+    key = jax.random.PRNGKey(4)
+    ux, uy, s0, s1, s2, s3 = jax.random.normal(key, (6, 16, 16))
+    outs = {}
+    for mode in ["fft", "matmul"]:
+        deriv.set_deriv_mode(mode)
+        outs[mode] = deriv.div_plus_dij(ux, uy, s0, s1, s2, s3, proj)
+        # unregrouped reference composition
+        d = deriv.div_xy(ux[None], uy[None], proj)[0]
+        dij = deriv.dij_sum(jnp.stack([s0, s1, s2, s3]), proj)[0]
+        ref = d + dij
+        rel = float(jnp.max(jnp.abs(outs[mode] - ref))
+                    / (jnp.max(jnp.abs(ref)) + 1e-30))
+        assert rel < 5e-3, (mode, rel)
+    rel = float(jnp.max(jnp.abs(outs["fft"] - outs["matmul"]))
+                / (jnp.max(jnp.abs(outs["fft"])) + 1e-30))
+    assert rel < 5e-3, rel
