@@ -204,3 +204,36 @@ def test_small_util_exports():
 
     f_cpu = cl.cpu(f)
     assert all(dev.platform == "cpu" for dev in f_cpu.arr.devices())
+
+
+def test_sum_float64_mode(x64):
+    """float64 sum mode accumulates at f64 (reference util.jl:288-316);
+    under x64 it must beat plain f32-style accumulation on long sums."""
+    from cmblensing_tpu.utils import summation as sm
+    # 1 + many tiny increments that individually round away at f32
+    n = 512
+    arr = np.full((1, n, n), np.float32(1e-8), np.float32)
+    arr[0, 0, 0] = 1.0
+    z = jnp.asarray(arr)
+    exact = 1.0 + 1e-8 * (n * n - 1)
+    s64 = float(sm.asum(z, mode="float64"))
+    assert abs(s64 - exact) < 1e-7 * exact
+
+
+def test_progress_bar_print_fallback(capsys, monkeypatch):
+    """Without tqdm the bar degrades to prints with showvalues."""
+    import builtins
+    real_import = builtins.__import__
+
+    def no_tqdm(name, *a, **kw):
+        if name == "tqdm":
+            raise ImportError("tqdm disabled for test")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_tqdm)
+    from cmblensing_tpu.utils.progress import progress_bar
+    with progress_bar(total=2, desc="T", enabled=True) as pb:
+        pb.update(logpdf=1.5)
+        pb.update(logpdf=2.5)
+    out = capsys.readouterr().out
+    assert "T 1/2" in out and "logpdf=1.5" in out
