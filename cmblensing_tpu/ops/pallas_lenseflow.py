@@ -72,6 +72,17 @@ _VMEM_BUDGET_MB = float(os.environ.get("CMBL_PALLAS_VMEM_MB", "85"))
 _SPLIT_DPHI_BACKEND = os.environ.get("CMBL_SPLIT_DPHI", "pallas")
 
 
+def _is_vmapped(x):
+    """Is x a vmap (BatchTracer) tracer? isinstance against the real
+    class when importable, class-name match as a version-proof
+    fallback."""
+    try:
+        from jax.interpreters.batching import BatchTracer
+        return isinstance(x, BatchTracer)
+    except Exception:
+        return type(x).__name__ == "BatchTracer"
+
+
 def _make_ddx_ddy(DxT, Dy, precision):
     """In-kernel derivative matmuls. Mosaic only lowers
     Precision.HIGHEST/DEFAULT, so 'high' (3-pass bf16, ~2^-21 relative)
@@ -495,7 +506,7 @@ def _run_flow(state, phi_planes, proj, kind, nsteps, t0, t1, precision,
     # that the MXU crunches at far better utilization — measured 256^2
     # single-dataset MAP step 246ms with fused kernels vs 127ms scan.
     # Fused kernels are for single-instance flows only.
-    if state.shape[:-3] or type(state).__name__ == "BatchTracer":
+    if state.shape[:-3] or _is_vmapped(state):
         return _scan_fallback(state, phi_planes, proj, kind,
                               int(nsteps), t0, t1)
     # Measured policy (1024^2, f32-HIGHEST, v5e): outside the
