@@ -48,3 +48,27 @@ def test_dataset_roundtrip():
     lp1 = float(ds.logpdf(f=out["f"], phi=out["phi"]))
     lp2 = float(ds2.logpdf(f=out["f"], phi=out["phi"]))
     assert abs(lp1 - lp2) < 1e-3 * abs(lp1)
+
+
+def test_device_put_safe_complex_roundtrip():
+    """device_put_safe stages complex leaves as float pairs (the
+    tunneled-TPU transfer limitation); values must round-trip exactly
+    on any device, including fields and DataSets."""
+    import jax
+    from cmblensing_tpu.utils.transfer import device_put_safe, cpu
+    from cmblensing_tpu.core.proj import ProjLambert
+    from cmblensing_tpu.core.field import Field
+    from cmblensing_tpu.core.basis import Basis
+
+    proj = ProjLambert(8, 8, thetapix=3, T=np.float32)
+    key = jax.random.PRNGKey(0)
+    arr = (jax.random.normal(key, (1, 8, 5))
+           + 1j * jax.random.normal(jax.random.fold_in(key, 1), (1, 8, 5))
+           ).astype(jnp.complex64)
+    f = Field(arr, Basis("I", "fourier"), proj)
+    dev = jax.devices("cpu")[0]
+    f2 = device_put_safe(f, dev)
+    assert f2.arr.dtype == jnp.complex64
+    assert np.array_equal(np.asarray(f2.arr), np.asarray(arr))
+    f3 = cpu(f2)
+    assert np.array_equal(np.asarray(f3.arr), np.asarray(arr))
