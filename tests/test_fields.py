@@ -237,3 +237,18 @@ def test_progress_bar_print_fallback(capsys, monkeypatch):
         pb.update(logpdf=2.5)
     out = capsys.readouterr().out
     assert "T 1/2" in out and "logpdf=1.5" in out
+
+
+def test_metadata_mismatch_errors():
+    """Combining fields with differing projections raises (reference
+    metadata-mismatch tests, runtests.jl:83-113)."""
+    import pytest as _pytest
+    from cmblensing_tpu.core.proj import ProjLambert
+    from cmblensing_tpu.core.field import Field
+    from cmblensing_tpu.core.basis import Basis
+    p1 = ProjLambert(8, 8, thetapix=3, T=np.float32)
+    p2 = ProjLambert(16, 16, thetapix=3, T=np.float32)
+    f1 = Field(jnp.ones((1, 8, 8)), Basis("I", "map"), p1)
+    f2 = Field(jnp.ones((1, 16, 16)), Basis("I", "map"), p2)
+    with _pytest.raises(ValueError, match="differing projections"):
+        f1 + f2
