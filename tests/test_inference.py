@@ -226,3 +226,26 @@ def test_sample_joint_verbose_timing(capsys):
     assert "gibbs step 1 timing" in captured.out
     assert "gibbs/sample_f" in captured.out
     assert "gibbs/sample_phi" in captured.out
+
+
+def test_gibbs_pass_combinators():
+    """once_every / start_after_burnin wrap gibbs passes
+    (src/sampling.jl:469-487)."""
+    from cmblensing_tpu.inference.sampling import once_every, start_after_burnin
+
+    calls = []
+
+    def mark(state, ds, **kw):
+        calls.append(state["step"])
+        return state
+
+    every3 = once_every(3, mark)
+    for step in range(1, 8):
+        every3({"step": step}, None)
+    assert calls == [3, 6]
+
+    calls.clear()
+    after4 = start_after_burnin(4, mark)
+    for step in range(1, 8):
+        after4({"step": step}, None)
+    assert calls == [5, 6, 7]
