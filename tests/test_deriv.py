@@ -219,3 +219,23 @@ def test_div_plus_dij_backends_agree():
     rel = float(jnp.max(jnp.abs(outs["fft"] - outs["matmul"]))
                 / (jnp.max(jnp.abs(outs["fft"])) + 1e-30))
     assert rel < 5e-3, rel
+
+
+def test_backend_policy_by_size():
+    """Locks the measured backend policy: fused whole-flow kernels only
+    where the whole backward integration fits VMEM (<=~512^2);
+    scan-equivalent above; never for batched/vmapped states."""
+    from cmblensing_tpu.ops import pallas_lenseflow as plf
+    from cmblensing_tpu.models.lenseflow import _resolve_backend
+
+    class _P:  # minimal proj stand-in for the fit formulas
+        def __init__(self, n): self.Ny = self.Nx = n
+
+    arr = jnp.zeros((2, 8, 8), jnp.float32)
+    # flow kernels available through ~512^2 (the flow-fit boundary)
+    assert plf._flow_fits("backward", 5, 512, 512, np.float32)
+    assert not plf._flow_fits("backward", 5, 1024, 1024, np.float32)
+    # auto backend: 'pallas' when fused kernels actually run, else scan
+    assert _resolve_backend(arr, _P(512), 5) == "pallas"
+    assert _resolve_backend(arr, _P(1024), 5) == "scan"
+    assert _resolve_backend(arr, _P(4096), 5) == "scan"
