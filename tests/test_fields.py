@@ -252,3 +252,23 @@ def test_metadata_mismatch_errors():
     f2 = Field(jnp.ones((1, 16, 16)), Basis("I", "map"), p2)
     with _pytest.raises(ValueError, match="differing projections"):
         f1 + f2
+
+
+def test_cross_spectrum_and_rho():
+    """get_Cl(f1, f2) cross-spectra: self-cross equals auto, and
+    get_rho_l(f, f) = 1 (reference get_ρℓ)."""
+    import jax
+    from cmblensing_tpu.core.proj import ProjLambert
+    from cmblensing_tpu.core.field import Field
+    from cmblensing_tpu.core.basis import Basis
+    from cmblensing_tpu.utils.spectra import get_Cl
+    from cmblensing_tpu.utils.cls import get_rho_l
+
+    proj = ProjLambert(64, 64, thetapix=3, T=np.float32)
+    f = Field(jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64)),
+              Basis("I", "map"), proj)
+    auto = get_Cl(f, ledges=np.arange(200, 2000, 200))
+    cross = get_Cl(f, f, ledges=np.arange(200, 2000, 200))
+    assert np.allclose(np.asarray(auto.Cl), np.asarray(cross.Cl), rtol=1e-5)
+    rho = get_rho_l(f, f, ledges=np.arange(200, 2000, 200))
+    assert np.allclose(np.asarray(rho.Cl), 1.0, atol=1e-4)
