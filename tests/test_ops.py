@@ -174,3 +174,19 @@ def test_cg_record_history():
     assert len(fin) >= 2 and fin[-1] < fin[0]
     assert np.allclose(np.asarray(x), np.asarray(b) / np.arange(1.0, 9.0),
                        rtol=1e-4)
+
+
+def test_bandpass_filters():
+    """HighPass/LowPass/MidPass cosine ramps (specialops.jl:232-242):
+    pass-band unity, stop-band zero, smooth in between."""
+    from cmblensing_tpu.core.ops import HighPass, LowPass, MidPass
+
+    hp = HighPass(500, dl=100)
+    assert hp(400) == 0.0 and abs(hp(700) - 1.0) < 1e-12
+    assert 0.0 < hp(550) < 1.0
+
+    lp = LowPass(2000, dl=100)
+    assert abs(lp(1500) - 1.0) < 1e-12 and lp(2200) == 0.0
+
+    mp = MidPass(500, 2000, dl=100)
+    assert mp(300) == 0.0 and abs(mp(1000) - 1.0) < 1e-12 and mp(2300) == 0.0
