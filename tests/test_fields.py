@@ -272,3 +272,30 @@ def test_cross_spectrum_and_rho():
     assert np.allclose(np.asarray(auto.Cl), np.asarray(cross.Cl), rtol=1e-5)
     rho = get_rho_l(f, f, ledges=np.arange(200, 2000, 200))
     assert np.allclose(np.asarray(rho.Cl), 1.0, atol=1e-4)
+
+
+def test_cls_helpers():
+    """Spectra helpers: toDl/toCl inverses, ell2/ell4, shift_l,
+    noise/beam Cls shapes (reference cls.jl:50-81, 288-309)."""
+    from cmblensing_tpu.utils.cls import (Cls, toDl, toCl, ell2, ell4,
+                                          shift_l, noise_cls, beam_cls)
+    ell = np.arange(2, 100)
+    cl = Cls(ell, 1.0 / ell ** 2)
+    dl = toDl * cl
+    back = toCl * dl
+    assert np.allclose(back(ell), cl(ell), rtol=1e-10)
+    assert np.allclose((ell2 * cl)(ell), np.asarray(cl(ell)) * ell ** 2)
+    assert np.allclose((ell4 * cl)(ell), np.asarray(cl(ell)) * ell ** 4)
+
+    sh = shift_l(10, cl)
+    assert np.allclose(np.asarray(sh.ell), ell + 10)
+    sc = shift_l(2, cl, factor=True)
+    assert np.allclose(np.asarray(sc.ell), ell * 2)
+
+    ncl = noise_cls(muKarcminT=1, beamFWHM=2)
+    assert np.all(np.asarray(ncl["TT"](np.arange(2, 1000))) > 0)
+    assert np.allclose(np.asarray(ncl["EE"](np.arange(2, 1000))),
+                       2 * np.asarray(ncl["TT"](np.arange(2, 1000))))
+    bcl = beam_cls(beamFWHM=2)
+    b = np.asarray(bcl(np.arange(2, 3000)))
+    assert b[0] > b[-1] > 0 and abs(b[0] - 1.0) < 1e-3
