@@ -190,3 +190,15 @@ def test_bandpass_filters():
 
     mp = MidPass(500, 2000, dl=100)
     assert mp(300) == 0.0 and abs(mp(1000) - 1.0) < 1e-12 and mp(2300) == 0.0
+
+
+def test_pixwin():
+    """Pixel window function (proj_lambert.jl:200): ~1 at low ell,
+    decreasing toward the pixel scale."""
+    from cmblensing_tpu.utils.cls import pixwin
+    theta = 3.0
+    ell = np.arange(2, 3000)
+    w = np.asarray(pixwin(theta, ell))
+    assert abs(w[0] - 1.0) < 1e-3
+    assert w[-1] < w[0]
+    assert np.all(np.diff(w) <= 1e-6)
