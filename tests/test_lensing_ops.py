@@ -118,3 +118,29 @@ def test_fwdmodel_ppl():
     assert jnp.array_equal(sim2["x"].arr, sim["x"].arr)
     ll = fwdmodel.loglikelihood(model, latents=("x",))(x=sim["x"], y=sim["y"])
     assert np.isfinite(float(ll))
+
+
+def test_antilensing_inverts_powerlens():
+    """antilensing(PowerLens) approximately inverts at weak deflection
+    (reference powerlens.jl:36)."""
+    import jax
+    from cmblensing_tpu.models.powerlens import PowerLens, antilensing
+    from cmblensing_tpu.core.proj import ProjLambert
+    from cmblensing_tpu.core.field import Field
+    from cmblensing_tpu.core.basis import Basis
+
+    N = 32
+    proj = ProjLambert(N, N, thetapix=3, T=np.float32)
+    phi_f = jnp.zeros((1, N, N // 2 + 1), dtype=jnp.complex64).at[0, 1, 1].set(3e-4)
+    phi = Field(jnp.fft.irfft2(phi_f, s=(N, N)), Basis("I", "map"), proj)
+    # band-limited f: the Taylor truncation error scales with the
+    # gradient, so grid-scale noise would dominate the comparison
+    F0 = jnp.zeros((1, N, N // 2 + 1), jnp.complex64)
+    kr, ki = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 6, 6))
+    F0 = F0.at[:, :6, :6].set((kr + 1j * ki).astype(jnp.complex64))
+    f = Field(jnp.fft.irfft2(F0, s=(N, N)), Basis("I", "map"), proj)
+    L = PowerLens(phi, order=3)
+    Linv = antilensing(L)
+    rt = Linv @ (L @ f)
+    rel = float(jnp.max(jnp.abs(rt.arr - f.arr)) / jnp.max(jnp.abs(f.arr)))
+    assert rel < 5e-2, rel
