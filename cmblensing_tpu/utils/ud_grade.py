@@ -67,12 +67,50 @@ def ud_grade(f: Field, theta_new, mode="map", deconv_pixwin=None, anti_aliasing=
             of = out.to(B.with_space("fourier"))
             out = Field(of.arr / jnp.asarray(pw), of.basis, proj_new)
         return out.to(B)
-    else:  # upgrade
+    else:  # upgrade (proj is the coarse grid, proj_new the fine one)
         if mode == "map":
             fm = f.to(B.with_space("map"))
-            a = fm.arr
-            a = jnp.repeat(jnp.repeat(a, fac, axis=-2), fac, axis=-1)
-            if deconv_pixwin:
-                raise NotImplementedError("deconv_pixwin upgrade not implemented")
-            return Field(a, B.with_space("map"), proj_new).to(B)
-        raise NotImplementedError("fourier-mode upgrade not implemented")
+            a = jnp.repeat(jnp.repeat(fm.arr, fac, axis=-2), fac, axis=-1)
+            out = Field(a, B.with_space("map"), proj_new)
+        else:
+            # Fourier zero-pad (trigonometric interpolation). The old
+            # Nyquist row/column is a single self-paired bin; split it
+            # with half weight into its +/- positions on the fine grid
+            # so the interpolated map stays real. Round trips
+            # down(up(f)) are exact for Nyquist-free content. The
+            # reference leaves this path unimplemented
+            # (proj_lambert.jl:585-590).
+            ff = f.to(B.with_space("fourier"))
+            a = ff.arr * (fac * fac)
+            ncol = proj.Nx // 2 + 1
+            if proj.Nx % 2 == 0:
+                a = a.at[..., :, proj.Nx // 2].multiply(0.5)
+            pos = (proj.Ny + 1) // 2   # rows 0..pos-1 are freqs 0..
+            neg = proj.Ny - pos        # rows pos.. are freqs -neg..-1
+            z = jnp.zeros(ff.arr.shape[:-2] + (Ny_new, Nx_new // 2 + 1),
+                          dtype=ff.arr.dtype)
+            if proj.Ny % 2 == 0:
+                a = a.at[..., pos, :].multiply(0.5)
+                # other half of the old +/-Ny/2 bin goes to +Ny/2
+                z = z.at[..., proj.Ny // 2, :ncol].set(a[..., pos, :])
+            z = z.at[..., :pos, :ncol].set(a[..., :pos, :])
+            z = z.at[..., Ny_new - neg:, :ncol].set(a[..., pos:, :])
+            out = Field(z, B.with_space("fourier"), proj_new)
+        if anti_aliasing and mode == "map":
+            # kill pixel-replication aliases above the coarse Nyquist
+            of = out.to(B.with_space("fourier"))
+            keep = ((np.abs(np.asarray(proj_new.ly))[:, None] < float(proj.nyquist)) &
+                    (np.abs(np.asarray(proj_new.lx))[None, :] < float(proj.nyquist)))
+            out = Field(of.arr * jnp.asarray(keep.astype(proj.T)), of.basis,
+                        proj_new)
+        if deconv_pixwin:
+            # remove the resampling transfer pw(coarse)/pw(fine) so the
+            # fine map's spectrum matches the input's; only defined
+            # below the coarse Nyquist (identity above)
+            band = ((np.abs(np.asarray(proj_new.ly))[:, None] < float(proj.nyquist)) &
+                    (np.abs(np.asarray(proj_new.lx))[None, :] < float(proj.nyquist)))
+            ratio = _pixwin_2d(theta_new, proj_new) / _pixwin_2d(theta, proj_new)
+            pw = np.where(band, ratio, 1.0).astype(proj.T)
+            of = out.to(B.with_space("fourier"))
+            out = Field(of.arr * jnp.asarray(pw), of.basis, proj_new)
+        return out.to(B)
