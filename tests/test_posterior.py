@@ -105,3 +105,25 @@ def test_nolensing_sim():
     out = load_nolensing_sim(thetapix=3, Nside=32, pol="I", T=np.float32, seed=7)
     ds, f = out["ds"], out["f"]
     assert np.isfinite(float(ds.logpdf(f=f)))
+
+
+def test_quadratic_estimate_batched_one_program(sim):
+    """Batched QE runs as ONE jitted program (A_L computed once, the
+    estimate vmapped) and matches the per-entry loop exactly."""
+    if sim["pol"] == "IP":
+        return  # QE uses EB for P and IP alike; P covers it
+    ds = sim["ds"]
+    # batched data: 3 distinct realizations
+    sims = [ds.simulate(jax.random.PRNGKey(100 + i))["d"] for i in range(3)]
+    d_b = F.batch(sims)
+    ds_b = ds.replace(d=d_b)
+    out_b = quadratic_estimate(ds_b)
+    assert out_b["phiqe"].batch_shape == (3,)
+    for i in range(3):
+        out_i = quadratic_estimate(ds.replace(d=F.batch_index(d_b, i)))
+        a = np.asarray(F.batch_index(out_b["phiqe"], i).arr)
+        b = np.asarray(out_i["phiqe"].arr)
+        assert np.allclose(a, b, rtol=1e-5, atol=1e-8 * np.abs(b).max())
+    # A_L identical between the batched and unbatched programs
+    assert np.allclose(np.asarray(out_b["AL"].diag.arr),
+                       np.asarray(out_i["AL"].diag.arr), rtol=1e-6)
