@@ -153,7 +153,7 @@ def conjugate_gradient(M, A, b, x0=None, nsteps=500, tol=1e-1, fixed_iters=False
         i, x, r, z, p, res, bestres, bestx, hist = carry
     else:
         i, x, r, z, p, res, bestres, bestx, hist = jax.lax.while_loop(cond, body, carry0)
-    info = {"iterations": i, "res": bestres}
+    info = {"iterations": i, "res": bestres, "res0": res0}
     if record_history:
         info["res_history"] = hist
     return bestx, info

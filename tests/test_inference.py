@@ -202,12 +202,37 @@ def test_argmaxf_mixed_precision_hessian():
     out = load_sim(thetapix=3, Nside=32, pol="P", T=np.float32, seed=3)
     ds, phi = out["ds"], out["phi"]
     f32, _ = argmaxf_logpdf(ds, phi=phi,
-                            conjgrad_kwargs=dict(tol=1e-4, nsteps=200))
-    fhi, _ = argmaxf_logpdf(ds, phi=phi,
                             conjgrad_kwargs=dict(tol=1e-4, nsteps=200,
-                                                 hessian_precision="high"))
+                                                 hessian_precision=None))
+    fhi, info = argmaxf_logpdf(ds, phi=phi,
+                               conjgrad_kwargs=dict(tol=1e-4, nsteps=200,
+                                                    hessian_precision="high"))
     rel = float(F.norm(fhi - f32.to(fhi.basis)) / F.norm(f32))
     assert rel < 1e-3, rel
+
+
+def test_argmaxf_auto_precision_verified(x64=None):
+    """hessian_precision defaults to 'auto'=high with a STRICT-f32
+    final-residual self-check: the solve meets the requested tolerance
+    under a strict Hessian apply, or transparently falls back
+    (VERDICT r2 next-round item 2)."""
+    from cmblensing_tpu.models.dataset import load_sim
+    from cmblensing_tpu.inference.maximization import argmaxf_logpdf
+
+    out = load_sim(thetapix=3, Nside=32, pol="P", T=np.float32, seed=3)
+    ds, phi = out["ds"], out["phi"]
+    tol = 1e-4
+    f, info = argmaxf_logpdf(ds, phi=phi,
+                             conjgrad_kwargs=dict(tol=tol, nsteps=200))
+    if not info.get("precision_fallback"):
+        # the auto path recorded and met the strict-residual bound
+        assert "res_strict" in info
+        assert bool(np.asarray(info["precision_ok"]))
+        bound = max(tol, 1e-10 * float(np.max(np.asarray(info["res0"]))))
+        assert float(np.max(np.asarray(info["res_strict"]))) <= bound
+    else:
+        # fallback path: a strict solve was rerun and returned
+        assert "res" in info
 
 
 def test_sample_joint_verbose_timing(capsys):
