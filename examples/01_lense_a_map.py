@@ -8,6 +8,8 @@ import jax
 
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+FAST = bool(int(os.environ.get("CMBL_EXAMPLE_FAST", "0")))  # CI smoke lane
+
 
 # default to CPU for eager pedagogy (remote-tunneled TPU attachments
 # can't run eager complex ops); set CMBL_EXAMPLE_DEVICE=tpu on a
@@ -21,7 +23,8 @@ from cmblensing_tpu import (
 from cmblensing_tpu.core.ops import simulate_op
 from cmblensing_tpu.core.basis import MAP
 
-proj = ProjLambert(256, 256, thetapix=3, T=np.float32)
+N = 64 if FAST else 256
+proj = ProjLambert(N, N, thetapix=3, T=np.float32)
 Cl = camb()
 
 Cf = Cl_to_Cov("P", proj, Cl["unlensed_scalar"]["EE"], Cl["unlensed_scalar"]["BB"])

@@ -6,6 +6,8 @@ evaluates and differentiates each.
 """
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+FAST = bool(int(os.environ.get("CMBL_EXAMPLE_FAST", "0")))  # CI smoke lane
+
 
 import numpy as np
 import jax
@@ -16,7 +18,7 @@ with jax.default_device(cpu):
     from cmblensing_tpu import load_sim, Mixed, mix, unmix, fgrad
     from cmblensing_tpu.core import field as F
 
-    out = load_sim(thetapix=2, Nside=128, pol="I", T=np.float32, seed=0)
+    out = load_sim(thetapix=2, Nside=32 if FAST else 128, pol="I", T=np.float32, seed=0)
     ds, f, phi = out["ds"], out["f"], out["phi"]
 
     # unlensed parametrization

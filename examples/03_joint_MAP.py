@@ -6,6 +6,8 @@ maximize the lensing posterior over (f, phi).
 import numpy as np
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+FAST = bool(int(os.environ.get("CMBL_EXAMPLE_FAST", "0")))  # CI smoke lane
+
 
 import jax
 # default to CPU (remote-tunneled TPU attachments can't run the eager
@@ -18,14 +20,14 @@ from cmblensing_tpu import load_sim, MAP_joint
 from cmblensing_tpu.core import field as F
 
 out = load_sim(
-    thetapix=3, Nside=128, pol="P", T=np.float32,
+    thetapix=3, Nside=32 if FAST else 128, pol="P", T=np.float32,
     muKarcminT=1, beamFWHM=2,
     pixel_mask_kwargs=dict(edge_padding_deg=1, apodization_deg=0.5),
     seed=0,
 )
 ds, f, phi = out["ds"], out["f"], out["phi"]
 
-res = MAP_joint(ds, nsteps=10, progress=True,
+res = MAP_joint(ds, nsteps=3 if FAST else 10, progress=True,
                 conjgrad_kwargs=dict(tol=1e-1, nsteps=200))
 
 corr = float(F.dot(res["phi"].to(phi.basis), phi)

@@ -9,7 +9,10 @@ ensemble as a batch axis.
 Run on CPU (a few minutes):  python examples/07_muse.py
 """
 import sys
+import os
 sys.path.insert(0, ".")
+FAST = bool(int(os.environ.get("CMBL_EXAMPLE_FAST", "0")))  # CI smoke lane
+
 import numpy as np
 import jax
 
@@ -24,8 +27,9 @@ with jax.default_device(jax.devices("cpu")[0]):
     # start deliberately wrong, let MUSE find its way back
     res = muse(
         ds, dict(Aphi=2.0),
-        nsims=12, nsteps=4,
-        MAP_kwargs=dict(nsteps=4, conjgrad_kwargs=dict(tol=1e-2, nsteps=40)),
+        nsims=4 if FAST else 12, nsteps=2 if FAST else 4,
+        MAP_kwargs=dict(nsteps=2 if FAST else 4,
+                        conjgrad_kwargs=dict(tol=1e-2, nsteps=15 if FAST else 40)),
         progress=True,
     )
 

@@ -7,6 +7,8 @@ and verify the two-point function round-trips.
 """
 import os, sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+FAST = bool(int(os.environ.get("CMBL_EXAMPLE_FAST", "0")))  # CI smoke lane
+
 
 import numpy as np
 import jax
@@ -21,11 +23,11 @@ from cmblensing_tpu.models.distributions import MvNormal
 from cmblensing_tpu.utils.cls import Cls
 
 # a band between colatitudes 1.2 and 1.8 rad, full circle in phi
-proj = ProjEquiRect(Ny=32, Nx=64, theta_span=(1.2, 1.8),
+proj = ProjEquiRect(Ny=8 if FAST else 32, Nx=16 if FAST else 64, theta_span=(1.2, 1.8),
                     phi_span=(0, 2 * np.pi))
 
 # toy isotropic spectra
-lmax = 100
+lmax = 40 if FAST else 100
 ell = np.arange(lmax + 1)
 CTT = Cls(ell, np.where(ell >= 2, 1.0 / (ell + 1.0) ** 2, 0.0))
 CEE = Cls(ell, np.where(ell >= 2, 0.5 / (ell + 1.0) ** 2, 0.0))
