@@ -312,8 +312,11 @@ def zeros(proj: ProjLambert, basis: Basis = MAP, batch_shape=()) -> Field:
     return Field(jnp.zeros(shape, dtype=dt.type), basis, proj)
 
 
-def zeros_like_field(f: Field) -> Field:
-    return Field(jnp.zeros_like(f.arr), f.basis, f.proj)
+def zeros_like_field(f) -> Field:
+    # duck-typed (arr, basis, proj) constructor: works for Field and
+    # EquiRectField alike, keeping the generic inference stack
+    # (argmaxf_logpdf etc.) curved-sky capable
+    return type(f)(jnp.zeros_like(f.arr), f.basis, f.proj)
 
 
 def randn(key, proj: ProjLambert, pol="I", batch_shape=()) -> Field:

