@@ -123,19 +123,98 @@ def mean_std_and_errors(samples, nbootstrap=200, seed=0):
                 ess=ess)
 
 
-def kde(samples, grid=None, bw_scale=1.0):
-    """1-D or 2-D KDE of samples (reference uses getdist,
-    src/chains.jl:236-260; here scipy's gaussian_kde)."""
-    from scipy.stats import gaussian_kde
+def _norm_pdf(u):
+    return np.exp(-0.5 * u * u) / np.sqrt(2 * np.pi)
+
+
+def _norm_cdf(u):
+    from scipy.special import ndtr
+    return ndtr(u)
+
+
+def _partial_moments(x, lo, hi, h):
+    """(a0, a1, a2): partial Gaussian-kernel moments over the allowed
+    offsets u with x - u*h inside [lo, hi] (closed forms)."""
+    a = np.full_like(x, -np.inf) if hi is None else (x - hi) / h
+    b = np.full_like(x, np.inf) if lo is None else (x - lo) / h
+    Phi = _norm_cdf(b) - _norm_cdf(a)
+    pa = np.where(np.isfinite(a), _norm_pdf(a), 0.0)
+    pb = np.where(np.isfinite(b), _norm_pdf(b), 0.0)
+    a0 = Phi
+    a1 = pa - pb
+    a2 = Phi + np.where(np.isfinite(a), a * pa, 0.0) - np.where(np.isfinite(b), b * pb, 0.0)
+    return a0, a1, a2
+
+
+def _bandwidth(x, bw_scale):
+    """Scott's rule (scipy.gaussian_kde default) times bw_scale."""
+    n = x.shape[0]
+    return float(np.std(x) * n ** (-1.0 / 5.0) * bw_scale) or 1e-12
+
+
+def _kde1d_corrected(x, grid, h, boundary):
+    lo, hi = boundary if boundary is not None else (None, None)
+    u = (grid[:, None] - x[None, :]) / h
+    K = _norm_pdf(u)
+    b0 = K.sum(axis=1)
+    if boundary is None:
+        f = b0
+    else:
+        # getdist-style LINEAR boundary kernel (chains.jl:236-260 uses
+        # getdist's boundary-corrected KDEs): with partial moments a_j
+        # of the kernel over the allowed domain,
+        #   f = (a2 b0 - a1 b1) / (a0 a2 - a1^2)
+        # which removes both the mass loss AND the O(h) slope bias of
+        # the plain estimator at a hard prior edge
+        b1 = (K * u).sum(axis=1)
+        a0, a1, a2 = _partial_moments(grid, lo, hi, h)
+        den = np.maximum(a0 * a2 - a1 ** 2, 1e-30)
+        f = (a2 * b0 - a1 * b1) / den
+    f = np.maximum(f, 0.0) / (x.shape[0] * h)
+    if boundary is not None:
+        inside = np.ones_like(grid, dtype=bool)
+        if lo is not None:
+            inside &= grid >= lo
+        if hi is not None:
+            inside &= grid <= hi
+        f = np.where(inside, f, 0.0)
+    return f
+
+
+def kde(samples, grid=None, bw_scale=1.0, boundary=None):
+    """1-D or 2-D KDE of samples, with optional hard-boundary
+    correction (the reference delegates to getdist's boundary-corrected
+    KDEs, src/chains.jl:236-260; here first-party).
+
+    boundary: 1-D — (lo, hi), either side None for unbounded; the
+    estimate uses a linear boundary kernel (publication-grade at prior
+    edges, e.g. r >= 0 or Aphi >= 0). 2-D — ((lox, hix), (loy, hiy));
+    per-axis renormalization correction."""
     x = np.asarray(samples, dtype=np.float64)
-    k = gaussian_kde(x.T if x.ndim == 2 else x)
-    k.set_bandwidth(k.factor * bw_scale)
+    if x.ndim == 1:
+        h = _bandwidth(x, bw_scale)
+        if grid is None:
+            lo = x.min() if boundary is None or boundary[0] is None else max(x.min() - 3 * h, boundary[0])
+            hi = x.max() if boundary is None or boundary[1] is None else min(x.max() + 3 * h, boundary[1])
+            grid = np.linspace(lo, hi, 200)
+        return grid, _kde1d_corrected(x, np.asarray(grid, np.float64), h, boundary)
+
+    hx = _bandwidth(x[:, 0], bw_scale)
+    hy = _bandwidth(x[:, 1], bw_scale)
+    bx, by = (boundary if boundary is not None else (None, None))
     if grid is None:
-        if x.ndim == 1:
-            grid = np.linspace(x.min(), x.max(), 200)
-        else:
-            gx = np.linspace(x[:, 0].min(), x[:, 0].max(), 100)
-            gy = np.linspace(x[:, 1].min(), x[:, 1].max(), 100)
-            XX, YY = np.meshgrid(gx, gy)
-            return (gx, gy, k(np.stack([XX.ravel(), YY.ravel()])).reshape(100, 100))
-    return grid, k(grid)
+        gx = np.linspace(x[:, 0].min(), x[:, 0].max(), 100)
+        gy = np.linspace(x[:, 1].min(), x[:, 1].max(), 100)
+    else:
+        gx, gy = (np.asarray(g, np.float64) for g in grid)
+    Kx = _norm_pdf((gx[:, None] - x[None, :, 0]) / hx)   # (gx, n)
+    Ky = _norm_pdf((gy[:, None] - x[None, :, 1]) / hy)   # (gy, n)
+    F = Ky @ Kx.T                                        # (gy, gx)
+    if bx is not None:
+        a0x = _partial_moments(gx, bx[0], bx[1], hx)[0]
+        F = F / np.maximum(a0x, 1e-30)[None, :]
+    if by is not None:
+        a0y = _partial_moments(gy, by[0], by[1], hy)[0]
+        F = F / np.maximum(a0y, 1e-30)[:, None]
+    F = F / (x.shape[0] * hx * hy)
+    return gx, gy, F

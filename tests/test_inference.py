@@ -274,3 +274,39 @@ def test_gibbs_pass_combinators():
     for step in range(1, 8):
         after4({"step": step}, None)
     assert calls == [5, 6, 7]
+
+
+def test_kde_boundary_correction():
+    """Linear boundary kernel recovers a flat density at a hard edge
+    where the plain KDE loses half its mass (reference delegates to
+    getdist's boundary-corrected KDE, chains.jl:236-260)."""
+    from cmblensing_tpu.inference.chains import kde
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, 4000)
+    grid = np.linspace(0, 1, 201)
+    _, f_plain = kde(x, grid=grid)
+    _, f_corr = kde(x, grid=grid, boundary=(0.0, 1.0))
+    # plain KDE collapses toward 0.5 at the edges; corrected stays ~1
+    assert f_plain[0] < 0.75
+    assert abs(f_corr[0] - 1.0) < 0.12, f_corr[0]
+    assert abs(f_corr[-1] - 1.0) < 0.12, f_corr[-1]
+    # corrected estimate still integrates to ~1 over the domain
+    assert abs(np.trapezoid(f_corr, grid) - 1.0) < 0.02
+    # half-normal at 0: corrected density at 0 ~ 2*phi(0) = 0.7979
+    xh = np.abs(rng.normal(size=6000))
+    gh = np.linspace(0, 4, 200)
+    _, fh = kde(xh, grid=gh, boundary=(0.0, None))
+    assert abs(fh[0] - 0.7979) < 0.09, fh[0]
+
+
+def test_kde_2d_boundary_renormalization():
+    from cmblensing_tpu.inference.chains import kde
+    rng = np.random.default_rng(1)
+    xy = rng.uniform(0, 1, (4000, 2))
+    gx, gy, F = kde(xy, grid=(np.linspace(0, 1, 64), np.linspace(0, 1, 64)),
+                    boundary=((0.0, 1.0), (0.0, 1.0)))
+    integral = np.trapezoid(np.trapezoid(F, gx, axis=1), gy)
+    assert abs(integral - 1.0) < 0.05, integral
+    # interior and corner values both ~1 after renormalization
+    assert abs(F[32, 32] - 1.0) < 0.25
+    assert abs(F[0, 0] - 1.0) < 0.35
