@@ -78,7 +78,12 @@ def conjugate_gradient(M, A, b, x0=None, nsteps=500, tol=1e-1, fixed_iters=False
     also carries "res_history", a fixed-length (nsteps+1, ...) residual
     trace recorded *inside* jit (NaN past the converged iteration) —
     the in-graph analog of the reference's history_keys machinery
-    (src/numerical_algorithms.jl:60-71).
+    (src/numerical_algorithms.jl:60-71). record_history may also be a
+    tuple of keys from ("res", "x", "r") to additionally trace the
+    iterate and residual pytrees in-graph as (nsteps+1, ...) stacked
+    buffers ("x_history"/"r_history"; memory = (nsteps+1) states — use
+    small nsteps). Wall-clock "t" traces need host stepping: see
+    conjugate_gradient_with_history.
     """
     def _apply(op, x):
         if callable(op) and not hasattr(op, "solve"):
@@ -119,7 +124,13 @@ def conjugate_gradient(M, A, b, x0=None, nsteps=500, tol=1e-1, fixed_iters=False
         bestx = _tmap(lambda bxi, xi: jnp.where(_bb_arr(better, xi), xi, bxi), bestx, x)
         bestres = jnp.where(better, res_new, bestres)
         if hist is not None:
-            hist = hist.at[i + 1].set(res_new)
+            if "res" in hist:
+                hist = dict(hist, res=hist["res"].at[i + 1].set(res_new))
+            for key, val in (("x", x), ("r", r)):
+                if key in hist:
+                    hist = dict(hist, **{key: _tmap(
+                        lambda buf, leaf: buf.at[i + 1].set(leaf),
+                        hist[key], val)})
         return (i + 1, x, r, z, p, res_new, bestres, bestx, hist)
 
     def _bb(s, leaf):
@@ -137,11 +148,21 @@ def conjugate_gradient(M, A, b, x0=None, nsteps=500, tol=1e-1, fixed_iters=False
             return s
         return s.reshape(s.shape + (1,) * (leaf.ndim - s.ndim))
 
+    hist_keys = (("res",) if record_history is True
+                 else tuple(record_history) if record_history else ())
     hist0 = None
-    if record_history:
-        res0a = jnp.asarray(res0)
-        hist0 = jnp.full((nsteps + 1,) + res0a.shape, jnp.nan,
-                         dtype=res0a.dtype).at[0].set(res0a)
+    if hist_keys:
+        hist0 = {}
+        if "res" in hist_keys:
+            res0a = jnp.asarray(res0)
+            hist0["res"] = jnp.full((nsteps + 1,) + res0a.shape, jnp.nan,
+                                    dtype=res0a.dtype).at[0].set(res0a)
+        for key, val in (("x", x0), ("r", r0)):
+            if key in hist_keys:
+                hist0[key] = _tmap(
+                    lambda leaf: jnp.full((nsteps + 1,) + leaf.shape, jnp.nan,
+                                          dtype=leaf.dtype).at[0].set(leaf),
+                    val)
     carry0 = (jnp.asarray(0), x0, r0, z0, p0, res0, res0, x0, hist0)
     if fixed_iters:
         # static trip count (lax.scan): no data-dependent control flow —
@@ -154,8 +175,13 @@ def conjugate_gradient(M, A, b, x0=None, nsteps=500, tol=1e-1, fixed_iters=False
     else:
         i, x, r, z, p, res, bestres, bestx, hist = jax.lax.while_loop(cond, body, carry0)
     info = {"iterations": i, "res": bestres, "res0": res0}
-    if record_history:
-        info["res_history"] = hist
+    if hist is not None:
+        if "res" in hist:
+            info["res_history"] = hist["res"]
+        if "x" in hist:
+            info["x_history"] = hist["x"]
+        if "r" in hist:
+            info["r_history"] = hist["r"]
     return bestx, info
 
 
