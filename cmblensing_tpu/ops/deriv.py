@@ -16,7 +16,14 @@ torus:
              O(N^2 log N), but on TPU the MXU's throughput advantage
              and the removed fusion barriers win for N up to ~1k.
 
-  'auto'   — matmul for max(Ny, Nx) <= _MATMUL_MAX else fft.
+  'factored' — the circulant block-diagonalized in a radix-B DFT
+             domain (ops/factored_deriv.py): two elementwise butterfly
+             stages + B-ish MXU matmuls of (N/B)^2 — ~8-11x fewer MACs
+             than 'matmul' at N=1024 (B=4) at identical f32 parity.
+
+  'auto'   — factored where the radix factorization pays
+             (N >= 512, divisible), else matmul up to _MATMUL_MAX,
+             else fft.
 
 These feed LenseFlow's velocity/adjoint flows (the hot kernels of the
 whole framework; reference call stack SURVEY.md section 3.2).
@@ -42,7 +49,7 @@ _PRECISION = "f32"   # "f32" | "bf16" (bf16 inputs, f32 accumulate)
 
 def set_deriv_mode(mode):
     global _MODE
-    assert mode in ("fft", "matmul", "auto")
+    assert mode in ("fft", "matmul", "factored", "auto")
     _MODE = mode
 
 
@@ -141,14 +148,33 @@ def _arr_on_accel(arr):
         return _default_platform_is_accel()
 
 
-def _use_matmul(proj, arr=None):
-    if _MODE == "fft":
-        return False
-    if _MODE == "matmul":
-        return True
-    # auto: circulant matmuls only pay off on MXU-class hardware
+def _pick_B_measured(n):
+    """Radix keeping blocks at the measured MXU sweet spot (A = n/B >=
+    256; v5e: B=4 at N=1024 ran 11x the dense matmul, B=8 (A=128) only
+    3.5x). Returns 1 when no radix pays (N < 512)."""
+    B = 1
+    for cand in (2, 4, 8, 16):
+        if n % cand == 0 and n // cand >= 256:
+            B = cand
+    return B
+
+
+def _backend(proj, arr=None):
+    """'fft' | 'matmul' | 'factored' for this projection."""
+    if _MODE != "auto":
+        return _MODE
     on_accel = _arr_on_accel(arr) if arr is not None else _default_platform_is_accel()
-    return on_accel and max(proj.Ny, proj.Nx) <= _MATMUL_MAX
+    if not on_accel:
+        return "fft"
+    n = max(proj.Ny, proj.Nx)
+    if (_pick_B_measured(proj.Ny) > 1 and _pick_B_measured(proj.Nx) > 1
+            and n <= 4096):
+        return "factored"
+    return "matmul" if n <= _MATMUL_MAX else "fft"
+
+
+def _use_matmul(proj, arr=None):
+    return _backend(proj, arr) == "matmul"
 
 
 @functools.lru_cache(maxsize=None)
@@ -175,6 +201,21 @@ def _mats(proj, order=1):
         return jnp.asarray(Dx1), jnp.asarray(Dy1)
     return (jnp.asarray(Dx1), jnp.asarray(Dx2),
             jnp.asarray(Dy1), jnp.asarray(Dy2))
+
+
+def _fops(proj, n):
+    from .factored_deriv import _factored_ops
+    B = _pick_B_measured(n)
+    return _factored_ops(n, float(proj.deltax), proj.T.str, B)
+
+
+def _fd1(proj):
+    """(FX1, FY1) first-derivative factored ops."""
+    return _fops(proj, proj.Nx)[0], _fops(proj, proj.Ny)[0]
+
+
+def _fd2(proj):
+    return _fops(proj, proj.Nx)[1], _fops(proj, proj.Ny)[1]
 
 
 @functools.lru_cache(maxsize=None)
@@ -204,7 +245,12 @@ def _grids(proj):
 
 def grad_xy(f_map, proj):
     """(df/dx, df/dy) of each component."""
-    if _use_matmul(proj, f_map):
+    be = _backend(proj, f_map)
+    if be == "factored":
+        from .factored_deriv import apply_x, apply_y
+        FX1, FY1 = _fd1(proj)
+        return apply_x(f_map, FX1, _prec()), apply_y(f_map, FY1, _prec())
+    if be == "matmul":
         Dx, Dy = _mats(proj, 1)
         return _mm_x(f_map, Dx), _mm_y(Dy, f_map)
     ilx, ily = _grids(proj)
@@ -217,7 +263,12 @@ def grad_xy(f_map, proj):
 
 def div_xy(vx, vy, proj):
     """d/dx vx + d/dy vy."""
-    if _use_matmul(proj, vx):
+    be = _backend(proj, vx)
+    if be == "factored":
+        from .factored_deriv import apply_x, apply_y
+        FX1, FY1 = _fd1(proj)
+        return apply_x(vx, FX1, _prec()) + apply_y(vy, FY1, _prec())
+    if be == "matmul":
         Dx, Dy = _mats(proj, 1)
         return _mm_x(vx, Dx) + _mm_y(Dy, vy)
     ilx, ily = _grids(proj)
@@ -229,7 +280,20 @@ def div_xy(vx, vy, proj):
 
 def gradhess(phi_map, proj):
     """((gx, gy), (hxx, hxy, hyy)) of a (..., 1, Ny, Nx) map."""
-    if _use_matmul(proj, phi_map):
+    be = _backend(proj, phi_map)
+    if be == "factored":
+        from .factored_deriv import apply_x, apply_y
+        FX1, FY1 = _fd1(proj)
+        FX2, FY2 = _fd2(proj)
+        pr = _prec()
+        gx = apply_x(phi_map, FX1, pr)
+        gy = apply_y(phi_map, FY1, pr)
+        hxx = apply_x(phi_map, FX2, pr)
+        hyy = apply_y(phi_map, FY2, pr)
+        hxy = apply_y(gx, FY1, pr)
+        return (gx[..., 0, :, :], gy[..., 0, :, :]), \
+               (hxx[..., 0, :, :], hxy[..., 0, :, :], hyy[..., 0, :, :])
+    if be == "matmul":
         Dx1, Dx2, Dy1, Dy2 = _mats(proj, 2)
         mm = _mm_x
         my = _mm_y
@@ -260,7 +324,15 @@ def div_plus_dij(ux, uy, s0, s1, s2, s3, proj):
     All args are (..., Ny, Nx) planes; returns the same shape. This is
     the delta_phi accumulation of the LenseFlow backward flow
     (src/lenseflow.jl:176-214)."""
-    if _use_matmul(proj, ux):
+    be = _backend(proj, ux)
+    if be == "factored":
+        from .factored_deriv import apply_x, apply_y
+        FX1, FY1 = _fd1(proj)
+        pr = _prec()
+        mm = lambda a: apply_x(a, FX1, pr)
+        my = lambda a: apply_y(a, FY1, pr)
+        return (mm(ux + mm(s0) + my(s1)) + my(uy + mm(s2) + my(s3)))
+    if be == "matmul":
         Dx, Dy = _mats(proj, 1)
         mm = lambda a: _mm_x(a, Dx)
         my = lambda a: _mm_y(Dy, a)
@@ -274,7 +346,19 @@ def dij_sum(s, proj):
     """sum_{i,j} d_i d_j s_ij for s stacked (..., 4, Ny, Nx) in order
     (xx, yx, xy, yy) — i.e. s[0]: d_x d_x, s[1]: d_x d_y, s[2]:
     d_y d_x, s[3]: d_y d_y (matching the lenseflow backward flow)."""
-    if _use_matmul(proj, s):
+    be = _backend(proj, s)
+    if be == "factored":
+        from .factored_deriv import apply_x, apply_y
+        FX1, FY1 = _fd1(proj)
+        pr = _prec()
+        mm = lambda a: apply_x(a, FX1, pr)
+        my = lambda a: apply_y(a, FY1, pr)
+        s0 = s[..., 0, :, :]
+        s1 = s[..., 1, :, :]
+        s2 = s[..., 2, :, :]
+        s3 = s[..., 3, :, :]
+        return (mm(mm(s0)) + mm(my(s1)) + my(mm(s2)) + my(my(s3)))[..., None, :, :]
+    if be == "matmul":
         Dx, Dy = _mats(proj, 1)
         mm = lambda a: _mm_x(a, Dx)
         my = lambda a: _mm_y(Dy, a)

@@ -1,7 +1,7 @@
 """Production-path 1024^2 measurements for BENCH.md: spin-2 apply,
 adjoint, gradlnP via the public LenseFlow API, scan vs pallas backend,
 at the given matmul precision. Usage:
-    python scripts/perf_1024_final.py [N] [f32|high] [scan|pallas|both]
+    python scripts/perf_1024_final.py [N] [f32|high] [scan|pallas|both] [matmul|factored|fft|auto]
 """
 import sys, time, functools
 sys.path.insert(0, ".")
@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 
-def main(N=1024, prec="f32", which="both"):
+def main(N=1024, prec="f32", which="both", dmode="matmul"):
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         from cmblensing_tpu.models.dataset import load_sim, mix, Mixed
@@ -30,7 +30,7 @@ def main(N=1024, prec="f32", which="both"):
     from cmblensing_tpu.models.lenseflow import LenseFlow, lenseflow_backend_ctx
     from cmblensing_tpu.models.dataset import Mixed
     from cmblensing_tpu.ops import deriv
-    deriv.set_deriv_mode("matmul")
+    deriv.set_deriv_mode(dmode)
     deriv.set_matmul_precision(prec)
     dev = jax.devices()[0]
     ds, f, phi, f_mix, phi_mix = device_put_safe((ds, f, phi, f_mix, phi_mix), dev)
@@ -67,13 +67,13 @@ def main(N=1024, prec="f32", which="both"):
                 return (LenseFlow(Field(phi.arr, B_phi, proj), 7)
                         @ Field(farr, B_f, proj)).arr
             ta = pipelined(apply_step, f.arr)
-            print(f"[{prec}/{be}] P/apply@{N}:   {ta:8.2f} ms", flush=True)
+            print(f"[{prec}/{be}/{dmode}] P/apply@{N}:   {ta:8.2f} ms", flush=True)
 
             def adj_step(farr):
                 return (LenseFlow(Field(phi.arr, B_phi, proj), 7).H
                         @ Field(farr, B_f, proj)).arr
             tj = pipelined(adj_step, f.arr)
-            print(f"[{prec}/{be}] P/adjoint@{N}: {tj:8.2f} ms", flush=True)
+            print(f"[{prec}/{be}/{dmode}] P/adjoint@{N}: {tj:8.2f} ms", flush=True)
 
             def grad_step(pm):
                 g = fgrad(lambda p: jnp.sum(mixed.logpdf(
@@ -81,10 +81,11 @@ def main(N=1024, prec="f32", which="both"):
                     Field(pm, B_phi, proj))
                 return pm + eps * g.arr
             tg = pipelined(grad_step, phi_mix.arr)
-            print(f"[{prec}/{be}] P/gradlnP@{N}: {tg:8.2f} ms", flush=True)
+            print(f"[{prec}/{be}/{dmode}] P/gradlnP@{N}: {tg:8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 1024,
          sys.argv[2] if len(sys.argv) > 2 else "f32",
-         sys.argv[3] if len(sys.argv) > 3 else "both")
+         sys.argv[3] if len(sys.argv) > 3 else "both",
+         sys.argv[4] if len(sys.argv) > 4 else "matmul")

@@ -239,3 +239,35 @@ def test_backend_policy_by_size():
     assert _resolve_backend(arr, _P(512), 5) == "pallas"
     assert _resolve_backend(arr, _P(1024), 5) == "scan"
     assert _resolve_backend(arr, _P(4096), 5) == "scan"
+
+
+def test_factored_backend_agrees():
+    """The MXU-factored circulant backend (radix-B block
+    diagonalization, ops/factored_deriv.py) matches fft/matmul at f32
+    tolerance on every primitive, at a size where the radix engages
+    (512 -> B=2) and a size where it degenerates to dense (16 -> B=1)."""
+    for N in (512, 16):
+        proj = ProjLambert(N, N, thetapix=3, T=np.float32)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, N, N))
+        outs = {}
+        for mode in ["fft", "factored"]:
+            deriv.set_deriv_mode(mode)
+            gx, gy = deriv.grad_xy(x, proj)
+            d = deriv.div_xy(gx, gy, proj)
+            (hx, hy), (hxx, hxy, hyy) = deriv.gradhess(x[:1], proj)
+            dp = deriv.div_plus_dij(x[0], x[1], x[0], x[1], x[0], x[1], proj)
+            outs[mode] = (gx, gy, d, hx, hy, hxx, hxy, hyy, dp)
+        for a, b in zip(outs["fft"], outs["factored"]):
+            rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-30))
+            assert rel < 5e-5, (N, rel)
+
+
+def test_factored_radix_policy():
+    """Locks the measured radix policy: A = N/B >= 256 (v5e: A=256
+    blocks ran 11x dense; A=128 only 3.5x)."""
+    assert deriv._pick_B_measured(1024) == 4
+    assert deriv._pick_B_measured(2048) == 8
+    assert deriv._pick_B_measured(4096) == 16
+    assert deriv._pick_B_measured(512) == 2
+    assert deriv._pick_B_measured(256) == 1
+    assert deriv._pick_B_measured(48) == 1
