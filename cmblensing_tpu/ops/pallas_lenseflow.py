@@ -132,6 +132,150 @@ def _make_ddx_ddy(DxT, Dy, precision):
     return ddx, ddy
 
 
+
+
+# =========================================================================
+# factored in-kernel derivatives (ops/factored_deriv.py inside Mosaic)
+# =========================================================================
+#
+# The radix-B block-diagonalized circulant replaces each in-kernel
+# N x N derivative matmul with B-ish (A x A) dots plus add/sub
+# butterflies (B = 4: all weights 0/+-1). Same f32-parity operator,
+# ~2.7x fewer MXU MACs at 1024^2 and 4x less VMEM spent on matrices.
+# Packed layout per axis: (C, A, A) with C = 2 + 2*(B/2 - 1), rows
+# [G_0, G_{B/2}, Ar_1..Ar_{nc}, Ai_1..Ai_{nc}]; x-axis blocks are
+# stored pre-transposed so ddx is right-multiplication.
+
+def _fact_meta(n, delta, dtype):
+    from .factored_deriv import _factored_ops
+    from .deriv import _pick_B_measured
+    B = _pick_B_measured(n)
+    op = _factored_ops(n, delta, str(np.dtype(dtype)), B)[0]
+    return op, B
+
+
+def _pack_factored(op, transpose):
+    nc = len(op.kcx)
+    blocks = [op.Gre[0], op.Gre[1]]
+    for i in range(nc):
+        blocks.append(op.Gar[i])
+    for i in range(nc):
+        blocks.append(op.Gai[i])
+    arr = np.stack([b.T.copy() if transpose else b for b in blocks])
+    return arr
+
+
+def _fmats_for(proj, dtype):
+    """((FXt, FY), fmeta) packed factored first-derivative tensors, or
+    (None, None) when no radix pays on either axis."""
+    from .deriv import _pick_B_measured
+    if _pick_B_measured(proj.Nx) <= 1 or _pick_B_measured(proj.Ny) <= 1:
+        return None, None
+    d = float(proj.deltax)
+    opx, Bx = _fact_meta(proj.Nx, d, dtype)
+    opy, By = _fact_meta(proj.Ny, d, dtype)
+    fmeta = ((Bx, opx.A, opx.Rf, opx.Ri), (By, opy.A, opy.Rf, opy.Ri))
+    return (jnp.asarray(_pack_factored(opx, True)),
+            jnp.asarray(_pack_factored(opy, False))), fmeta
+
+
+def _kcomb(planes, weights):
+    """In-kernel butterfly: sum_r w_r * plane_r with 0/+-1 fast paths."""
+    acc = None
+    for w, x in zip(weights, planes):
+        w = float(w)
+        if w == 0.0:
+            continue
+        term = x if w == 1.0 else (-x if w == -1.0 else x * w)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _mk_dot(precision):
+    if precision == "bf16":
+        def dot(M, v, right=False):
+            args = (v.astype(jnp.bfloat16), M.astype(jnp.bfloat16)) if right \
+                else (M.astype(jnp.bfloat16), v.astype(jnp.bfloat16))
+            return jnp.dot(*args, preferred_element_type=jnp.float32)
+        return dot
+    if precision == "high":
+        bf = jnp.bfloat16
+
+        def dot(M, v, right=False):
+            Mh = M.astype(bf)
+            Ml = (M - Mh.astype(jnp.float32)).astype(bf)
+            vh = v.astype(bf)
+            vl = (v - vh.astype(jnp.float32)).astype(bf)
+            kw = dict(preferred_element_type=jnp.float32)
+            if right:
+                return (jnp.dot(vh, Mh, **kw) + jnp.dot(vh, Ml, **kw)
+                        + jnp.dot(vl, Mh, **kw))
+            return (jnp.dot(Mh, vh, **kw) + jnp.dot(Ml, vh, **kw)
+                    + jnp.dot(Mh, vl, **kw))
+        return dot
+
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.HIGHEST)
+
+    def dot(M, v, right=False):
+        return jnp.dot(v, M, **kw) if right else jnp.dot(M, v, **kw)
+    return dot
+
+
+def _fact_apply(a, G, meta, dot, side):
+    """Apply one factored circulant to a 2-D value inside a kernel.
+    side='y': row blocks, left dots. side='x': column blocks, right
+    dots against pre-transposed blocks."""
+    B, A, Rf, Ri = meta
+    nc = B // 2 - 1
+    right = side == "x"
+    if right:
+        xs = [a[:, r * A:(r + 1) * A] for r in range(B)]
+    else:
+        xs = [a[r * A:(r + 1) * A, :] for r in range(B)]
+    us = [_kcomb(xs, Rf[c]) for c in range(B)]
+    ys = [None] * B
+    ys[0] = dot(G[0], us[0], right)
+    ys[B - 1] = dot(G[1], us[B - 1], right)
+    for i in range(nc):
+        ur, ui = us[2 * i + 1], us[2 * i + 2]
+        Ar, Ai = G[2 + i], G[2 + nc + i]
+        ys[2 * i + 1] = dot(Ar, ur, right) - dot(Ai, ui, right)
+        ys[2 * i + 2] = dot(Ai, ur, right) + dot(Ar, ui, right)
+    outs = [_kcomb(ys, Ri[r]) for r in range(B)]
+    return jnp.concatenate(outs, axis=1 if right else 0)
+
+
+def _make_ddx_ddy_fact(FXt, FY, precision, fmeta):
+    mx, my = fmeta
+    dot = _mk_dot(precision)
+
+    def ddx(a):
+        return _fact_apply(a, FXt, mx, dot, "x")
+
+    def ddy(a):
+        return _fact_apply(a, FY, my, dot, "y")
+    return ddx, ddy
+
+
+def _make_dd_any(dxt, dy, precision, fmeta=None):
+    """Derivative closures from either dense (N, N) mats or packed
+    (C, A, A) factored tensors."""
+    if fmeta is not None:
+        return _make_ddx_ddy_fact(dxt, dy, precision, fmeta)
+    return _make_ddx_ddy(dxt, dy, precision)
+
+
+@functools.lru_cache(maxsize=None)
+def _fmeta_from_key(fkey):
+    """Rebuild the static butterfly metadata from the hashable kernel
+    key (Nx, Ny, delta, dtype_str)."""
+    Nx, Ny, delta, dts = fkey
+    opx, Bx = _fact_meta(Nx, delta, np.dtype(dts))
+    opy, By = _fact_meta(Ny, delta, np.dtype(dts))
+    return ((Bx, opx.A, opx.Rf, opx.Ri), (By, opy.A, opy.Rf, opy.Ri))
+
+
 def _p_of_t(t, gx, gy, hxx, hxy, hyy):
     a = 1.0 + t * hxx
     b = t * hxy
@@ -276,11 +420,13 @@ def _scan_fallback(state, phi_planes, proj, kind, nsteps, t0, t1):
 # whole-flow kernels
 # =========================================================================
 
-def _flow_kernel(*refs, kind, nstate, ncomp, nsteps, t0, t1, precision):
-    # refs: state, gx, gy, hxx, hxy, hyy, DxT, Dy, out
+def _flow_kernel(*refs, kind, nstate, ncomp, nsteps, t0, t1, precision,
+                 fkey=None):
+    # refs: state, gx, gy, hxx, hxy, hyy, DxT|FXt, Dy|FY, out
     state_ref = refs[0]
     gx, gy, hxx, hxy, hyy = (refs[i][:] for i in range(1, 6))
-    ddx, ddy = _make_ddx_ddy(refs[6][:], refs[7][:], precision)
+    ddx, ddy = _make_dd_any(refs[6][:], refs[7][:], precision,
+                            _fmeta_from_key(fkey) if fkey else None)
     out_ref = refs[8]
     phi_planes = (gx, gy, hxx, hxy, hyy)
     base = _VELS[kind]
@@ -294,16 +440,17 @@ def _flow_kernel(*refs, kind, nstate, ncomp, nsteps, t0, t1, precision):
         out_ref[c] = y[c]
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _flow_call(state, phi_planes, mats, kind, nsteps, t0, t1, precision,
-               interpret=False):
+               interpret=False, fkey=None):
     """state: (nstate, Ny, Nx); phi_planes: 5-tuple of (Ny, Nx);
-    mats: (DxT, Dy). Integrates t0->t1."""
+    mats: (DxT, Dy) dense or packed factored (with fkey set).
+    Integrates t0->t1."""
     nstate, Ny, Nx = state.shape
     ncomp = {"backward": (nstate - 1) // 2}.get(kind, nstate)
     kern = functools.partial(
         _flow_kernel, kind=kind, nstate=nstate, ncomp=ncomp,
-        nsteps=nsteps, t0=t0, t1=t1, precision=precision)
+        nsteps=nsteps, t0=t0, t1=t1, precision=precision, fkey=fkey)
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
@@ -326,7 +473,7 @@ def _flow_call(state, phi_planes, mats, kind, nsteps, t0, t1, precision,
 # =========================================================================
 
 def _bwdAB_kernel(s_ref, a_ref, b_ref, px_ref, py_ref, dxt_ref, dy_ref,
-                  out_ref, *, precision):
+                  out_ref, *, precision, fkey=None):
     """Role-switched UNIVERSAL velocity kernel. The axon remote compile
     helper aborts on XLA programs containing two *distinct* Mosaic
     kernels at 1024^2 (many instances of ONE kernel are fine — the
@@ -341,7 +488,8 @@ def _bwdAB_kernel(s_ref, a_ref, b_ref, px_ref, py_ref, dxt_ref, dy_ref,
                       with v(x) = p . grad x
     role 3 (adjoint): same, with v(x) = div(p x)
     """
-    ddx, ddy = _make_ddx_ddy(dxt_ref[:], dy_ref[:], precision)
+    ddx, ddy = _make_dd_any(dxt_ref[:], dy_ref[:], precision,
+                            _fmeta_from_key(fkey) if fkey else None)
     t = s_ref[0]
     role = s_ref[1]
     px = px_ref[:]
@@ -384,9 +532,9 @@ def _bwdAB_kernel(s_ref, a_ref, b_ref, px_ref, py_ref, dxt_ref, dy_ref,
         out_ref[3] = zero
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _uni_call(state, phi_planes, mats, kind, nsteps, t0, t1, precision,
-              interpret=False):
+              interpret=False, fkey=None):
     """RK4 integration with every velocity evaluation expressed as
     calls of the single universal kernel (roles 0-3)."""
     nstate, Ny, Nx = state.shape
@@ -395,7 +543,7 @@ def _uni_call(state, phi_planes, mats, kind, nsteps, t0, t1, precision,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     callU = pl.pallas_call(
-        functools.partial(_bwdAB_kernel, precision=precision),
+        functools.partial(_bwdAB_kernel, precision=precision, fkey=fkey),
         out_shape=jax.ShapeDtypeStruct((4, Ny, Nx), state.dtype),
         in_specs=[smem] + [vm() for _ in range(6)],
         out_specs=vm(),
@@ -433,7 +581,8 @@ def _uni_call(state, phi_planes, mats, kind, nsteps, t0, t1, precision,
             # delta-phi term as plain XLA matmuls (same 6-matmul
             # regrouping; guarantees a single Mosaic kernel type in
             # the program)
-            xddx, xddy = _make_ddx_ddy(DxT, Dy, precision)
+            xddx, xddy = _make_dd_any(DxT, Dy, precision,
+                                      _fmeta_from_key(fkey) if fkey else None)
             ddphi = (xddx(ux + xddx(t * px * ux) + xddy(t * py * ux))
                      + xddy(uy + xddx(t * px * uy) + xddy(t * py * uy)))[None]
         else:
@@ -499,7 +648,19 @@ def _run_flow(state, phi_planes, proj, kind, nsteps, t0, t1, precision,
     of where the trace eventually executes."""
     assert _HAS_PALLAS
     nstate, Ny, Nx = state.shape[-3:]
-    mats = _mats_for(proj, state.dtype)
+    # factored in-kernel derivatives whenever the radix pays (same
+    # operator at f32 parity, ~2.7x fewer MXU MACs at 1024^2 and
+    # 4x smaller in-VMEM matrices); CMBL_PALLAS_FACT=0 restores dense
+    fkey = None
+    mats = None
+    if os.environ.get("CMBL_PALLAS_FACT", "1") != "0":
+        fmats, _fm = _fmats_for(proj, state.dtype)
+        if fmats is not None:
+            mats = fmats
+            fkey = (proj.Nx, proj.Ny, float(proj.deltax),
+                    str(np.dtype(state.dtype)))
+    if mats is None:
+        mats = _mats_for(proj, state.dtype)
     # batched or vmapped flows (MAP line searches vmap 16 alphas; MUSE
     # batches whole sim ensembles): a vmapped pallas_call runs as a
     # sequential grid while the scan path becomes big batched GEMMs
@@ -524,6 +685,12 @@ def _run_flow(state, phi_planes, proj, kind, nsteps, t0, t1, precision,
     nstate_max = 2 * ncomp + 1
     if _flow_fits("backward", nstate_max, Ny, Nx, state.dtype):
         call = _flow_call
+    elif os.environ.get("CMBL_FORCE_FLOW") and _flow_fits(
+            kind, nstate, Ny, Nx, state.dtype):
+        # probe/expert mode: whole-flow kernel for THIS kind even when
+        # the backward flow wouldn't fit (mixing granularities in one
+        # program risks the two-distinct-kernels compile-helper abort)
+        call = _flow_call
     elif os.environ.get("CMBL_FORCE_UNI") and _uni_fits(
             kind, nstate, Ny, Nx, state.dtype):
         call = _uni_call
@@ -531,7 +698,8 @@ def _run_flow(state, phi_planes, proj, kind, nsteps, t0, t1, precision,
         return _scan_fallback(state, phi_planes, proj, kind,
                               int(nsteps), t0, t1)
     fn = lambda s, pp: call(s, pp, mats, kind, int(nsteps),
-                            float(t0), float(t1), precision, interpret)
+                            float(t0), float(t1), precision, interpret,
+                            fkey)
     batch = state.shape[:-3]
     for _ in batch:
         fn = jax.vmap(fn)

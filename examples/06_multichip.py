@@ -8,6 +8,7 @@ or on a real TPU pod slice, where the same code shards over ICI.
 """
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+FAST = bool(int(os.environ.get("CMBL_EXAMPLE_FAST", "0")))  # CI smoke lane
 
 import numpy as np
 import jax
@@ -29,7 +30,7 @@ with jax.default_device(devices[0]):
     ds = out["ds"]
     phi0 = out["phi"].to(out["phi"].basis.with_space("map"))
 
-nbatch = 2 * n
+nbatch = n if FAST else 2 * n
 bspec = NamedSharding(mesh, P("batch", None, None, None))
 constrain = lambda f: Field(jax.lax.with_sharding_constraint(f.arr, bspec), f.basis, f.proj)
 
@@ -43,7 +44,7 @@ def meanfield_step(key, phi):
     sims = ds.simulate(key, phi=phi_b, batch_shape=(nbatch,))
     ds_b = ds.replace(d=constrain(sims["d"]))
     f_wf, _ = argmaxf_logpdf(ds_b, phi=phi_b,
-                             conjgrad_kwargs=dict(tol=0.0, nsteps=20, fixed_iters=True),
+                             conjgrad_kwargs=dict(tol=0.0, nsteps=5 if FAST else 20, fixed_iters=True),
                              jit=False)
 
     def lp(phi_b):

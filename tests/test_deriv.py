@@ -271,3 +271,47 @@ def test_factored_radix_policy():
     assert deriv._pick_B_measured(512) == 2
     assert deriv._pick_B_measured(256) == 1
     assert deriv._pick_B_measured(48) == 1
+
+
+def test_pallas_factored_inkernel_matches_dense():
+    """The factored in-kernel derivative closures (_fact_apply through
+    a pallas interpreter kernel) match the dense in-kernel matmuls."""
+    from cmblensing_tpu.ops import pallas_lenseflow as plf
+    from cmblensing_tpu.ops.factored_deriv import _factored_ops
+    if not plf._HAS_PALLAS:
+        pytest.skip("no pallas")
+    from jax.experimental import pallas as pl
+
+    N, B = 64, 2
+    delta = 0.01
+    op = _factored_ops(N, delta, "float32", B)[0]
+    FXt = jnp.asarray(plf._pack_factored(op, True))
+    FY = jnp.asarray(plf._pack_factored(op, False))
+    fmeta = ((B, op.A, op.Rf, op.Ri), (B, op.A, op.Rf, op.Ri))
+    DxT, Dy = plf._mats_for(ProjLambert(N, N, thetapix=delta / np.pi * 180 * 60,
+                                        T=np.float32), np.float32)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (N, N), jnp.float32)
+
+    def kern_fact(x_ref, fx_ref, fy_ref, o_ref):
+        ddx, ddy = plf._make_dd_any(fx_ref[:], fy_ref[:], "f32", fmeta)
+        o_ref[0] = ddx(x_ref[:])
+        o_ref[1] = ddy(x_ref[:])
+
+    def kern_dense(x_ref, fx_ref, fy_ref, o_ref):
+        ddx, ddy = plf._make_dd_any(fx_ref[:], fy_ref[:], "f32", None)
+        o_ref[0] = ddx(x_ref[:])
+        o_ref[1] = ddy(x_ref[:])
+
+    out_f = pl.pallas_call(
+        kern_fact, out_shape=jax.ShapeDtypeStruct((2, N, N), jnp.float32),
+        interpret=True)(x, FXt, FY)
+    # dense comparison uses the FactoredOp's own circulant for an
+    # apples-to-apples operator (same delta)
+    from cmblensing_tpu.ops.deriv import _deriv_matrices
+    D1 = _deriv_matrices(N, delta, "float32")[0]
+    out_d = pl.pallas_call(
+        kern_dense, out_shape=jax.ShapeDtypeStruct((2, N, N), jnp.float32),
+        interpret=True)(x, jnp.asarray(D1.T.copy()), jnp.asarray(D1))
+    rel = float(jnp.max(jnp.abs(out_f - out_d)) / (jnp.max(jnp.abs(out_d)) + 1e-30))
+    assert rel < 5e-6, rel
