@@ -315,3 +315,24 @@ def test_pallas_factored_inkernel_matches_dense():
         interpret=True)(x, jnp.asarray(D1.T.copy()), jnp.asarray(D1))
     rel = float(jnp.max(jnp.abs(out_f - out_d)) / (jnp.max(jnp.abs(out_d)) + 1e-30))
     assert rel < 5e-6, rel
+
+
+def test_factored_policy_precision_aware():
+    """auto backend: factored only at strict f32 (measured: factored
+    wins f32 57.6 vs 78.9 ms; dense wins 'high' 42.4 vs 45.8 ms at
+    1024^2 on v5e)."""
+
+    class _P:
+        Ny = Nx = 1024
+
+    # force the "on accelerator" branch by passing no array and
+    # monkeypatching the platform check
+    orig = deriv._default_platform_is_accel
+    deriv._default_platform_is_accel = lambda: True
+    try:
+        assert deriv._backend(_P) == "factored"
+        with deriv.precision_ctx("high"):
+            assert deriv._backend(_P) == "matmul"
+        assert deriv._backend(_P) == "factored"
+    finally:
+        deriv._default_platform_is_accel = orig

@@ -161,3 +161,52 @@ def test_adjoint_apply_gradient(setup):
     fd = float((loss(phi + eps * dphi) - loss(phi - eps * dphi)) / (2 * eps))
     for be, ad in grads.items():
         assert abs(ad - fd) < 2e-2 * abs(fd), (be, ad, fd)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("CMBLENSING_TEST_TPU"),
+    reason="real-TPU factored-backend parity: set CMBLENSING_TEST_TPU=1")
+def test_factored_backend_parity_on_tpu():
+    """The MXU-factored derivative backend equals the FFT backend on
+    the actual chip at a physical lensing configuration (512^2 where
+    the radix engages), through a full LenseFlow apply and
+    phi-gradient — the strict-f32 contract of the 1024^2 north-star
+    path (ops/factored_deriv.py)."""
+    import functools
+    from cmblensing_tpu.utils.transfer import device_put_safe
+    from cmblensing_tpu.models.lenseflow import lenseflow_backend_ctx
+    from cmblensing_tpu.ops import deriv
+
+    proj = ProjLambert(512, 512, thetapix=2, T=np.float32)
+    Cl = camb()
+    Cphi = Cl_to_Cov("I", proj, Cl["total"]["pp"])
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    phi = simulate_op(ks[0], Cphi).to(MAP)
+    Cf = Cl_to_Cov("P", proj, Cl["unlensed_scalar"]["EE"],
+                   Cl["unlensed_scalar"]["BB"])
+    f = simulate_op(ks[1], Cf).to_lense()
+    tpu = jax.devices("tpu")[0]
+    f, phi = device_put_safe((f, phi), tpu)
+
+    jit_m = functools.partial(jax.jit, static_argnums=0)
+
+    @jit_m
+    def apply_(mode, farr, parr):
+        with deriv.mode_ctx(mode), lenseflow_backend_ctx("scan"):
+            return (LenseFlow(F.Field(parr, phi.basis, proj), 7)
+                    @ F.Field(farr, f.basis, proj)).arr
+
+    @jit_m
+    def grad_(mode, parr, farr):
+        with deriv.mode_ctx(mode), lenseflow_backend_ctx("scan"):
+            ff = F.Field(farr, f.basis, proj)
+            return F.fgrad(lambda p: F.norm(LenseFlow(p, 7) @ ff))(
+                F.Field(parr, phi.basis, proj)).arr
+
+    rel = lambda a, b: float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-30))
+    a = np.asarray(apply_("fft", f.arr, phi.arr))
+    b = np.asarray(apply_("factored", f.arr, phi.arr))
+    assert rel(b, a) < 1e-5, ("apply", rel(b, a))
+    ga = np.asarray(grad_("fft", phi.arr, f.arr))
+    gb = np.asarray(grad_("factored", phi.arr, f.arr))
+    assert rel(gb, ga) < 1e-4, ("grad", rel(gb, ga))
