@@ -364,9 +364,9 @@ class LenseFlow:
         # platform_dependent fallback)
         ctx = contextlib.nullcontext()
         if _deriv.get_deriv_mode() == "auto":
-            on_accel = _deriv._arr_on_accel(fl.arr)
-            small = max(f.proj.Ny, f.proj.Nx) <= _deriv._MATMUL_MAX
-            ctx = _deriv.mode_ctx("matmul" if (on_accel and small) else "fft")
+            # delegate to the same policy _backend would apply eagerly
+            # (factored / matmul / fft, precision- and size-aware)
+            ctx = _deriv.mode_ctx(_deriv._backend(f.proj, fl.arr))
         with ctx:
             if adjoint:
                 out = _lenseflow_apply_adjoint(phi_map, fl.arr, t0, t1,

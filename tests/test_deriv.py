@@ -336,3 +336,67 @@ def test_factored_policy_precision_aware():
         assert deriv._backend(_P) == "factored"
     finally:
         deriv._default_platform_is_accel = orig
+
+
+def test_backend_policy_by_size():
+    """The auto policy per size on an accelerator, strict f32 (measured
+    on v5e: factored wins wherever a radix with A>=256 blocks exists —
+    512..4096; dense matmul below; FFT above):
+
+        256 -> matmul, 512..4096 -> factored, 8192 -> fft."""
+    orig = deriv._default_platform_is_accel
+    deriv._default_platform_is_accel = lambda: True
+    try:
+        for n, want in [(256, "matmul"), (512, "factored"),
+                        (1024, "factored"), (2048, "factored"),
+                        (4096, "factored"), (8192, "fft")]:
+            class _P:
+                Ny = Nx = n
+            assert deriv._backend(_P) == want, (n, deriv._backend(_P))
+    finally:
+        deriv._default_platform_is_accel = orig
+
+
+def test_lenseflow_go_pin_uses_full_policy():
+    """LenseFlow pins the deriv mode host-side before tracing (tracers
+    can't reveal placement); the pin must follow the SAME policy as
+    _backend — in particular the factored path at 1024^2 f32 (a
+    regression: the pin predated the factored backend and silently
+    forced 'matmul')."""
+    from cmblensing_tpu.core import field as F
+    from cmblensing_tpu.core.basis import MAP, QU_MAP
+    from cmblensing_tpu.models.lenseflow import LenseFlow
+
+    N = 64
+    proj = ProjLambert(N, N, thetapix=3, T=np.float32)
+    f = F.Field(jnp.zeros((2, N, N), jnp.float32), QU_MAP, proj)
+    phi = F.Field(jnp.zeros((1, N, N), jnp.float32), MAP, proj)
+
+    seen = {}
+    real_ctx = deriv.mode_ctx
+
+    def spy_ctx(mode):
+        seen["mode"] = mode
+        return real_ctx(mode)
+
+    orig_accel = deriv._arr_on_accel
+    orig_ctx = deriv.mode_ctx
+    deriv._arr_on_accel = lambda a: True
+    deriv.mode_ctx = spy_ctx   # _go resolves mode_ctx via the module
+    try:
+        # N=64: no radix pays -> matmul
+        _ = LenseFlow(phi, 2) @ f
+        assert seen["mode"] == "matmul", seen
+    finally:
+        deriv._arr_on_accel = orig_accel
+        deriv.mode_ctx = orig_ctx
+
+    # and the pure policy resolution at 1024 f32 is 'factored'
+    class _P:
+        Ny = Nx = 1024
+    orig = deriv._default_platform_is_accel
+    deriv._default_platform_is_accel = lambda: True
+    try:
+        assert deriv._backend(_P) == "factored"
+    finally:
+        deriv._default_platform_is_accel = orig
