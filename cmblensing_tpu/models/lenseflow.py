@@ -113,7 +113,24 @@ def _velocity_adj(t, f_map, g, h, proj):
 # RK4 over (t0,t1) with scan, array state
 # =========================================================================
 
-def _rk4(F, y0, t0, t1, nsteps):
+import os as _os
+
+
+def _unroll(proj=None):
+    """RK4 scan unroll factor. Fully unrolling the 7-step loop lets
+    XLA fuse across step boundaries and drop the scan carry
+    materializations (measured at 1024^2 f32: backward flow 17.5 ->
+    16.3 ms AND compile 400 -> 80 s); tiny test grids keep the rolled
+    loop to bound trace size. Override: CMBL_RK4_UNROLL."""
+    env = _os.environ.get("CMBL_RK4_UNROLL")
+    if env:
+        return int(env)
+    if proj is not None and max(proj.Ny, proj.Nx) >= 512:
+        return 8   # >= any production nsteps: fully unrolled
+    return 1
+
+
+def _rk4(F, y0, t0, t1, nsteps, proj=None):
     h = (t1 - t0) / nsteps
 
     def step(y, i):
@@ -126,7 +143,7 @@ def _rk4(F, y0, t0, t1, nsteps):
             lambda yy, a, b, c, d: yy + (h / 6) * (a + 2 * (b + c) + d), y, k1, k2, k3, k4)
         return y, None
 
-    y, _ = jax.lax.scan(step, y0, jnp.arange(nsteps))
+    y, _ = jax.lax.scan(step, y0, jnp.arange(nsteps), unroll=_unroll(proj))
     return y
 
 
@@ -208,7 +225,7 @@ def _lenseflow_apply(phi_map, f_map, t0, t1, nsteps, proj, backend="scan"):
         return pallas_flow_apply(f_map, g, h, float(t0), float(t1),
                                  int(nsteps), proj, "forward",
                                  _kernel_precision())
-    return _rk4(lambda t, y: _velocity(t, y, g, h, proj), f_map, t0, t1, nsteps)
+    return _rk4(lambda t, y: _velocity(t, y, g, h, proj), f_map, t0, t1, nsteps, proj)
 
 
 def _lenseflow_fwd(phi_map, f_map, t0, t1, nsteps, proj, backend="scan"):
@@ -248,6 +265,82 @@ def _backward_velocity(t, state, g, h, proj):
     return (dfdt, ddf, ddphi)
 
 
+def _backward_flow_scan(f1, dy, g, h, proj, t1, t0, nsteps):
+    """Fast scan implementation of the transpose-delta backward flow.
+
+    Two structural optimizations over a naive RK4 of
+    _backward_velocity (measured 20.8 -> ~10 ms per 1024^2 spin-2 flow
+    on v5e, scripts/perf_bwd_ablate.py):
+
+    1. The delta_phi accumulation is a LINEAR functional of the
+       time-local integrands u and s_ij = t p_j u_i — the spatial
+       derivatives commute with the time integral, so instead of
+       applying div_plus_dij's 6 derivative matmuls inside every RK
+       stage (28 evaluations), the flow accumulates the 6 integrand
+       planes (Ux, Uy, S_ij) with pure elementwise RK4 weights and
+       applies div_plus_dij ONCE after the scan:
+
+           delta_phi = int_t [div u + sum_ij d_i d_j (t p_j u_i)] dt
+                     = div(int u) + sum_ij d_i d_j (int t p_j u_i)
+
+    2. Each stage's derivative work is issued as one batched ddx and
+       one batched ddy over [f, p_x delta_f] / [f, p_y delta_f] stacks
+       (ops/deriv.py::bwd_stage_derivs) — single-plane applies are
+       dispatch-bound on TPU.
+
+    Returns (df0, dphi). Reference math: negδvelocityᴴ,
+    src/lenseflow.jl:176-214."""
+    from ..ops.deriv import bwd_stage_derivs, div_plus_dij
+
+    hstep = (t0 - t1) / nsteps
+
+    def integrands(t, f, df):
+        px, py = _p_t(t, g, h)
+        m11, m12, m22 = _Minv_t(t, h)
+        pxe = px[..., None, :, :]
+        pye = py[..., None, :, :]
+        fx, fy, ddf = bwd_stage_derivs(f, pxe * df, pye * df, proj)
+        dfdt = pxe * fx + pye * fy
+        wx = jnp.sum(df * fx, axis=-3)
+        wy = jnp.sum(df * fy, axis=-3)
+        ux = m11 * wx + m12 * wy
+        uy = m12 * wx + m22 * wy
+        # accumulator integrands as a TUPLE of planes: the per-stage
+        # values fuse straight into the RK-weighted accumulator update
+        # without materializing a stacked tensor per stage
+        acc = (ux, uy, t * px * ux, t * py * ux,
+               t * px * uy, t * py * uy)
+        return (dfdt, ddf), acc
+
+    def step(carry, i):
+        f, df, acc = carry
+        t = t1 + i * hstep
+        k1, a1 = integrands(t, f, df)
+        k2, a2 = integrands(t + hstep / 2, f + (hstep / 2) * k1[0],
+                            df + (hstep / 2) * k1[1])
+        k3, a3 = integrands(t + hstep / 2, f + (hstep / 2) * k2[0],
+                            df + (hstep / 2) * k2[1])
+        k4, a4 = integrands(t + hstep, f + hstep * k3[0],
+                            df + hstep * k3[1])
+        f = f + (hstep / 6) * (k1[0] + 2 * (k2[0] + k3[0]) + k4[0])
+        df = df + (hstep / 6) * (k1[1] + 2 * (k2[1] + k3[1]) + k4[1])
+        acc = tuple(a + (hstep / 6) * (i1 + 2 * (i2 + i3) + i4)
+                    for a, i1, i2, i3, i4 in zip(acc, a1, a2, a3, a4))
+        return (f, df, acc), None
+
+    batch = jnp.broadcast_shapes(f1.shape[:-3], dy.shape[:-3],
+                                 g[0].shape[:-2])
+    f1 = jnp.broadcast_to(f1, batch + f1.shape[-3:])
+    dy = jnp.broadcast_to(dy, batch + dy.shape[-3:])
+    zplane = jnp.zeros(batch + f1.shape[-2:], f1.dtype)
+    acc0 = (zplane,) * 6
+    (f0, df0, acc), _ = jax.lax.scan(step, (f1, dy, acc0),
+                                     jnp.arange(nsteps), unroll=_unroll(proj))
+    dphi = div_plus_dij(acc[0], acc[1], acc[2], acc[3], acc[4], acc[5],
+                        proj)[..., None, :, :]
+    return df0, dphi
+
+
 def _lenseflow_bwd(t0, t1, nsteps, proj, backend, res, dy):
     """Continuous adjoint: integrate the coupled (f, delta_f, delta_phi)
     system backward t1->t0 (reference negδvelocityᴴ,
@@ -259,9 +352,7 @@ def _lenseflow_bwd(t0, t1, nsteps, proj, backend, res, dy):
         return pallas_flow_bwd(dy, f1, g, h, float(t0), float(t1),
                                int(nsteps), proj, _kernel_precision())
 
-    dphi0 = jnp.zeros_like(phi_map)
-    f0, df0, dphi = _rk4(lambda t, y: _backward_velocity(t, y, g, h, proj),
-                         (f1, dy, dphi0), t1, t0, nsteps)
+    df0, dphi = _backward_flow_scan(f1, dy, g, h, proj, t1, t0, nsteps)
     return (dphi, df0)
 
 
@@ -280,7 +371,7 @@ def _lenseflow_apply_adjoint(phi_map, f_map, t0, t1, nsteps, proj,
         return pallas_flow_apply(f_map, g, h, float(t1), float(t0),
                                  int(nsteps), proj, "adjoint",
                                  _kernel_precision())
-    return _rk4(lambda t, y: _velocity_adj(t, y, g, h, proj), f_map, t1, t0, nsteps)
+    return _rk4(lambda t, y: _velocity_adj(t, y, g, h, proj), f_map, t1, t0, nsteps, proj)
 
 
 def _lenseflow_adj_fwd(phi_map, f_map, t0, t1, nsteps, proj, backend="scan"):

@@ -149,9 +149,17 @@ def _arr_on_accel(arr):
 
 
 def _pick_B_measured(n):
-    """Radix keeping blocks at the measured MXU sweet spot (A = n/B >=
-    256; v5e: B=4 at N=1024 ran 11x the dense matmul, B=8 (A=128) only
-    3.5x). Returns 1 when no radix pays (N < 512)."""
+    """Radix for the factored circulant. MAC count falls as
+    (2 + 4*(B/2-1))/B^2 of dense, so bigger B always means fewer MXU
+    ops; the floor is MXU utilization of the A = n/B sized blocks
+    (A = 128 matches the MXU tile exactly and measured fastest
+    in-graph at N=1024; A < 128 underfills the systolic array).
+    Returns 1 when no radix pays (N < 512). Override: CMBL_RADIX_B."""
+    import os
+    env = os.environ.get("CMBL_RADIX_B")
+    if env:
+        b = int(env)
+        return b if n % b == 0 else 1
     B = 1
     for cand in (2, 4, 8, 16):
         if n % cand == 0 and n // cand >= 256:
@@ -330,21 +338,68 @@ def div_plus_dij(ux, uy, s0, s1, s2, s3, proj):
     the delta_phi accumulation of the LenseFlow backward flow
     (src/lenseflow.jl:176-214)."""
     be = _backend(proj, ux)
-    if be == "factored":
-        from .factored_deriv import apply_x, apply_y
-        FX1, FY1 = _fd1(proj)
-        pr = _prec()
-        mm = lambda a: apply_x(a, FX1, pr)
-        my = lambda a: apply_y(a, FY1, pr)
-        return (mm(ux + mm(s0) + my(s1)) + my(uy + mm(s2) + my(s3)))
-    if be == "matmul":
-        Dx, Dy = _mats(proj, 1)
-        mm = lambda a: _mm_x(a, Dx)
-        my = lambda a: _mm_y(Dy, a)
-        return (mm(ux + mm(s0) + my(s1)) + my(uy + mm(s2) + my(s3)))
+    if be in ("factored", "matmul"):
+        if be == "factored":
+            from .factored_deriv import apply_x, apply_y
+            FX1, FY1 = _fd1(proj)
+            pr = _prec()
+            mm = lambda a: apply_x(a, FX1, pr)
+            my = lambda a: apply_y(a, FY1, pr)
+        else:
+            Dx, Dy = _mats(proj, 1)
+            mm = lambda a: _mm_x(a, Dx)
+            my = lambda a: _mm_y(Dy, a)
+        # inner derivatives batched 2-wide (single-plane applies are
+        # dispatch-bound; see bwd_stage_derivs)
+        ix = mm(jnp.stack([s0, s2], axis=-3))
+        iy = my(jnp.stack([s1, s3], axis=-3))
+        ox = mm(ux + ix[..., 0, :, :] + iy[..., 0, :, :])
+        oy = my(uy + ix[..., 1, :, :] + iy[..., 1, :, :])
+        return ox + oy
     d = div_xy(ux[..., None, :, :], uy[..., None, :, :], proj)
     s = jnp.stack([s0, s1, s2, s3], axis=-3)
     return (d + dij_sum(s, proj))[..., 0, :, :]
+
+
+def bwd_stage_derivs(f, pxdf, pydf, proj):
+    """The derivative bundle of one backward-flow velocity evaluation
+    (models/lenseflow.py::_backward_flow): returns (fx, fy, ddf) with
+
+        fx = ddx(f), fy = ddy(f), ddf = ddx(pxdf) + ddy(pydf)
+
+    for (..., ncomp, Ny, Nx) stacks, issued as ONE batched apply per
+    derivative direction (matmul/factored backends) or one
+    rfft2/irfft2 pair of 3*ncomp-plane stacks (fft backend). Batching
+    matters: a single-plane factored apply at 1024^2 costs ~0.6 ms of
+    dispatch+materialization vs ~46 us/plane when 4-wide (measured
+    v5e; scripts/perf_bwd_ablate.py)."""
+    n = f.shape[-3]
+    be = _backend(proj, f)
+    if be in ("factored", "matmul"):
+        ax = jnp.concatenate([f, pxdf], axis=-3)
+        ay = jnp.concatenate([f, pydf], axis=-3)
+        if be == "factored":
+            from .factored_deriv import apply_x, apply_y
+            FX1, FY1 = _fd1(proj)
+            ox = apply_x(ax, FX1, _prec())
+            oy = apply_y(ay, FY1, _prec())
+        else:
+            Dx, Dy = _mats(proj, 1)
+            ox = _mm_x(ax, Dx)
+            oy = _mm_y(Dy, ay)
+        fx = ox[..., :n, :, :]
+        fy = oy[..., :n, :, :]
+        ddf = ox[..., n:, :, :] + oy[..., n:, :, :]
+        return fx, fy, ddf
+    ilx, ily = _grids(proj)
+    F = _fft.rfft2(jnp.concatenate([f, pxdf, pydf], axis=-3))
+    Ff = F[..., :n, :, :]
+    out = jnp.concatenate(
+        [Ff * ilx, Ff * ily,
+         F[..., n:2 * n, :, :] * ilx + F[..., 2 * n:, :, :] * ily],
+        axis=-3)
+    o = _fft.irfft2(out, proj.Nx)
+    return o[..., :n, :, :], o[..., n:2 * n, :, :], o[..., 2 * n:, :, :]
 
 
 def dij_sum(s, proj):

@@ -348,18 +348,30 @@ def _rk4_steps(vel, y, t0, t1, nsteps):
     """Classical RK4 over a list-of-planes state, inside a kernel. The
     step loop is a lax.fori_loop so the Mosaic program holds ONE step's
     code (4 velocity evaluations) instead of nsteps unrolled copies —
-    cuts compile time ~nsteps-fold with identical VMEM residency."""
+    cuts compile time ~nsteps-fold with identical VMEM residency.
+
+    Scheduled for MINIMAL liveness: the classical k1..k4 form keeps
+    6*nstate planes live and spilled ~108MB of vector registers at
+    1024^2; folding each k into a running accumulator the moment it is
+    produced (y, acc, stage, k = 4*nstate planes) fits the same kernel
+    in VMEM. Same RK4 map up to f32 summation order."""
     h = (t1 - t0) / nsteps
     n = len(y)
 
     def body(i, y):
+        y = list(y)
         t = t0 + i.astype(y[0].dtype) * h
-        k1 = vel(t, y)
-        k2 = vel(t + h / 2, [y[c] + (h / 2) * k1[c] for c in range(n)])
-        k3 = vel(t + h / 2, [y[c] + (h / 2) * k2[c] for c in range(n)])
-        k4 = vel(t + h, [y[c] + h * k3[c] for c in range(n)])
-        return tuple(y[c] + (h / 6) * (k1[c] + 2 * (k2[c] + k3[c]) + k4[c])
-                     for c in range(n))
+        k = vel(t, y)                                       # k1
+        acc = [y[c] + (h / 6) * k[c] for c in range(n)]
+        s = [y[c] + (h / 2) * k[c] for c in range(n)]
+        k = vel(t + h / 2, s)                               # k2
+        acc = [acc[c] + (h / 3) * k[c] for c in range(n)]
+        s = [y[c] + (h / 2) * k[c] for c in range(n)]
+        k = vel(t + h / 2, s)                               # k3
+        acc = [acc[c] + (h / 3) * k[c] for c in range(n)]
+        s = [y[c] + h * k[c] for c in range(n)]
+        k = vel(t + h, s)                                   # k4
+        return tuple(acc[c] + (h / 6) * k[c] for c in range(n))
 
     return list(jax.lax.fori_loop(0, nsteps, body, tuple(y)))
 
@@ -402,17 +414,17 @@ def _scan_fallback(state, phi_planes, proj, kind, nsteps, t0, t1):
     h = phi_planes[2:]
     if kind == "forward":
         return lf._rk4(lambda t, y: lf._velocity(t, y, g, h, proj),
-                       state, t0, t1, nsteps)
+                       state, t0, t1, nsteps, proj)
     if kind == "adjoint":
         return lf._rk4(lambda t, y: lf._velocity_adj(t, y, g, h, proj),
-                       state, t0, t1, nsteps)
-    # backward: state = [f, df, dphi] stacked on the component axis
+                       state, t0, t1, nsteps, proj)
+    # backward: state = [f, df, dphi] stacked on the component axis;
+    # t0/t1 here arrive already swapped (integrating t1 -> t0)
     ncomp = (state.shape[-3] - 1) // 2
-    y0 = (state[..., :ncomp, :, :], state[..., ncomp:2 * ncomp, :, :],
-          state[..., 2 * ncomp:, :, :])
-    f0, df0, dphi = lf._rk4(
-        lambda t, y: lf._backward_velocity(t, y, g, h, proj),
-        y0, t0, t1, nsteps)
+    f1 = state[..., :ncomp, :, :]
+    dy = state[..., ncomp:2 * ncomp, :, :]
+    df0, dphi = lf._backward_flow_scan(f1, dy, g, h, proj, t0, t1, nsteps)
+    f0 = jnp.zeros_like(f1)  # callers only consume the df/dphi slots
     return jnp.concatenate([f0, df0, dphi], axis=-3)
 
 
@@ -438,6 +450,216 @@ def _flow_kernel(*refs, kind, nstate, ncomp, nsteps, t0, t1, precision,
     y = _rk4_steps(vel, y, t0, t1, nsteps)
     for c in range(nstate):
         out_ref[c] = y[c]
+
+
+# =========================================================================
+# component-gridded forward/adjoint whole-flow kernel ("fa"): each
+# component of a forward or adjoint flow evolves INDEPENDENTLY, so the
+# kernel runs on a grid over the component axis with a single-plane
+# state — the live set (y, acc, stage, k = 4 planes + 5 phi planes +
+# velocity transients) fits VMEM at 1024^2 where the all-component
+# whole-flow kernel spills (measured 138.7MB > 128MB). The flow kind
+# (forward/adjoint) and integration bounds (t0, t1) arrive as SMEM
+# scalars, NOT static constants, so every apply in a program — L@f,
+# L.H@f, L.solve, L.H.solve — instantiates the SAME Mosaic kernel
+# (the remote compile helper aborts on programs with two distinct
+# large Mosaic kernels; scalar inputs keep the kernel identity unique).
+# =========================================================================
+
+def _fa_kernel(s_ref, state_ref, gx_ref, gy_ref, hxx_ref, hxy_ref,
+               hyy_ref, dxt_ref, dy_ref, out_ref, *, nsteps, precision,
+               fkey=None):
+    ddx, ddy = _make_dd_any(dxt_ref[:], dy_ref[:], precision,
+                            _fmeta_from_key(fkey) if fkey else None)
+    role = s_ref[0]
+    t0 = s_ref[1]
+    t1 = s_ref[2]
+    phi_planes = (gx_ref[:], gy_ref[:], hxx_ref[:], hxy_ref[:], hyy_ref[:])
+
+    adj = role != 0
+
+    def vel(t, y):
+        gx, gy, hxx, hxy, hyy = phi_planes
+        px, py = _p_of_t(t, gx, gy, hxx, hxy, hyy)
+        yc = y[0]
+        # forward: p . grad(y)  — multiply AFTER the derivative;
+        # adjoint: div(p y)     — multiply BEFORE. One derivative pair
+        # either way: the role only selects the multiplication order.
+        dx = ddx(jnp.where(adj, px * yc, yc))
+        dyv = ddy(jnp.where(adj, py * yc, yc))
+        return [jnp.where(adj, dx, px * dx) + jnp.where(adj, dyv, py * dyv)]
+
+    y = _rk4_steps(vel, [state_ref[0]], t0, t1, nsteps)
+    out_ref[0] = y[0]
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 7, 8, 9))
+def _fa_call(state, phi_planes, mats, kind, nsteps, t0, t1, precision,
+             interpret=False, fkey=None):
+    """Component-gridded forward/adjoint whole-flow integration.
+    state: (ncomp, Ny, Nx); t0/t1 may be traced scalars."""
+    ncomp, Ny, Nx = state.shape
+    kern = functools.partial(_fa_kernel, nsteps=int(nsteps),
+                             precision=precision, fkey=fkey)
+    role = jnp.asarray({"forward": 0, "adjoint": 1}[kind], state.dtype)
+    svec = jnp.stack([role, jnp.asarray(t0, state.dtype),
+                      jnp.asarray(t1, state.dtype)])
+    full = lambda: pl.BlockSpec((Ny, Nx), lambda c: (0, 0))
+    m0, m1 = mats
+    return pl.pallas_call(
+        kern,
+        grid=(ncomp,),
+        out_shape=jax.ShapeDtypeStruct((ncomp, Ny, Nx), state.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, Ny, Nx), lambda c: (c, 0, 0)),
+                  full(), full(), full(), full(), full(),
+                  pl.BlockSpec(m0.shape, lambda c: (0,) * m0.ndim),
+                  pl.BlockSpec(m1.shape, lambda c: (0,) * m1.ndim)],
+        out_specs=pl.BlockSpec((1, Ny, Nx), lambda c: (c, 0, 0)),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(svec, state, *phi_planes, *mats)
+
+
+def _fa_fits(Ny, Nx, dtype):
+    """Live-plane estimate for the component-gridded fa kernel:
+    4 state planes (y/acc/stage/k) + 5 phi planes + ~6 velocity
+    transients, all single-component."""
+    mats = _plane_mb(Ny, Ny, dtype) + _plane_mb(Nx, Nx, dtype)
+    return 15 * _plane_mb(Ny, Nx, dtype) + mats <= _VMEM_BUDGET_MB
+
+
+# =========================================================================
+# per-velocity backward kernel ("bv"): one Mosaic call per backward
+# velocity evaluation computing the derivative-heavy pieces — dfdt,
+# d(delta_f)/dt and the w = sum_c delta_f_c grad(f_c) planes — with
+# the factored dots VMEM-resident. The cheap remaining algebra
+# (M^-1 w, the s_ij = t p_j u_i products and the RK4/accumulator
+# updates; see models/lenseflow.py::_backward_flow_scan) stays in XLA
+# where it fuses into the state updates. The delta_phi accumulation
+# itself is hoisted out of the time loop entirely (linearity), so this
+# kernel has no second-derivative work at all.
+# =========================================================================
+
+def _bv_kernel(s_ref, f_ref, df_ref, gx_ref, gy_ref, hxx_ref, hxy_ref,
+               hyy_ref, dxt_ref, dy_ref, out_ref, *, ncomp, precision,
+               fkey=None):
+    ddx, ddy = _make_dd_any(dxt_ref[:], dy_ref[:], precision,
+                            _fmeta_from_key(fkey) if fkey else None)
+    t = s_ref[0]
+    px, py = _p_of_t(t, gx_ref[:], gy_ref[:], hxx_ref[:], hxy_ref[:],
+                     hyy_ref[:])
+    wx = None
+    wy = None
+    for c in range(ncomp):
+        fc = f_ref[c]
+        dc = df_ref[c]
+        fx = ddx(fc)
+        fy = ddy(fc)
+        out_ref[c] = px * fx + py * fy                       # dfdt
+        out_ref[ncomp + c] = ddx(px * dc) + ddy(py * dc)     # ddf
+        wx = dc * fx if wx is None else wx + dc * fx
+        wy = dc * fy if wy is None else wy + dc * fy
+    out_ref[2 * ncomp] = wx
+    out_ref[2 * ncomp + 1] = wy
+
+
+def _bv_call(f, df, phi_planes, precision, interpret=False,
+             fkey=None, *, t, mats):
+    ncomp, Ny, Nx = f.shape
+    kern = functools.partial(_bv_kernel, ncomp=ncomp, precision=precision,
+                             fkey=fkey)
+    svec = jnp.stack([jnp.asarray(t, f.dtype)])
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((2 * ncomp + 2, Ny, Nx), f.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                 + [vm() for _ in range(9)],
+        out_specs=vm(),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(svec, f, df, *phi_planes, *mats)
+
+
+def _bv_fits(ncomp, Ny, Nx, dtype):
+    """Live-plane estimate for the per-velocity backward kernel: in
+    (2*ncomp + 5) + out (2*ncomp + 2) + ~8 transients."""
+    mats = _plane_mb(Ny, Ny, dtype) + _plane_mb(Nx, Nx, dtype)
+    planes = 4 * ncomp + 15
+    return planes * _plane_mb(Ny, Nx, dtype) + mats <= 127
+
+
+def _bv_flow(state, phi_planes, proj, nsteps, t1, t0, precision,
+             interpret=False):
+    """Backward transpose-delta integration with per-velocity bv
+    kernels: mirrors models/lenseflow.py::_backward_flow_scan (U/S
+    accumulators hoisted out of the time loop) with the derivative
+    bundle of each stage evaluated by _bv_call. state: (2*ncomp+1, Ny,
+    Nx) = [f, delta_f, 0]; integrates t1 -> t0; returns the same
+    layout [0, delta_f(t0), delta_phi]."""
+    from ..ops.deriv import div_plus_dij
+    from ..models.lenseflow import _Minv_t
+
+    ncomp = (state.shape[-3] - 1) // 2
+    f1 = state[..., :ncomp, :, :]
+    dy = state[..., ncomp:2 * ncomp, :, :]
+    gx, gy, hxx, hxy, hyy = phi_planes
+
+    fkey = None
+    mats = None
+    if os.environ.get("CMBL_PALLAS_FACT", "1") != "0":
+        fmats, _fm = _fmats_for(proj, state.dtype)
+        if fmats is not None:
+            mats = fmats
+            fkey = (proj.Nx, proj.Ny, float(proj.deltax),
+                    str(np.dtype(state.dtype)))
+    if mats is None:
+        mats = _mats_for(proj, state.dtype)
+
+    h = (t0 - t1) / nsteps
+
+    def integrands(t, f, df):
+        out = _bv_call(f, df, phi_planes, precision, interpret,
+                       fkey, t=t, mats=mats)
+        dfdt = out[:ncomp]
+        ddf = out[ncomp:2 * ncomp]
+        wx = out[2 * ncomp]
+        wy = out[2 * ncomp + 1]
+        m11, m12, m22 = _Minv_t(t, (hxx, hxy, hyy))
+        ux = m11 * wx + m12 * wy
+        uy = m12 * wx + m22 * wy
+        # p(t) for the s_ij products (elementwise; fuses into the
+        # accumulator updates)
+        a = 1.0 + t * hxx
+        b = t * hxy
+        d = 1.0 + t * hyy
+        idet = 1.0 / (a * d - b * b)
+        px = (d * gx - b * gy) * idet
+        py = (-b * gx + a * gy) * idet
+        acc = (ux, uy, t * px * ux, t * py * ux, t * px * uy, t * py * uy)
+        return (dfdt, ddf), acc
+
+    zplane = jnp.zeros(state.shape[-2:], state.dtype)
+    acc = (zplane,) * 6
+    f = f1
+    df = dy
+    for i in range(int(nsteps)):
+        t = t1 + i * h
+        k1, a1 = integrands(t, f, df)
+        k2, a2 = integrands(t + h / 2, f + (h / 2) * k1[0],
+                            df + (h / 2) * k1[1])
+        k3, a3 = integrands(t + h / 2, f + (h / 2) * k2[0],
+                            df + (h / 2) * k2[1])
+        k4, a4 = integrands(t + h, f + h * k3[0], df + h * k3[1])
+        f = f + (h / 6) * (k1[0] + 2 * (k2[0] + k3[0]) + k4[0])
+        df = df + (h / 6) * (k1[1] + 2 * (k2[1] + k3[1]) + k4[1])
+        acc = tuple(x + (h / 6) * (i1 + 2 * (i2 + i3) + i4)
+                    for x, i1, i2, i3, i4 in zip(acc, a1, a2, a3, a4))
+
+    dphi = div_plus_dij(acc[0], acc[1], acc[2], acc[3], acc[4], acc[5],
+                        proj)[..., None, :, :]
+    return jnp.concatenate([jnp.zeros_like(f1), df, dphi], axis=-3)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
@@ -626,10 +848,15 @@ _uni_fits = _split_fits
 def flow_available(kind, nstate, Ny, Nx, dtype=np.float32):
     """True when requesting the pallas backend will actually run fused
     kernels (so an explicit 'pallas' request matches what executes —
-    the uni path only engages under CMBL_FORCE_UNI)."""
+    the uni path only engages under CMBL_FORCE_UNI). Above the
+    whole-flow size the component-gridded fa kernel still covers
+    forward/adjoint applies (the backward flow lowers to the optimized
+    scan there)."""
     if not _HAS_PALLAS:
         return False
     if _flow_fits("backward", nstate, Ny, Nx, dtype):
+        return True
+    if _fa_fits(Ny, Nx, dtype) and not os.environ.get("CMBL_NO_FA"):
         return True
     return bool(os.environ.get("CMBL_FORCE_UNI")) and _uni_fits(
         kind, nstate, Ny, Nx, dtype)
@@ -685,6 +912,27 @@ def _run_flow(state, phi_planes, proj, kind, nsteps, t0, t1, precision,
     nstate_max = 2 * ncomp + 1
     if _flow_fits("backward", nstate_max, Ny, Nx, state.dtype):
         call = _flow_call
+    elif (kind in ("forward", "adjoint")
+          and _fa_fits(Ny, Nx, state.dtype)
+          and not os.environ.get("CMBL_NO_FA")):
+        # above the whole-flow size: forward/adjoint applies still run
+        # VMEM-resident via the component-gridded fa kernel (backward
+        # goes per-velocity via the bv kernel below, or the scan)
+        call = _fa_call
+    elif (kind == "backward" and _bv_fits(ncomp, Ny, Nx, state.dtype)
+          and os.environ.get("CMBL_FORCE_BV")):
+        # measured at 1024^2 f32: gradlnP 44.2ms via bv vs 43.1ms via
+        # the structured scan — the kernel boundary breaks XLA's
+        # elementwise-into-matmul fusion, so bv stays opt-in (kept,
+        # like uni, for future toolchains)
+        fn = lambda s, pp: _bv_flow(s, pp, proj, int(nsteps), float(t0),
+                                    float(t1), precision, interpret)
+        if interpret:
+            return fn(state, phi_planes)
+        return jax.lax.platform_dependent(
+            tpu=lambda: fn(state, phi_planes),
+            default=lambda: _scan_fallback(state, phi_planes, proj, kind,
+                                           nsteps, t0, t1))
     elif os.environ.get("CMBL_FORCE_FLOW") and _flow_fits(
             kind, nstate, Ny, Nx, state.dtype):
         # probe/expert mode: whole-flow kernel for THIS kind even when

@@ -121,6 +121,63 @@ def test_pallas_split_backward_matches_scan():
     assert rel(out[4:], dphi_ref) < 1e-5
 
 
+def test_pallas_fa_kernel_matches_scan():
+    """The component-gridded role-switched forward/adjoint kernel
+    (pallas_lenseflow._fa_call; production path for 1024^2 applies)
+    equals the scan integrators for both roles and both time
+    directions, in interpreter mode."""
+    from cmblensing_tpu.ops import pallas_lenseflow as plf
+    from cmblensing_tpu.models.lenseflow import (
+        _gradhess_phi, _rk4, _velocity, _velocity_adj)
+
+    deriv.set_deriv_mode("matmul")
+    proj, phi, f = _weak_lensing_setup()
+    g, h = _gradhess_phi(phi, proj)
+    mats = plf._mats_for(proj, np.float32)
+    rel = lambda a, b: float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(b)))
+
+    ref = _rk4(lambda t, y: _velocity(t, y, g, h, proj), f, 0., 1., 3)
+    out = plf._fa_call(f, (*g, *h), mats, "forward", 3, 0., 1., "f32", True)
+    assert rel(out, ref) < 1e-5
+
+    ref = _rk4(lambda t, y: _velocity(t, y, g, h, proj), f, 1., 0., 3)
+    out = plf._fa_call(f, (*g, *h), mats, "forward", 3, 1., 0., "f32", True)
+    assert rel(out, ref) < 1e-5
+
+    ref = _rk4(lambda t, y: _velocity_adj(t, y, g, h, proj), f, 1., 0., 3)
+    out = plf._fa_call(f, (*g, *h), mats, "adjoint", 3, 1., 0., "f32", True)
+    assert rel(out, ref) < 1e-5
+
+    # factored in-kernel derivatives, interpret mode
+    fmats, _ = plf._fmats_for(proj, np.float32)
+    if fmats is not None:
+        fkey = (proj.Nx, proj.Ny, float(proj.deltax), "float32")
+        ref = _rk4(lambda t, y: _velocity(t, y, g, h, proj), f, 0., 1., 3)
+        out = plf._fa_call(f, (*g, *h), fmats, "forward", 3, 0., 1., "f32",
+                           True, fkey)
+        assert rel(out, ref) < 1e-5
+
+
+def test_pallas_bv_backward_matches_scan():
+    """The per-velocity bv-kernel backward path (production for 1024^2
+    gradients) equals the scan backward flow, interpret mode."""
+    from cmblensing_tpu.models.lenseflow import _gradhess_phi, _lenseflow_bwd
+    from cmblensing_tpu.ops import pallas_lenseflow as plf
+
+    deriv.set_deriv_mode("matmul")
+    proj, phi, f = _weak_lensing_setup()
+    dy = jax.random.normal(jax.random.PRNGKey(2), f.shape)
+    g, h = _gradhess_phi(phi, proj)
+    dphi_ref, df0_ref = _lenseflow_bwd(0., 1., 3, proj, "scan", (phi, f), dy)
+    state = jnp.concatenate([f, dy, jnp.zeros((1,) + f.shape[-2:], f.dtype)],
+                            axis=0)
+    out = plf._bv_flow(state, (*g, *h), proj, 3, 1.0, 0.0, "f32",
+                       interpret=True)
+    rel = lambda a, b: float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(b)))
+    assert rel(out[2:4], df0_ref) < 1e-5
+    assert rel(out[4:], dphi_ref) < 1e-5
+
+
 def test_pallas_uni_granularity_matches_flow():
     """The universal-kernel path (used above the whole-flow size for
     every flow, incl. forward/adjoint roles) equals the whole-flow
@@ -232,12 +289,17 @@ def test_backend_policy_by_size():
         def __init__(self, n): self.Ny = self.Nx = n
 
     arr = jnp.zeros((2, 8, 8), jnp.float32)
-    # flow kernels available through ~512^2 (the flow-fit boundary)
+    # whole-flow kernels available through ~512^2 (the flow-fit boundary)
     assert plf._flow_fits("backward", 5, 512, 512, np.float32)
     assert not plf._flow_fits("backward", 5, 1024, 1024, np.float32)
-    # auto backend: 'pallas' when fused kernels actually run, else scan
+    # the component-gridded fa kernel covers forward/adjoint at 1024^2
+    # (backward lowers to the optimized scan inside the pallas path)
+    assert plf._fa_fits(1024, 1024, np.float32)
+    assert not plf._fa_fits(2048, 2048, np.float32)
+    # auto backend: 'pallas' while any fused kernel actually runs
     assert _resolve_backend(arr, _P(512), 5) == "pallas"
-    assert _resolve_backend(arr, _P(1024), 5) == "scan"
+    assert _resolve_backend(arr, _P(1024), 5) == "pallas"
+    assert _resolve_backend(arr, _P(2048), 5) == "scan"
     assert _resolve_backend(arr, _P(4096), 5) == "scan"
 
 
