@@ -150,11 +150,11 @@ def _arr_on_accel(arr):
 
 def _pick_B_measured(n):
     """Radix for the factored circulant. MAC count falls as
-    (2 + 4*(B/2-1))/B^2 of dense, so bigger B always means fewer MXU
-    ops; the floor is MXU utilization of the A = n/B sized blocks
-    (A = 128 matches the MXU tile exactly and measured fastest
-    in-graph at N=1024; A < 128 underfills the systolic array).
-    Returns 1 when no radix pays (N < 512). Override: CMBL_RADIX_B."""
+    (2 + 4*(B/2-1))/B^2 of dense, but butterfly glue grows O(B^2), so
+    the policy keeps blocks at A = n/B >= 256 (measured at N=1024 f32
+    backward flow: B=4 15.9ms, B=2 17.1, B=8 17.2 — the path is
+    HBM/glue-bound, not MXU-bound). Returns 1 when no radix pays
+    (N < 512). Override: CMBL_RADIX_B."""
     import os
     env = os.environ.get("CMBL_RADIX_B")
     if env:
@@ -205,15 +205,24 @@ def _deriv_matrices(n: int, delta: float, dtype_str: str):
     return D1.astype(dt), D2.astype(dt)
 
 
+@functools.lru_cache(maxsize=None)
+def _jmats(n, delta, dtype_str):
+    """Concrete jnp circulant matrices, cached so every trace call
+    site references the SAME jax.Array (one embedded constant per
+    program instead of one per use — see FactoredOp.jblocks)."""
+    D1, D2 = _deriv_matrices(n, delta, dtype_str)
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(D1), jnp.asarray(D2)
+
+
 def _mats(proj, order=1):
     dt = proj.T.str
     d = float(proj.deltax)
-    Dx1, Dx2 = _deriv_matrices(proj.Nx, d, dt)
-    Dy1, Dy2 = _deriv_matrices(proj.Ny, d, dt)
+    Dx1, Dx2 = _jmats(proj.Nx, d, dt)
+    Dy1, Dy2 = _jmats(proj.Ny, d, dt)
     if order == 1:
-        return jnp.asarray(Dx1), jnp.asarray(Dy1)
-    return (jnp.asarray(Dx1), jnp.asarray(Dx2),
-            jnp.asarray(Dy1), jnp.asarray(Dy2))
+        return Dx1, Dy1
+    return (Dx1, Dx2, Dy1, Dy2)
 
 
 def _fops(proj, n):

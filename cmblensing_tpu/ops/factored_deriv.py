@@ -80,7 +80,26 @@ class FactoredOp:
     """One factored circulant: real-channel block tensors ready for
     einsum application along either array axis."""
 
-    __slots__ = ("B", "A", "Rf", "Ri", "Gre", "Gar", "Gai", "kre", "kcx")
+    __slots__ = ("B", "A", "Rf", "Ri", "Gre", "Gar", "Gai", "kre", "kcx",
+                 "_jcache")
+
+    def jblocks(self):
+        """Concrete jnp versions of the block tensors, cached on the
+        instance. Tracing references the SAME jax.Array objects at
+        every call site, so the whole program embeds each tensor ONCE
+        — converting the numpy blocks per einsum call-site duplicated
+        them (measured: 240 constant blobs, a 127MB HLO at 4096^2 that
+        exceeded the remote compile helper's request limit)."""
+        jc = getattr(self, "_jcache", None)
+        if jc is None:
+            # ensure_compile_time_eval: the conversion happens eagerly
+            # even when jblocks() is first reached inside a jit trace,
+            # so the cache holds concrete arrays, never tracers
+            with jax.ensure_compile_time_eval():
+                jc = tuple(None if a is None else jnp.asarray(a)
+                           for a in (self.Gre, self.Gar, self.Gai))
+            self._jcache = jc
+        return jc
 
     def __init__(self, D, B, dtype):
         N = D.shape[0]
@@ -95,8 +114,8 @@ class FactoredOp:
             return
         G = _block_diagonalize(np.asarray(D, np.float64), B)
         self.B, self.A = B, N // B
-        # stored as HOST numpy: jit traces fold them in as constants
-        # (caching jnp arrays here would leak tracers out of a trace)
+        # blocks stored as host numpy (kernel packing reads them);
+        # jblocks() lazily caches concrete jnp versions for traces
         Rf, Ri = _real_butterfly_mats(B)
         self.Rf = Rf.astype(dtype)
         self.Ri = Ri.astype(dtype)
@@ -146,6 +165,7 @@ def _comb(planes, weights):
 
 def _apply_factored(x, op: FactoredOp, prec, side):
     B, A = op.B, op.A
+    Gre, Gar, Gai = op.jblocks()
     sh = x.shape
     if side == "y":
         xr = x.reshape(sh[:-2] + (B, A, sh[-1]))
@@ -163,14 +183,14 @@ def _apply_factored(x, op: FactoredOp, prec, side):
 
     # diagonal blocks per channel (complex pairs share Ar/Ai)
     ys = [None] * B
-    ys[0] = dot(op.Gre[0], us[0])
-    ys[B - 1] = dot(op.Gre[1], us[B - 1])
+    ys[0] = dot(Gre[0], us[0])
+    ys[B - 1] = dot(Gre[1], us[B - 1])
     for i in range(len(op.kcx)):
         ur, ui = us[2 * i + 1], us[2 * i + 2]
-        ar_ur = dot(op.Gar[i], ur)
-        ai_ui = dot(op.Gai[i], ui)
-        ai_ur = dot(op.Gai[i], ur)
-        ar_ui = dot(op.Gar[i], ui)
+        ar_ur = dot(Gar[i], ur)
+        ai_ui = dot(Gai[i], ui)
+        ai_ur = dot(Gai[i], ur)
+        ar_ui = dot(Gar[i], ui)
         ys[2 * i + 1] = ar_ur - ai_ui
         ys[2 * i + 2] = ai_ur + ar_ui
 
@@ -182,13 +202,14 @@ def _apply_factored(x, op: FactoredOp, prec, side):
 def apply_y(x, op: FactoredOp, prec):
     """Factored D applied along axis -2 of (..., Ny, Nx)."""
     if op.B == 1:
-        return jnp.einsum("ab,...bx->...ax", op.Gre[0], x, precision=prec)
+        return jnp.einsum("ab,...bx->...ax", op.jblocks()[0][0], x,
+                          precision=prec)
     return _apply_factored(x, op, prec, "y")
 
 
 def apply_x(x, op: FactoredOp, prec):
     """Factored D applied along the last axis of (..., Ny, Nx)."""
     if op.B == 1:
-        return jnp.matmul(x, op.Gre[0].T, precision=prec,
+        return jnp.matmul(x, op.jblocks()[0][0].T, precision=prec,
                           preferred_element_type=x.dtype)
     return _apply_factored(x, op, prec, "x")

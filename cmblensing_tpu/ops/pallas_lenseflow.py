@@ -165,7 +165,24 @@ def _pack_factored(op, transpose):
     return arr
 
 
+@functools.lru_cache(maxsize=None)
+def _fmats_cached(Nx, Ny, delta, dtype_str):
+    return _fmats_for_uncached(_P(Nx, Ny, delta, dtype_str), np.dtype(dtype_str))
+
+
+class _P:
+    """Hashable proj stand-in for the mats caches."""
+
+    def __init__(self, Nx, Ny, delta, dts):
+        self.Nx, self.Ny, self.deltax = Nx, Ny, delta
+
+
 def _fmats_for(proj, dtype):
+    return _fmats_cached(proj.Nx, proj.Ny, float(proj.deltax),
+                         str(np.dtype(dtype)))
+
+
+def _fmats_for_uncached(proj, dtype):
     """((FXt, FY), fmeta) packed factored first-derivative tensors, or
     (None, None) when no radix pays on either axis."""
     from .deriv import _pick_B_measured
@@ -175,8 +192,9 @@ def _fmats_for(proj, dtype):
     opx, Bx = _fact_meta(proj.Nx, d, dtype)
     opy, By = _fact_meta(proj.Ny, d, dtype)
     fmeta = ((Bx, opx.A, opx.Rf, opx.Ri), (By, opy.A, opy.Rf, opy.Ri))
-    return (jnp.asarray(_pack_factored(opx, True)),
-            jnp.asarray(_pack_factored(opy, False))), fmeta
+    with jax.ensure_compile_time_eval():
+        return (jnp.asarray(_pack_factored(opx, True)),
+                jnp.asarray(_pack_factored(opy, False))), fmeta
 
 
 def _kcomb(planes, weights):
@@ -395,10 +413,17 @@ def _compiler_params():
         vmem_limit_bytes=int(127 * 2 ** 20))
 
 
+@functools.lru_cache(maxsize=None)
+def _mats_for_cached(Nx, Ny, delta, dts):
+    Dx1, _ = _deriv_matrices(Nx, delta, dts)
+    Dy1, _ = _deriv_matrices(Ny, delta, dts)
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(Dx1.T.copy()), jnp.asarray(Dy1)
+
+
 def _mats_for(proj, dtype):
-    Dx1, _ = _deriv_matrices(proj.Nx, float(proj.deltax), str(np.dtype(dtype)))
-    Dy1, _ = _deriv_matrices(proj.Ny, float(proj.deltax), str(np.dtype(dtype)))
-    return jnp.asarray(Dx1.T.copy()), jnp.asarray(Dy1)
+    return _mats_for_cached(proj.Nx, proj.Ny, float(proj.deltax),
+                            str(np.dtype(dtype)))
 
 
 # scan-equivalent fallbacks (models/lenseflow.py implementations) used

@@ -9,8 +9,8 @@ from cmblensing_tpu.models import lenseflow as lf
 from cmblensing_tpu.ops import deriv
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-deriv.set_deriv_mode("auto")
-deriv.set_matmul_precision("f32")
+deriv.set_deriv_mode(os.environ.get("CMBL_DMODE", "auto"))
+deriv.set_matmul_precision(os.environ.get("CMBL_PREC", "f32"))
 
 proj = ProjLambert(N, N, 2.0)
 rs = np.random.RandomState(0)
@@ -22,8 +22,12 @@ g = jax.block_until_ready(g)
 c = jnp.float32(1e-3)
 
 
+import json
+_CO = json.loads(os.environ.get("CMBL_COMPILER_OPTS", "null"))
+
+
 def pipelined(step, x0, R1=3, R2=13):
-    step = jax.jit(step)
+    step = jax.jit(step, compiler_options=_CO) if _CO else jax.jit(step)
     t0 = time.perf_counter()
     jax.block_until_ready(step(x0))
     print(f"  (compile {time.perf_counter()-t0:.0f}s)", flush=True)

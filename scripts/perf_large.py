@@ -40,10 +40,10 @@ for mode in modes:
     V = lambda t, x: lf._velocity(t, x, g, h, proj)
     flow = lambda x: lf._rk4(V, x, 0.0, 1.0, 7) * c
     print(f"[{mode}] N={N} forward flow: {pipelined(flow, f):9.2f} ms", flush=True)
-    st = (f, f, jnp.zeros((1, N, N), jnp.float32))
     def bflow(s):
-        out = lf._rk4(lambda t, y: lf._backward_velocity(t, y, g, h, proj),
-                      s, 1.0, 0.0, 7)
-        return tuple(x * c for x in out)
+        df0, dphi = lf._backward_flow_scan(s[:2], s[2:4], g, h, proj,
+                                           1.0, 0.0, 7)
+        return s + c * jnp.concatenate([df0, dphi + dphi, df0], axis=0)[:4]
+    st = jnp.concatenate([f, f], axis=0)
     print(f"[{mode}] N={N} backward flow: {pipelined(bflow, st):8.2f} ms", flush=True)
 deriv.set_deriv_mode("auto")
