@@ -39,10 +39,10 @@ import jax.numpy as jnp
 from . import fft as _fft
 
 _MODE = "auto"
-# measured on v5e: circulant matmuls beat the XLA TPU FFT through
-# 2048^2 (apply ~100 vs 154ms, spin-2 flow gradient 348 vs 608ms);
-# the crossover to FFT is expected near 4096^2 where matmul FLOPs
-# grow another 8x against the FFT's ~4.4x
+# measured on v5e (r3, restructured flows): the factored backend beats
+# the XLA TPU FFT decisively at 2048^2 (forward flow 35.8 vs 149.5ms,
+# backward 129.8 vs 356.1ms); dense matmul is the reduced-precision
+# choice up to _MATMUL_MAX
 _MATMUL_MAX = 2048
 _PRECISION = "f32"   # "f32" | "bf16" (bf16 inputs, f32 accumulate)
 
@@ -167,6 +167,15 @@ def _pick_B_measured(n):
     return B
 
 
+# Auto-policy ceiling for the factored backend. Measured wins through
+# 2048^2 (forward flow 35.8ms factored vs 149.5 fft; backward 129.8 vs
+# 356.1). At 4096^2 the factored programs compile for an hour+ through
+# TPU compile services (vs seconds for the FFT path), so auto keeps the
+# FFT there; opt in with set_deriv_mode('factored') or CMBL_FACTORED_MAX.
+import os as _osmod
+_FACTORED_MAX = int(_osmod.environ.get("CMBL_FACTORED_MAX", "2048"))
+
+
 def _backend(proj, arr=None):
     """'fft' | 'matmul' | 'factored' for this projection, precision
     aware: at strict f32 the factored path wins wherever the radix
@@ -181,7 +190,7 @@ def _backend(proj, arr=None):
     n = max(proj.Ny, proj.Nx)
     if (_PRECISION == "f32"
             and _pick_B_measured(proj.Ny) > 1 and _pick_B_measured(proj.Nx) > 1
-            and n <= 4096):
+            and n <= _FACTORED_MAX):
         return "factored"
     return "matmul" if n <= _MATMUL_MAX else "fft"
 

@@ -402,16 +402,18 @@ def test_factored_policy_precision_aware():
 
 def test_backend_policy_by_size():
     """The auto policy per size on an accelerator, strict f32 (measured
-    on v5e: factored wins wherever a radix with A>=256 blocks exists —
-    512..4096; dense matmul below; FFT above):
+    on v5e: factored wins 512..2048 — 2048 forward flow 35.8 ms vs
+    149.5 fft; dense matmul below; FFT at 4096+ where factored
+    programs take an hour+ through TPU compile services, raisable via
+    CMBL_FACTORED_MAX):
 
-        256 -> matmul, 512..4096 -> factored, 8192 -> fft."""
+        256 -> matmul, 512..2048 -> factored, 4096+ -> fft."""
     orig = deriv._default_platform_is_accel
     deriv._default_platform_is_accel = lambda: True
     try:
         for n, want in [(256, "matmul"), (512, "factored"),
                         (1024, "factored"), (2048, "factored"),
-                        (4096, "factored"), (8192, "fft")]:
+                        (4096, "fft"), (8192, "fft")]:
             class _P:
                 Ny = Nx = n
             assert deriv._backend(_P) == want, (n, deriv._backend(_P))
