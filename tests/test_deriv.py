@@ -158,6 +158,36 @@ def test_pallas_fa_kernel_matches_scan():
         assert rel(out, ref) < 1e-5
 
 
+def test_backward_dphi_hoisting_exact_f64(x64):
+    """The delta-phi accumulation hoist (_backward_flow_scan: apply
+    div_plus_dij ONCE to the RK4-accumulated integrands instead of
+    inside every stage) is an exact linear-algebra identity, not an
+    approximation: at float64 the hoisted flow matches a straightforward
+    RK4 of _backward_velocity to near machine precision."""
+    from cmblensing_tpu.models.lenseflow import (
+        _gradhess_phi, _rk4, _backward_velocity, _backward_flow_scan)
+
+    deriv.set_deriv_mode("matmul")
+    N = 32
+    proj = ProjLambert(N, N, thetapix=3, T=np.float64)
+    phi_f = jnp.zeros((1, N, N // 2 + 1), dtype=jnp.complex128)
+    phi_f = phi_f.at[0, 1, 1].set(1e-3)
+    phi = jnp.fft.irfft2(phi_f, s=(N, N))
+    f = jax.random.normal(jax.random.PRNGKey(1), (2, N, N), jnp.float64)
+    dy = jax.random.normal(jax.random.PRNGKey(2), (2, N, N), jnp.float64)
+    g, h = _gradhess_phi(phi, proj)
+
+    dphi0 = jnp.zeros_like(phi)
+    f0, df0_ref, dphi_ref = _rk4(
+        lambda t, y: _backward_velocity(t, y, g, h, proj),
+        (f, dy, dphi0), 1.0, 0.0, 4)
+    df0, dphi = _backward_flow_scan(f, dy, g, h, proj, 1.0, 0.0, 4)
+
+    rel = lambda a, b: float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(b)))
+    assert rel(df0, df0_ref) < 1e-12
+    assert rel(dphi, dphi_ref) < 1e-12
+
+
 def test_pallas_bv_backward_matches_scan():
     """The per-velocity bv-kernel backward path (production for 1024^2
     gradients) equals the scan backward flow, interpret mode."""
