@@ -8,6 +8,11 @@ sys.path.insert(0, ".")
 import numpy as np
 import jax
 import jax.numpy as jnp
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 
 def main(N=1024, prec="f32", which="both", dmode="matmul"):

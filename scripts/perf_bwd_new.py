@@ -54,3 +54,8 @@ def step(s):
 
 
 print(f"bwd new:  {pipelined(step, st0):8.2f} ms", flush=True)
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass

@@ -47,3 +47,8 @@ for mode in modes:
     st = jnp.concatenate([f, f], axis=0)
     print(f"[{mode}] N={N} backward flow: {pipelined(bflow, st):8.2f} ms", flush=True)
 deriv.set_deriv_mode("auto")
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass

@@ -51,3 +51,8 @@ elif which == "uni_bwd":
                             "backward", 7, 1.0, 0.0, "f32")
         return s + c * out
     print(f"uni bwd factored:        {pipelined(step, st):8.3f} ms", flush=True)
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
