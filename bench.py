@@ -77,6 +77,27 @@ def _install_signal_net():
 
 
 def main():
+    import os
+    import threading
+
+    # Watchdog: a dead/wedged TPU tunnel hangs even jax.devices()
+    # forever (observed: a huge 4096^2 compile wedged the remote
+    # helper for hours). Emit an explicit machine-readable error line
+    # instead of hanging the driver.
+    init_timeout = float(os.environ.get("CMBL_BENCH_INIT_TIMEOUT", "900"))
+    init_ok = threading.Event()
+
+    def _watchdog():
+        if not init_ok.wait(init_timeout):
+            print(json.dumps({
+                "metric": "spin2_gradlnP_256_ms", "value": None,
+                "unit": "ms", "vs_baseline": None,
+                "error": "tpu-unavailable (device init exceeded "
+                         f"{init_timeout:.0f}s)"}), flush=True)
+            os._exit(1)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
     sys.path.insert(0, ".")
@@ -85,6 +106,8 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    jax.devices()          # first tunnel handshake
+    init_ok.set()
     from cmblensing_tpu.models.dataset import load_sim, mix, Mixed
     from cmblensing_tpu.models.lenseflow import LenseFlow, _gradhess_phi
     from cmblensing_tpu.core.field import fgrad, Field, dot as fdot
