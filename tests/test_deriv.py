@@ -447,6 +447,16 @@ def test_backend_policy_by_size():
             class _P:
                 Ny = Nx = n
             assert deriv._backend(_P) == want, (n, deriv._backend(_P))
+        # the cap is a knob (CMBL_FACTORED_MAX at import; module var)
+        prev_max = deriv._FACTORED_MAX
+        try:
+            deriv._FACTORED_MAX = 4096
+
+            class _P4:
+                Ny = Nx = 4096
+            assert deriv._backend(_P4) == "factored"
+        finally:
+            deriv._FACTORED_MAX = prev_max
     finally:
         deriv._default_platform_is_accel = orig
 
