@@ -64,6 +64,9 @@ from .inference.muse import muse, MuseProblem
 from .parallel.mesh import (
     make_mesh, shard_batch, replicate, local_mesh, distributed_initialize, proc_info,
 )
+from .parallel.spatial import (
+    ShardedLenseFlow, lense_sharded, spatial_mesh, shard_spatial,
+)
 from .core.field import fgrad, fvalue_and_grad
 from .core.field_tuple import FieldTuple
 from .core.field_tuple import DiagFieldTuple

@@ -119,6 +119,60 @@ def precision_ctx(p):
         _PRECISION = prev
 
 
+# --- spatial sharding hook ------------------------------------------------
+#
+# Inside parallel/spatial.py's shard_map regions, arrays are LOCAL
+# blocks of a map whose Ny axis is sharded over a mesh axis. The x
+# direction stays fully local (contraction over the last axis), but a
+# y-derivative contracts over the sharded axis: _ywrap transposes the
+# pencil decomposition with one tiled all_to_all (y-sharded ->
+# x-sharded), applies the full-Ny operator locally, and transposes
+# back. This is the classic 2-D pencil scheme, riding the ICI with
+# 2 all_to_alls (each moving only the local block) per y-apply instead
+# of the (mesh_size x costlier) all_gather XLA would insert for a
+# sharded-contraction matmul.
+
+_SHARD_AXIS = None
+
+
+@contextlib.contextmanager
+def shard_ctx(axis_name):
+    """Declare that arrays seen by this module during the enclosed
+    trace are local y-sharded blocks over mesh axis `axis_name` (must
+    be entered inside every independently-traced region — fwd AND bwd
+    of any custom_vjp; see parallel/spatial.py)."""
+    global _SHARD_AXIS
+    prev = _SHARD_AXIS
+    _SHARD_AXIS = axis_name
+    try:
+        yield
+    finally:
+        _SHARD_AXIS = prev
+
+
+def _ywrap(fn, a):
+    """Apply a full-Ny y-axis operator to a y-sharded local block via
+    all_to_all pencil transposes (identity wrapper when unsharded)."""
+    ax = _SHARD_AXIS
+    if ax is None:
+        return fn(a)
+    i, j = a.ndim - 2, a.ndim - 1
+    at = jax.lax.all_to_all(a, ax, split_axis=j, concat_axis=i, tiled=True)
+    out = fn(at)
+    return jax.lax.all_to_all(out, ax, split_axis=i, concat_axis=j, tiled=True)
+
+
+def _ymat(M, a):
+    """Shard-aware M @ a along axis -2."""
+    return _ywrap(lambda t: _mm_y(M, t), a)
+
+
+def _yfac(a, op, pr):
+    """Shard-aware factored apply along axis -2."""
+    from .factored_deriv import apply_y
+    return _ywrap(lambda t: apply_y(t, op, pr), a)
+
+
 @contextlib.contextmanager
 def mode_ctx(mode):
     """Temporarily override the derivative backend (e.g. host-side eager
@@ -182,6 +236,16 @@ def _backend(proj, arr=None):
     engages (1024^2 gradlnP 57.6 vs 78.9 ms dense on v5e), but at
     'high'/'bf16' the dense matmuls halve in cost and measure faster
     (42.4 vs 45.8 ms) — so reduced precision keeps the dense path."""
+    if _SHARD_AXIS is not None:
+        # spatially-sharded blocks: FFT along the sharded axis is
+        # impossible — route 'fft'/'auto' to the MXU paths (factored
+        # engages at any size since the dense circulant's embedded
+        # N x N constants are what sharding exists to avoid)
+        if _MODE in ("matmul", "factored"):
+            return _MODE
+        if _pick_B_measured(proj.Ny) > 1 and _pick_B_measured(proj.Nx) > 1:
+            return "factored"
+        return "matmul"
     if _MODE != "auto":
         return _MODE
     on_accel = _arr_on_accel(arr) if arr is not None else _default_platform_is_accel()
@@ -280,10 +344,10 @@ def grad_xy(f_map, proj):
     if be == "factored":
         from .factored_deriv import apply_x, apply_y
         FX1, FY1 = _fd1(proj)
-        return apply_x(f_map, FX1, _prec()), apply_y(f_map, FY1, _prec())
+        return apply_x(f_map, FX1, _prec()), _yfac(f_map, FY1, _prec())
     if be == "matmul":
         Dx, Dy = _mats(proj, 1)
-        return _mm_x(f_map, Dx), _mm_y(Dy, f_map)
+        return _mm_x(f_map, Dx), _ymat(Dy, f_map)
     ilx, ily = _grids(proj)
     F = _fft.rfft2(f_map)
     stack = jnp.concatenate([F * ilx, F * ily], axis=-3)
@@ -298,10 +362,10 @@ def div_xy(vx, vy, proj):
     if be == "factored":
         from .factored_deriv import apply_x, apply_y
         FX1, FY1 = _fd1(proj)
-        return apply_x(vx, FX1, _prec()) + apply_y(vy, FY1, _prec())
+        return apply_x(vx, FX1, _prec()) + _yfac(vy, FY1, _prec())
     if be == "matmul":
         Dx, Dy = _mats(proj, 1)
-        return _mm_x(vx, Dx) + _mm_y(Dy, vy)
+        return _mm_x(vx, Dx) + _ymat(Dy, vy)
     ilx, ily = _grids(proj)
     V = _fft.rfft2(jnp.concatenate([vx, vy], axis=-3))
     n = vx.shape[-3]
@@ -318,16 +382,16 @@ def gradhess(phi_map, proj):
         FX2, FY2 = _fd2(proj)
         pr = _prec()
         gx = apply_x(phi_map, FX1, pr)
-        gy = apply_y(phi_map, FY1, pr)
+        gy = _yfac(phi_map, FY1, pr)
         hxx = apply_x(phi_map, FX2, pr)
-        hyy = apply_y(phi_map, FY2, pr)
-        hxy = apply_y(gx, FY1, pr)
+        hyy = _yfac(phi_map, FY2, pr)
+        hxy = _yfac(gx, FY1, pr)
         return (gx[..., 0, :, :], gy[..., 0, :, :]), \
                (hxx[..., 0, :, :], hxy[..., 0, :, :], hyy[..., 0, :, :])
     if be == "matmul":
         Dx1, Dx2, Dy1, Dy2 = _mats(proj, 2)
         mm = _mm_x
-        my = _mm_y
+        my = _ymat
         gx = mm(phi_map, Dx1)
         gy = my(Dy1, phi_map)
         hxx = mm(phi_map, Dx2)
@@ -362,11 +426,11 @@ def div_plus_dij(ux, uy, s0, s1, s2, s3, proj):
             FX1, FY1 = _fd1(proj)
             pr = _prec()
             mm = lambda a: apply_x(a, FX1, pr)
-            my = lambda a: apply_y(a, FY1, pr)
+            my = lambda a: _yfac(a, FY1, pr)
         else:
             Dx, Dy = _mats(proj, 1)
             mm = lambda a: _mm_x(a, Dx)
-            my = lambda a: _mm_y(Dy, a)
+            my = lambda a: _ymat(Dy, a)
         # inner derivatives batched 2-wide (single-plane applies are
         # dispatch-bound; see bwd_stage_derivs)
         ix = mm(jnp.stack([s0, s2], axis=-3))
@@ -400,11 +464,11 @@ def bwd_stage_derivs(f, pxdf, pydf, proj):
             from .factored_deriv import apply_x, apply_y
             FX1, FY1 = _fd1(proj)
             ox = apply_x(ax, FX1, _prec())
-            oy = apply_y(ay, FY1, _prec())
+            oy = _yfac(ay, FY1, _prec())
         else:
             Dx, Dy = _mats(proj, 1)
             ox = _mm_x(ax, Dx)
-            oy = _mm_y(Dy, ay)
+            oy = _ymat(Dy, ay)
         fx = ox[..., :n, :, :]
         fy = oy[..., :n, :, :]
         ddf = ox[..., n:, :, :] + oy[..., n:, :, :]
@@ -430,7 +494,7 @@ def dij_sum(s, proj):
         FX1, FY1 = _fd1(proj)
         pr = _prec()
         mm = lambda a: apply_x(a, FX1, pr)
-        my = lambda a: apply_y(a, FY1, pr)
+        my = lambda a: _yfac(a, FY1, pr)
         s0 = s[..., 0, :, :]
         s1 = s[..., 1, :, :]
         s2 = s[..., 2, :, :]
@@ -439,7 +503,7 @@ def dij_sum(s, proj):
     if be == "matmul":
         Dx, Dy = _mats(proj, 1)
         mm = lambda a: _mm_x(a, Dx)
-        my = lambda a: _mm_y(Dy, a)
+        my = lambda a: _ymat(Dy, a)
         s0 = s[..., 0, :, :]
         s1 = s[..., 1, :, :]
         s2 = s[..., 2, :, :]
