@@ -4,7 +4,8 @@ inside jit (reference src/numerical_algorithms.jl).
 - rk4_integrate:      fixed-step RK4 over arbitrary pytrees (lax.scan)
 - conjugate_gradient: preconditioned CG with batched tolerances and
                       best-x tracking (lax.while_loop)
-- gmres:              dense small-Krylov GMRES (lstsq)
+- gmres:              small-Krylov GMRES (Arnoldi/MGS default; the
+                      reference's power-basis scheme as method="power")
 """
 from __future__ import annotations
 
@@ -240,22 +241,27 @@ def conjugate_gradient_with_history(M, A, b, x0=None, nsteps=100, tol=1e-1,
     return bestx, history
 
 
-def gmres(A, b, maxiter, Pl=None):
-    """Dense small-Krylov GMRES over flattened pytrees
-    (reference src/numerical_algorithms.jl:193-214).
+def gmres(A, b, maxiter, Pl=None, method="arnoldi"):
+    """Small-Krylov GMRES over flattened pytrees (left-preconditioned
+    by Pl). Reference: src/numerical_algorithms.jl:193-214.
 
-    NOTE: like the reference, this builds an *unorthogonalized* power
-    basis (Pl A)^i Pl b and solves by lstsq. The columns become
-    numerically dependent after ~10 iterations, so larger maxiter stops
-    improving (lstsq on the rank-deficient basis is stable but adds
-    nothing) — a warning flags it; the requested maxiter is honored.
-    BilinearLens.solve, the in-package consumer, stays below the
-    bound."""
-    if maxiter > 12:
+    method="arnoldi" (default): textbook GMRES with a modified
+    Gram-Schmidt-orthonormalized Krylov basis — numerically stable at
+    any maxiter, monotone residual. The loop is a Python loop over a
+    *static* maxiter (a handful of dots per step), so the whole solve
+    still jits into one XLA program.
+
+    method="power": the reference's scheme — an *unorthogonalized*
+    power basis (Pl A)^i Pl b solved by lstsq. Kept for parity; its
+    columns become numerically dependent after ~10 iterations, so
+    larger maxiter stops improving (a warning flags it).
+    """
+    if method == "power" and maxiter > 12:
         import warnings
         warnings.warn("gmres: the unorthogonalized power-Krylov basis "
                       "degenerates beyond ~10 iterations; extra "
-                      "iterations will not improve the solution",
+                      "iterations will not improve the solution "
+                      "(use method='arnoldi')",
                       stacklevel=2)
     leaves, treedef = jax.tree_util.tree_flatten(b)
     shapes = [l.shape for l in leaves]
@@ -283,11 +289,39 @@ def gmres(A, b, maxiter, Pl=None):
 
     n = maxiter
     bv = apply_P(to_vec(b))
-    K = [bv]
-    for i in range(n):
-        K.append(apply_P(apply_A(K[-1])))
-    Kmat = jnp.stack(K[1:], axis=1)       # columns (Pl A)^i Pl b, i=1..n
-    alpha, *_ = jnp.linalg.lstsq(Kmat, K[0])
-    xv = jnp.matmul(jnp.stack(K[:n], axis=1), alpha,
-                        precision=jax.lax.Precision.HIGHEST)
+    hi = jax.lax.Precision.HIGHEST
+
+    if method == "power":
+        K = [bv]
+        for i in range(n):
+            K.append(apply_P(apply_A(K[-1])))
+        Kmat = jnp.stack(K[1:], axis=1)   # columns (Pl A)^i Pl b, i=1..n
+        alpha, *_ = jnp.linalg.lstsq(Kmat, K[0])
+        xv = jnp.matmul(jnp.stack(K[:n], axis=1), alpha, precision=hi)
+        return from_vec(xv)
+
+    # Arnoldi / modified Gram-Schmidt. x0 = 0, r0 = Pl b. Static trip
+    # count; happy breakdown handled by zeroing the dead directions
+    # (lstsq on the padded Hessenberg stays exact for the live block).
+    eps = jnp.finfo(bv.dtype).tiny ** 0.5
+    beta = jnp.linalg.norm(bv)
+    V = [bv / jnp.maximum(beta, eps)]
+    Hcols = []
+    for j in range(n):
+        w = apply_P(apply_A(V[j]))
+        hj = []
+        for i in range(j + 1):
+            h = jnp.vdot(V[i], w)
+            w = w - h * V[i]
+            hj.append(h)
+        hnext = jnp.linalg.norm(w)
+        hj.append(hnext)
+        live = hnext > eps * jnp.maximum(beta, 1.0)
+        V.append(jnp.where(live, w / jnp.maximum(hnext, eps),
+                           jnp.zeros_like(w)))
+        Hcols.append(jnp.stack(hj + [jnp.zeros((), bv.dtype)] * (n - 1 - j)))
+    H = jnp.stack(Hcols, axis=1)          # (n+1, n) upper Hessenberg
+    e1 = jnp.zeros((n + 1,), bv.dtype).at[0].set(beta)
+    y, *_ = jnp.linalg.lstsq(H, e1)
+    xv = jnp.matmul(jnp.stack(V[:n], axis=1), y, precision=hi)
     return from_vec(xv)

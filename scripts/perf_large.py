@@ -4,6 +4,12 @@ import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np, jax, jax.numpy as jnp
 
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 from cmblensing_tpu.ops import deriv
 from cmblensing_tpu.core.proj import ProjLambert
 from cmblensing_tpu.models import lenseflow as lf
@@ -47,8 +53,3 @@ for mode in modes:
     st = jnp.concatenate([f, f], axis=0)
     print(f"[{mode}] N={N} backward flow: {pipelined(bflow, st):8.2f} ms", flush=True)
 deriv.set_deriv_mode("auto")
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass

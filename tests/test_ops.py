@@ -224,3 +224,57 @@ def test_cg_in_jit_xr_history():
     # iterate trace converges to the solution; residual trace to 0
     assert np.allclose(np.asarray(info["x_history"][1]), np.asarray(x), atol=1e-5)
     assert np.nanmax(np.abs(np.asarray(info["r_history"][1]))) < 1e-5
+
+
+def test_gmres_arnoldi_beats_power_basis():
+    """Arnoldi GMRES (default) keeps converging where the reference's
+    unorthogonalized power basis (method='power',
+    numerical_algorithms.jl:193-214) goes rank-deficient (~10 iters)."""
+    from cmblensing_tpu.ops.solvers import gmres
+
+    rs = np.random.RandomState(0)
+    n = 60
+    # nonsymmetric, moderately conditioned
+    A = np.eye(n) + 0.5 * rs.randn(n, n) / np.sqrt(n)
+    x_true = rs.randn(n).astype(np.float64)
+    b = jnp.asarray(A @ x_true)
+    Aj = jnp.asarray(A)
+    op = lambda v: Aj @ v
+
+    x_arn = gmres(op, b, maxiter=25)
+    with pytest.warns(UserWarning, match="power-Krylov"):
+        x_pow = gmres(op, b, maxiter=25, method="power")
+    err_arn = np.linalg.norm(np.asarray(x_arn) - x_true)
+    err_pow = np.linalg.norm(np.asarray(x_pow) - x_true)
+    assert err_arn < 1e-6 * np.linalg.norm(x_true)
+    assert err_arn < err_pow / 10
+
+
+def test_gmres_arnoldi_jit_pytree_preconditioned():
+    """Arnoldi GMRES jits as one program, supports pytree unknowns and a
+    left preconditioner, and is exact at maxiter = n."""
+    from cmblensing_tpu.ops.solvers import gmres
+
+    rs = np.random.RandomState(1)
+    d1 = 2.0 + np.abs(rs.randn(4)).astype(np.float32)
+    d2 = 2.0 + np.abs(rs.randn(3)).astype(np.float32)
+
+    def op(t):
+        return {"a": jnp.asarray(d1) * t["a"], "b": jnp.asarray(d2) * t["b"]}
+
+    def pl(t):  # exact inverse as preconditioner -> 1-step convergence
+        return {"a": t["a"] / jnp.asarray(d1), "b": t["b"] / jnp.asarray(d2)}
+
+    b = {"a": jnp.asarray(rs.randn(4).astype(np.float32)),
+         "b": jnp.asarray(rs.randn(3).astype(np.float32))}
+
+    x = jax.jit(lambda b: gmres(op, b, maxiter=2, Pl=pl))(b)
+    assert np.allclose(np.asarray(x["a"]), np.asarray(b["a"]) / d1, atol=1e-5)
+    assert np.allclose(np.asarray(x["b"]), np.asarray(b["b"]) / d2, atol=1e-5)
+
+    # happy breakdown: diagonal system with 2 distinct eigenvalues
+    # solves exactly at maxiter > 2 without NaNs
+    d = jnp.asarray(np.array([2.0, 2.0, 3.0, 3.0], np.float32))
+    bb = jnp.asarray(rs.randn(4).astype(np.float32))
+    xb = gmres(lambda v: d * v, bb, maxiter=4)
+    assert np.allclose(np.asarray(xb), np.asarray(bb / d), atol=1e-5)
