@@ -44,29 +44,48 @@ from ..models import lenseflow as _lf
 from .mesh import make_mesh
 
 
-def spatial_mesh(n_devices=None, axis_name="sp", devices=None):
-    """1-D mesh over the spatial (Ny) axis."""
-    return make_mesh(n_devices=n_devices, axis_name=axis_name, devices=devices)
+def spatial_mesh(n_devices=None, axis_name="sp", devices=None, nbatch=None,
+                 batch_axis="batch"):
+    """1-D mesh over the spatial (Ny) axis, or — with nbatch — a 2-D
+    (batch, space) mesh: sims/chains data-parallel on one axis, each
+    map's rows sharded over the other (§2.4 strategies 1+new)."""
+    if nbatch is None:
+        return make_mesh(n_devices=n_devices, axis_name=axis_name,
+                         devices=devices)
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if len(devices) % nbatch:
+        raise ValueError(f"{len(devices)} devices not divisible by "
+                         f"nbatch={nbatch}")
+    grid = np.asarray(devices).reshape(nbatch, len(devices) // nbatch)
+    return Mesh(grid, (batch_axis, axis_name))
 
 
-def _yspec(ndim, axis_name):
-    """PartitionSpec sharding axis -2 (Ny) of an ndim-array."""
-    return P(*([None] * (ndim - 2) + [axis_name, None]))
+def _yspec(ndim, axis_name, batch_axis=None):
+    """PartitionSpec sharding axis -2 (Ny), and — for arrays with a
+    leading batch axis (ndim >= 4) — optionally axis 0 over batch_axis."""
+    lead = [batch_axis if ndim >= 4 else None] + [None] * (ndim - 3)
+    return P(*(lead + [axis_name, None]))
 
 
-def shard_spatial(f: Field, mesh, axis_name="sp") -> Field:
-    """Lay a map-basis Field's Ny axis out across the mesh."""
+def shard_spatial(f: Field, mesh, axis_name="sp", batch_axis=None) -> Field:
+    """Lay a map-basis Field's Ny axis out across the mesh (and its
+    leading batch axis over batch_axis, if given)."""
     arr = f.arr
-    sh = NamedSharding(mesh, _yspec(arr.ndim, axis_name))
+    sh = NamedSharding(mesh, _yspec(arr.ndim, axis_name, batch_axis))
     return Field(jax.device_put(arr, sh), f.basis, f.proj)
 
 
-def _check_divisible(proj, mesh):
-    if proj.Ny % mesh.size or proj.Nx % mesh.size:
+def _check_divisible(proj, mesh, axis_name):
+    nsp = dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis_name,
+                                                             mesh.size)
+    if proj.Ny % nsp or proj.Nx % nsp:
         raise ValueError(
             f"spatial sharding needs Ny ({proj.Ny}) and Nx ({proj.Nx}) "
-            f"divisible by the mesh size ({mesh.size}) for the pencil "
-            f"all_to_all transposes")
+            f"divisible by the spatial mesh axis size ({nsp}) for the "
+            f"pencil all_to_all transposes")
 
 
 # =========================================================================
@@ -153,13 +172,14 @@ class ShardedLenseFlow:
     """
 
     __slots__ = ("phi", "nsteps", "mesh", "axis_name", "t0", "t1",
-                 "_adjoint")
+                 "_adjoint", "batch_axis")
 
     def __init__(self, phi: Field, nsteps: int = 7, mesh=None,
-                 axis_name="sp", t0=0.0, t1=1.0, _adjoint=False):
+                 axis_name="sp", t0=0.0, t1=1.0, _adjoint=False,
+                 batch_axis=None):
         if mesh is None:
             mesh = spatial_mesh(axis_name=axis_name)
-        _check_divisible(phi.proj, mesh)
+        _check_divisible(phi.proj, mesh, axis_name)
         self.phi = phi
         self.nsteps = nsteps
         self.mesh = mesh
@@ -167,10 +187,12 @@ class ShardedLenseFlow:
         self.t0 = t0
         self.t1 = t1
         self._adjoint = _adjoint
+        self.batch_axis = batch_axis
 
     def tree_flatten(self):
         return (self.phi,), (self.nsteps, self.mesh, self.axis_name,
-                             self.t0, self.t1, self._adjoint)
+                             self.t0, self.t1, self._adjoint,
+                             self.batch_axis)
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
@@ -180,25 +202,35 @@ class ShardedLenseFlow:
         if isinstance(phi_or_theta, Field):
             return ShardedLenseFlow(phi_or_theta, self.nsteps, self.mesh,
                                     self.axis_name, self.t0, self.t1,
-                                    self._adjoint)
+                                    self._adjoint, self.batch_axis)
         return self
 
     @property
     def H(self):
         return ShardedLenseFlow(self.phi, self.nsteps, self.mesh,
                                 self.axis_name, self.t0, self.t1,
-                                not self._adjoint)
+                                not self._adjoint, self.batch_axis)
 
     def inv(self):
         return ShardedLenseFlow(self.phi, self.nsteps, self.mesh,
                                 self.axis_name, self.t1, self.t0,
-                                self._adjoint)
+                                self._adjoint, self.batch_axis)
 
     pinv = inv
 
     def _go(self, f: Field, t0, t1, adjoint):
         B = f.basis
-        fl = f.to(lense_basis(B))
+        if lense_basis(B) != B:
+            # a basis conversion here would be a FULL-map FFT on a
+            # spatially-sharded array — a cross-device gather, outside
+            # the pencil scheme. Refuse loudly instead of silently
+            # paying it (convert before shard_spatial()).
+            raise ValueError(
+                f"ShardedLenseFlow needs fields in their lense basis "
+                f"(e.g. QU map); got {B}. Convert with f.to_lense() "
+                f"BEFORE shard_spatial() — converting a sharded field "
+                f"would FFT the full map across devices.")
+        fl = f
         phi_map = self.phi.to(self.phi.basis.with_space("map")).arr
         proj = f.proj
         axis = self.axis_name
@@ -207,10 +239,12 @@ class ShardedLenseFlow:
         def body(pb, fb):
             return prim(pb, fb, t0, t1, self.nsteps, proj, axis)
 
+        ba = self.batch_axis
         out = jax.shard_map(
             body, mesh=self.mesh,
-            in_specs=(_yspec(phi_map.ndim, axis), _yspec(fl.arr.ndim, axis)),
-            out_specs=_yspec(fl.arr.ndim, axis),
+            in_specs=(_yspec(phi_map.ndim, axis, ba),
+                      _yspec(fl.arr.ndim, axis, ba)),
+            out_specs=_yspec(fl.arr.ndim, axis, ba),
             check_vma=False,
         )(phi_map, fl.arr)
         return Field(out, fl.basis, proj).to(B)
@@ -232,7 +266,8 @@ class ShardedLenseFlow:
 
 
 def lense_sharded(phi: Field, f: Field, nsteps: int = 7, mesh=None,
-                  axis_name="sp") -> Field:
+                  axis_name="sp", batch_axis=None) -> Field:
     """Functional form: lense f by phi with the map sharded over the
-    mesh's spatial axis."""
-    return ShardedLenseFlow(phi, nsteps, mesh, axis_name) @ f
+    mesh's spatial axis (and any leading batch axis over batch_axis)."""
+    return ShardedLenseFlow(phi, nsteps, mesh, axis_name,
+                            batch_axis=batch_axis) @ f

@@ -19,10 +19,14 @@ jax.config.update("jax_default_device", jax.devices(_dev)[0])
 from cmblensing_tpu import load_sim, MAP_joint
 from cmblensing_tpu.core import field as F
 
+# the mask must scale with the footprint: a 1 deg edge pad on the FAST
+# lane's 1.6 deg map would mask every pixel (flat posterior, nan corr)
 out = load_sim(
     thetapix=3, Nside=32 if FAST else 128, pol="P", T=np.float32,
     muKarcminT=1, beamFWHM=2,
-    pixel_mask_kwargs=dict(edge_padding_deg=1, apodization_deg=0.5),
+    pixel_mask_kwargs=(dict(edge_padding_deg=0.2, apodization_deg=0.1)
+                       if FAST else
+                       dict(edge_padding_deg=1, apodization_deg=0.5)),
     seed=0,
 )
 ds, f, phi = out["ds"], out["f"], out["phi"]
@@ -33,3 +37,4 @@ res = MAP_joint(ds, nsteps=3 if FAST else 10, progress=True,
 corr = float(F.dot(res["phi"].to(phi.basis), phi)
              / (F.norm(phi) * F.norm(res["phi"])))
 print(f"corr(phi_MAP, phi_true) = {corr:.3f}")
+assert np.isfinite(corr) and corr > 0.2, f"MAP did not move phi (corr={corr})"

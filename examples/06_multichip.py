@@ -59,3 +59,32 @@ with mesh:
     gbar = meanfield_step(key, phi0)
     print("mean-field gradient norm:", float(F.norm(gbar)))
     print("sharded sim batch ran", nbatch, "sims over", n, "devices")
+
+
+# ---------------------------------------------------------------------
+# Spatial sharding: ONE map bigger than one chip. The Ny axis of f and
+# phi lives across the mesh and the whole LenseFlow ODE (+ its
+# continuous-adjoint gradient) runs as one shard_map program — the
+# reference stops at single-device maps (src/proj_lambert.jl:54-56).
+# ---------------------------------------------------------------------
+from cmblensing_tpu import ShardedLenseFlow, shard_spatial, spatial_mesh
+
+smesh = spatial_mesh(n_devices=n, devices=devices)
+with jax.default_device(devices[0]):
+    big = load_sim(thetapix=3, Nside=32 if FAST else 64, pol="P",
+                   T=np.float32, seed=1)
+    # lense basis (QU map) BEFORE sharding: a basis conversion on a
+    # sharded field would FFT the full map across devices
+    fm = big["f"].to_lense()
+    pm = big["phi"].to(big["phi"].basis.with_space("map"))
+
+f_sh, phi_sh = shard_spatial(fm, smesh), shard_spatial(pm, smesh)
+L = ShardedLenseFlow(phi_sh, mesh=smesh)
+lensed = jax.jit(lambda p, f: ShardedLenseFlow(p, mesh=smesh) @ f)(phi_sh, f_sh)
+print("spatially-sharded lense:", lensed.arr.shape,
+      "sharded as", lensed.arr.sharding.spec)
+
+# gradients flow through the sharded ODE block-by-block
+lp = lambda p: jnp.sum((ShardedLenseFlow(p, mesh=smesh) @ f_sh).arr ** 2)
+g = jax.jit(jax.grad(lp))(phi_sh)
+print("sharded flow gradient norm:", float(jnp.linalg.norm(g.arr)))

@@ -148,3 +148,61 @@ def test_divisibility_guard(mesh4, setup):
     phi31 = F.randn(jax.random.PRNGKey(0), proj31, pol="I")
     with pytest.raises(ValueError, match="divisible"):
         ShardedLenseFlow(phi31, mesh=mesh4)
+
+
+def test_2d_mesh_batch_times_space(setup):
+    """2-D (batch, space) mesh: a batch of sims data-parallel on one
+    mesh axis while each map's Ny rows shard over the other — the
+    combined §2.4-strategy-1 + spatial decomposition."""
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    proj, phi, f, u = setup
+    mesh2 = spatial_mesh(8, devices=devs, nbatch=2)
+    assert mesh2.devices.shape == (2, 4)
+
+    from cmblensing_tpu.core.field import Field, repeat_batch
+    fb = repeat_batch(f, 4)
+    # give each batch entry distinct content
+    fb = Field(fb.arr * (1 + 0.1 * jnp.arange(4)[:, None, None, None]),
+               fb.basis, fb.proj)
+    pb = repeat_batch(phi, 4)
+
+    fb_sh = shard_spatial(fb, mesh2, batch_axis="batch")
+    pb_sh = shard_spatial(pb, mesh2, batch_axis="batch")
+    assert fb_sh.arr.sharding.spec[0] == "batch"
+    assert fb_sh.arr.sharding.spec[-2] == "sp"
+
+    out = ShardedLenseFlow(pb_sh, mesh=mesh2, batch_axis="batch") @ fb_sh
+    assert out.arr.sharding.spec[0] == "batch"
+
+    with deriv.mode_ctx("matmul"):
+        ref = (LenseFlow(pb) @ fb).arr
+    np.testing.assert_allclose(np.asarray(out.arr), np.asarray(ref),
+                               rtol=0, atol=2e-5 * float(jnp.max(jnp.abs(ref))))
+
+    # gradient through the 2-D-sharded flow matches single-device
+    w = np.asarray(ref)
+
+    def lp2(parr):
+        o = ShardedLenseFlow(Field(parr, pb.basis, proj), mesh=mesh2,
+                             batch_axis="batch") @ fb_sh
+        return jnp.sum(o.arr * w)
+
+    def lp1(parr):
+        return jnp.sum((LenseFlow(Field(parr, pb.basis, proj)) @ fb).arr * w)
+
+    g2 = jax.grad(lp2)(pb_sh.arr)
+    with deriv.mode_ctx("matmul"):
+        g1 = jax.grad(lp1)(pb.arr)
+    scale = float(jnp.max(jnp.abs(g1)))
+    assert float(jnp.max(jnp.abs(g2 - g1))) < 2e-5 * scale
+
+
+def test_lense_basis_guard(mesh4, setup):
+    """EB-basis input must be rejected: converting a sharded field
+    would FFT the full map across devices."""
+    proj, phi, f, u = setup
+    f_eb = f.to_harmonic()
+    with pytest.raises(ValueError, match="lense basis"):
+        ShardedLenseFlow(phi, mesh=mesh4) @ f_eb
