@@ -67,6 +67,9 @@ from .parallel.mesh import (
 from .parallel.spatial import (
     ShardedLenseFlow, lense_sharded, spatial_mesh, shard_spatial,
 )
+from .parallel.sharded_fft import (
+    rfft2_sharded, irfft2_sharded, pad_multiplier, fourier_diag_apply_sharded,
+)
 from .core.field import fgrad, fvalue_and_grad
 from .core.field_tuple import FieldTuple
 from .core.field_tuple import DiagFieldTuple

@@ -1,0 +1,142 @@
+"""Distributed pencil FFTs (parallel/sharded_fft.py) on the virtual
+8-device CPU mesh: parity with the single-device transforms, gradient
+flow, and a spatially-sharded Wiener-filter CG solve — the posterior
+machinery for maps bigger than one chip (no reference counterpart;
+src/util_fft.jl is single-device FFTW and proj_lambert.jl:54-56 warns
+above 1024^2)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cmblensing_tpu.core.proj import ProjLambert
+from cmblensing_tpu.core import field as F
+from cmblensing_tpu.core.field import Field
+from cmblensing_tpu.core.basis import MAP, QU_MAP
+from cmblensing_tpu.parallel.spatial import spatial_mesh, shard_spatial
+from cmblensing_tpu.parallel.sharded_fft import (
+    rfft2_sharded, irfft2_sharded, pad_multiplier,
+    fourier_diag_apply_sharded)
+
+
+@pytest.fixture(scope="module")
+def mesh4():
+    devs = jax.devices("cpu")
+    if len(devs) < 4:
+        pytest.skip("needs 4 virtual CPU devices")
+    return spatial_mesh(4, devices=devs)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    proj = ProjLambert(32, 32, thetapix=3, T=np.float32)
+    rs = np.random.RandomState(0)
+    arr = rs.randn(2, 32, 32).astype(np.float32)
+    return proj, jnp.asarray(arr)
+
+
+def test_rfft2_sharded_parity(mesh4, setup):
+    """Pencil rfft2 equals jnp.fft.rfft2 on the first Kx columns and is
+    exactly zero on the padded tail; Kp=20 at Kx=17, P=4 exercises the
+    padding path."""
+    proj, arr = setup
+    X = rfft2_sharded(shard_spatial(Field(arr, QU_MAP, proj), mesh4).arr, mesh4)
+    kx = 32 // 2 + 1
+    assert X.shape == (2, 32, 20)
+    ref = np.fft.rfft2(np.asarray(arr))
+    np.testing.assert_allclose(np.asarray(X)[..., :kx], ref,
+                               rtol=0, atol=1e-3)
+    assert np.max(np.abs(np.asarray(X)[..., kx:])) == 0.0
+
+
+def test_irfft2_sharded_roundtrip(mesh4, setup):
+    proj, arr = setup
+    fs = shard_spatial(Field(arr, QU_MAP, proj), mesh4).arr
+    X = rfft2_sharded(fs, mesh4)
+    back = irfft2_sharded(X, 32, mesh4)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(arr),
+                               rtol=0, atol=1e-5)
+    # output stays y-sharded
+    assert back.sharding.spec[-2] == "sp"
+
+
+def test_fourier_diag_apply_parity_and_grad(mesh4, setup):
+    """A Fourier-diagonal operator (here a beam-like gaussian in ell)
+    applied via the pencil scheme matches the single-device apply, and
+    jax.grad flows through the two all_to_all transposes exactly."""
+    proj, arr = setup
+    ky = np.fft.fftfreq(32)[:, None]
+    kx = np.fft.rfftfreq(32)[None, :]
+    mult = np.exp(-50 * (ky ** 2 + kx ** 2)).astype(np.float32)
+
+    ref = np.fft.irfft2(np.fft.rfft2(np.asarray(arr)) * mult, s=(32, 32))
+
+    f_sh = shard_spatial(Field(arr, QU_MAP, proj), mesh4)
+    mp = pad_multiplier(mult, mesh4)
+    out = fourier_diag_apply_sharded(mp, f_sh, mesh4)
+    np.testing.assert_allclose(np.asarray(out.arr), ref, rtol=0, atol=1e-5)
+
+    w = jnp.asarray(ref)
+
+    def loss_sh(a):
+        return jnp.sum(
+            fourier_diag_apply_sharded(mp, Field(a, QU_MAP, proj), mesh4).arr * w)
+
+    def loss_1(a):
+        return jnp.sum(jnp.fft.irfft2(
+            jnp.fft.rfft2(a) * jnp.asarray(mult), s=(32, 32)) * w)
+
+    g_sh = jax.jit(jax.grad(loss_sh))(f_sh.arr)
+    g_1 = jax.grad(loss_1)(arr)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_1),
+                               rtol=0, atol=2e-4 * float(jnp.max(jnp.abs(g_1))))
+
+
+def test_sharded_wiener_filter_cg(mesh4, setup):
+    """The Wiener filter (B^T Cn^-1 B + Cf^-1) x = B^T Cn^-1 d as one
+    CG solve on a spatially-sharded map, every operator applied through
+    the pencil FFTs — matches the single-device solve."""
+    from cmblensing_tpu.ops.solvers import conjugate_gradient
+
+    proj, arr = setup
+    d = arr[:1]                                    # one 'I' plane
+    ky = np.fft.fftfreq(32)[:, None]
+    kx = np.fft.rfftfreq(32)[None, :]
+    k2 = (ky ** 2 + kx ** 2).astype(np.float32)
+    Cf = (1.0 / (1e-4 + k2)).astype(np.float32)    # red signal
+    Cn = np.float32(1.0)                           # white noise
+    Bm = np.exp(-10 * k2).astype(np.float32)       # beam
+
+    def solve(apply_fd, dd):
+        def A(x):
+            return apply_fd(Bm ** 2 / Cn + 1.0 / Cf, x)
+
+        def M(r):
+            return apply_fd(1.0 / (Bm ** 2 / Cn + 1.0 / Cf), r)
+
+        b = apply_fd(Bm / Cn, dd)
+        x, info = conjugate_gradient(M, A, b, nsteps=40, tol=1e-12)
+        return x
+
+    # single-device reference
+    def fd_local(mult, x):
+        return jnp.fft.irfft2(jnp.fft.rfft2(x) * jnp.asarray(mult),
+                              s=(32, 32))
+
+    x_ref = solve(fd_local, d)
+
+    # sharded
+    d_sh = shard_spatial(Field(d, MAP, proj), mesh4).arr
+    mults = {}
+
+    def fd_sharded(mult, x):
+        key = mult.tobytes()
+        if key not in mults:
+            mults[key] = pad_multiplier(mult, mesh4)
+        return fourier_diag_apply_sharded(
+            mults[key], Field(x, MAP, proj), mesh4).arr
+
+    x_sh = solve(fd_sharded, d_sh)
+    scale = float(jnp.max(jnp.abs(x_ref)))
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                               rtol=0, atol=3e-5 * scale)
