@@ -70,6 +70,7 @@ from .parallel.spatial import (
 from .parallel.sharded_fft import (
     rfft2_sharded, irfft2_sharded, pad_multiplier, fourier_diag_apply_sharded,
 )
+from .parallel.sharded_wf import sharded_wiener_filter
 from .core.field import fgrad, fvalue_and_grad
 from .core.field_tuple import FieldTuple
 from .core.field_tuple import DiagFieldTuple

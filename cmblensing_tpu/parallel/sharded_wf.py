@@ -1,0 +1,148 @@
+"""Spatially-sharded Wiener filter on real DataSets.
+
+Composes the pencil FFTs (parallel/sharded_fft.py) with the sharded
+LenseFlow (parallel/spatial.py) into the lensed Gaussian solve the
+inference layer runs per posterior step (argmaxf_logpdf,
+reference src/maximization.jl:30-40):
+
+    (Cf^-1 + L^H (MB)^H Cn^-1 (MB) L) f  =  L^H (MB)^H Cn^-1 d
+
+entirely on maps whose Ny axis is sharded over a device mesh: the
+covariance/beam/transfer applies are EB-Fourier-diagonal multiplies in
+the kx-sharded pencil layout (QU->EB rotation is elementwise there),
+the lensing runs as the shard_map flow, and the CG iterates never
+materialize a full map on any device. The reference has no analog —
+its fields, FFTs, and solves are all single-device.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.field import Field
+from ..core.basis import Basis
+from ..core.ops import Diag
+from ..ops.solvers import conjugate_gradient
+from .spatial import ShardedLenseFlow, shard_spatial
+from .sharded_fft import rfft2_sharded, irfft2_sharded, pad_multiplier
+
+
+def _safe_inv(x):
+    return jnp.where(x > 0, 1.0 / jnp.where(x > 0, x, 1.0), 0.0)
+
+
+def _pad_grids(proj, mesh, axis_name, *grids):
+    return [pad_multiplier(jnp.asarray(g), mesh, axis_name) for g in grids]
+
+
+class ShardedEBDiag:
+    """An EB-Fourier-diagonal operator applied to y-sharded QU maps:
+    pencil rfft2 -> QU->EB rotation (elementwise in the kx-sharded
+    layout) -> per-mode multiply -> EB->QU rotation -> pencil irfft2.
+    The rotation is orthogonal, and the padded kx columns stay exactly
+    zero end-to-end."""
+
+    def __init__(self, mult_eb, proj, mesh, axis_name="sp",
+                 batch_axis=None):
+        self.mesh, self.axis_name = mesh, axis_name
+        self.batch_axis = batch_axis
+        self.proj = proj
+        self.mE, self.mB, self.c2, self.s2 = _pad_grids(
+            proj, mesh, axis_name, mult_eb[0], mult_eb[1],
+            proj.cos2phi, proj.sin2phi)
+
+    def __call__(self, arr_qu):
+        X = rfft2_sharded(arr_qu, self.mesh, self.axis_name,
+                          self.batch_axis)
+        Ql, Ul = X[..., 0, :, :], X[..., 1, :, :]
+        El = -Ql * self.c2 - Ul * self.s2
+        Bl = Ql * self.s2 - Ul * self.c2
+        El = El * self.mE
+        Bl = Bl * self.mB
+        Qo = -El * self.c2 + Bl * self.s2
+        Uo = -El * self.s2 - Bl * self.c2
+        out = jnp.stack([Qo, Uo], axis=-3)
+        return irfft2_sharded(out, arr_qu.shape[-1], self.mesh,
+                              self.axis_name, self.batch_axis)
+
+
+def _eb_diag_grids(op, name):
+    """(2, Ny, Kx) EB-Fourier diagonal grids of a Diag operator."""
+    if not isinstance(op, Diag):
+        raise NotImplementedError(
+            f"sharded_wiener_filter needs {name} to be a (EB-)Fourier "
+            f"Diag operator; got {type(op).__name__} (pixel-masked "
+            f"datasets need the mask as a separate map-space leg)")
+    d = op.diag
+    if not d.basis.is_fourier:
+        raise NotImplementedError(f"{name} must be Fourier-diagonal")
+    arr = jnp.asarray(d.arr)
+    if arr.ndim == 2:
+        arr = jnp.stack([arr, arr])
+    if jnp.iscomplexobj(arr):
+        arr = jnp.real(arr)
+    return arr
+
+
+def sharded_wiener_filter(ds, phi: Field, mesh, axis_name="sp",
+                          batch_axis=None, theta=None, d=None,
+                          nsteps=100, tol=1e-8, nsteps_flow=7, jit=True):
+    """argmaxf_logpdf for spatially-sharded maps: solve the lensed
+    Wiener filter of `ds` at fixed phi with every iterate y-sharded
+    over `mesh`. Requires ds's Cf/Cn/B/M to be Fourier-diagonal (the
+    unmasked DataSet family); phi may be sharded (shard_spatial) or
+    replicated. Returns (f_wf_QU_map_sharded, info).
+
+    Preconditioned exactly like the single-device solve: the
+    Fourier-diagonal Hessian (Cf^-1 + (MB)^2/Cn)^-1 per EB mode. The
+    whole solve runs as ONE jitted program (jit=True is also required
+    for the CG while_loop to trace through the shard_map flow)."""
+    from ..inference.maximization import _fid
+
+    proj = phi.proj
+    if theta:
+        ds = ds.at(theta)
+    Cf = _eb_diag_grids(_fid(ds.Cf), "Cf")
+    Cn = _eb_diag_grids(ds.Cn, "Cn")
+    Bm = _eb_diag_grids(_fid(ds.B), "B")
+    Mm = _eb_diag_grids(_fid(ds.M), "M")
+
+    MB = Mm * Bm
+    iCf = _safe_inv(Cf)
+    iCn = _safe_inv(Cn)
+    # Fourier-diagonal Hessian preconditioner (ill-conditioned modes
+    # where both terms vanish get 0 — they are absent from b too)
+    prec = _safe_inv(iCf + MB * MB * iCn)
+    grids = (iCf, MB * iCn, MB * iCn * MB, prec)
+
+    if d is None:
+        d = ds.d
+    d_qu = d.to(Basis("QU", "map"))
+    d_sh = shard_spatial(d_qu, mesh, axis_name, batch_axis).arr
+    phi_m = phi.to(phi.basis.with_space("map"))
+    QU = Basis("QU", "map")
+
+    def run(grids, d_sh, phi_arr):
+        op_iCf, op_MBiCn, op_NL, op_prec = (
+            ShardedEBDiag(g, proj, mesh, axis_name, batch_axis)
+            for g in grids)
+        L = ShardedLenseFlow(Field(phi_arr, phi_m.basis, proj),
+                             nsteps=nsteps_flow, mesh=mesh,
+                             axis_name=axis_name, batch_axis=batch_axis)
+
+        def A(a):
+            return op_iCf(a) + (L.H @ Field(
+                op_NL((L @ Field(a, QU, proj)).arr), QU, proj)).arr
+
+        b = (L.H @ Field(op_MBiCn(d_sh), QU, proj)).arr
+        x, info = conjugate_gradient(op_prec, A, b, nsteps=nsteps, tol=tol)
+        # keep the result y-sharded on the way out of the jit
+        from jax.sharding import NamedSharding
+        from .spatial import _yspec
+        sh = NamedSharding(mesh, _yspec(x.ndim, axis_name, batch_axis))
+        return jax.lax.with_sharding_constraint(x, sh), info
+
+    if jit:
+        run = jax.jit(run)
+    x, info = run(grids, d_sh, phi_m.arr)
+    return Field(x, QU, proj), info

@@ -140,3 +140,33 @@ def test_sharded_wiener_filter_cg(mesh4, setup):
     scale = float(jnp.max(jnp.abs(x_ref)))
     np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
                                rtol=0, atol=3e-5 * scale)
+
+
+def test_sharded_wiener_filter_dataset(mesh4):
+    """sharded_wiener_filter on a real load_sim DataSet (unmasked):
+    the fully-sharded lensed Gaussian solve matches the generic
+    argmaxf_logpdf solution."""
+    from cmblensing_tpu.models.dataset import load_sim
+    from cmblensing_tpu.inference.maximization import argmaxf_logpdf
+    from cmblensing_tpu.parallel.sharded_wf import sharded_wiener_filter
+    from cmblensing_tpu.core.basis import Basis
+    from cmblensing_tpu.ops import deriv
+
+    out = load_sim(thetapix=3, Nside=32, pol="P", T=np.float32, seed=0)
+    ds, phi = out["ds"], out["phi"]
+    phi_m = phi.to(phi.basis.with_space("map"))
+
+    f_ref, _ = argmaxf_logpdf(
+        ds, phi=phi_m,
+        conjgrad_kwargs=dict(tol=1e-10, nsteps=60, hessian_precision=None))
+    f_ref_qu = f_ref.to(Basis("QU", "map"))
+
+    with deriv.mode_ctx("matmul"):   # match the sharded flow's operators
+        f_sh, info = sharded_wiener_filter(ds, phi_m, mesh4,
+                                           nsteps=60, tol=1e-10)
+    # axis -2 (= index 1 of the 3-d array) is sharded; trailing Nones
+    # may be trimmed from the spec
+    assert f_sh.arr.sharding.spec[1] == "sp"
+    scale = float(jnp.max(jnp.abs(f_ref_qu.arr)))
+    err = float(jnp.max(jnp.abs(f_sh.arr - f_ref_qu.arr)))
+    assert err < 2e-3 * scale, f"sharded WF mismatch: {err} vs scale {scale}"
