@@ -278,14 +278,37 @@ def _deriv_matrices(n: int, delta: float, dtype_str: str):
     return D1.astype(dt), D2.astype(dt)
 
 
-@functools.lru_cache(maxsize=None)
+def cache_concrete(cache, key, make):
+    """Memoize `make()` in `cache` ONLY if its leaves are concrete.
+    jax.ensure_compile_time_eval yields real arrays under jit traces,
+    but inside a shard_map body it still returns ShardMapTracers —
+    caching one leaks it into later traces (the classic
+    UnexpectedTracerError / 'must override ShardMapTracer' failures).
+    Tracer results are returned uncached: inside a shard_map body each
+    call site gets its own constant (the body is traced once, so the
+    dedup this cache exists for doesn't apply there anyway)."""
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    out = make()
+    if not any(isinstance(l, jax.core.Tracer)
+               for l in jax.tree_util.tree_leaves(out)):
+        cache[key] = out
+    return out
+
+
+_JMATS_CACHE = {}
+
+
 def _jmats(n, delta, dtype_str):
     """Concrete jnp circulant matrices, cached so every trace call
     site references the SAME jax.Array (one embedded constant per
     program instead of one per use — see FactoredOp.jblocks)."""
-    D1, D2 = _deriv_matrices(n, delta, dtype_str)
-    with jax.ensure_compile_time_eval():
-        return jnp.asarray(D1), jnp.asarray(D2)
+    def make():
+        D1, D2 = _deriv_matrices(n, delta, dtype_str)
+        with jax.ensure_compile_time_eval():
+            return jnp.asarray(D1), jnp.asarray(D2)
+    return cache_concrete(_JMATS_CACHE, (n, delta, dtype_str), make)
 
 
 def _mats(proj, order=1):

@@ -94,11 +94,15 @@ class FactoredOp:
         if jc is None:
             # ensure_compile_time_eval: the conversion happens eagerly
             # even when jblocks() is first reached inside a jit trace,
-            # so the cache holds concrete arrays, never tracers
+            # so the cache holds concrete arrays, never tracers.
+            # (Inside a shard_map body it still yields tracers — those
+            # must NOT be cached; see ops.deriv.cache_concrete.)
             with jax.ensure_compile_time_eval():
                 jc = tuple(None if a is None else jnp.asarray(a)
                            for a in (self.Gre, self.Gar, self.Gai))
-            self._jcache = jc
+            if not any(isinstance(a, jax.core.Tracer) for a in jc
+                       if a is not None):
+                self._jcache = jc
         return jc
 
     def __init__(self, D, B, dtype):

@@ -165,9 +165,15 @@ def _pack_factored(op, transpose):
     return arr
 
 
-@functools.lru_cache(maxsize=None)
+_FMATS_CACHE = {}
+
+
 def _fmats_cached(Nx, Ny, delta, dtype_str):
-    return _fmats_for_uncached(_P(Nx, Ny, delta, dtype_str), np.dtype(dtype_str))
+    from .deriv import cache_concrete
+    return cache_concrete(
+        _FMATS_CACHE, (Nx, Ny, delta, dtype_str),
+        lambda: _fmats_for_uncached(_P(Nx, Ny, delta, dtype_str),
+                                    np.dtype(dtype_str)))
 
 
 class _P:
@@ -413,12 +419,18 @@ def _compiler_params():
         vmem_limit_bytes=int(127 * 2 ** 20))
 
 
-@functools.lru_cache(maxsize=None)
+_MATS_FOR_CACHE = {}
+
+
 def _mats_for_cached(Nx, Ny, delta, dts):
-    Dx1, _ = _deriv_matrices(Nx, delta, dts)
-    Dy1, _ = _deriv_matrices(Ny, delta, dts)
-    with jax.ensure_compile_time_eval():
-        return jnp.asarray(Dx1.T.copy()), jnp.asarray(Dy1)
+    from .deriv import cache_concrete
+
+    def make():
+        Dx1, _ = _deriv_matrices(Nx, delta, dts)
+        Dy1, _ = _deriv_matrices(Ny, delta, dts)
+        with jax.ensure_compile_time_eval():
+            return jnp.asarray(Dx1.T.copy()), jnp.asarray(Dy1)
+    return cache_concrete(_MATS_FOR_CACHE, (Nx, Ny, delta, dts), make)
 
 
 def _mats_for(proj, dtype):

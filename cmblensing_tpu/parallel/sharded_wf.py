@@ -24,7 +24,8 @@ from ..core.basis import Basis
 from ..core.ops import Diag
 from ..ops.solvers import conjugate_gradient
 from .spatial import ShardedLenseFlow, shard_spatial
-from .sharded_fft import rfft2_sharded, irfft2_sharded, pad_multiplier
+from .sharded_fft import (rfft2_sharded, irfft2_sharded, pad_multiplier,
+                          fourier_diag_apply_sharded)
 
 
 def _safe_inv(x):
@@ -146,3 +147,116 @@ def sharded_wiener_filter(ds, phi: Field, mesh, axis_name="sp",
         run = jax.jit(run)
     x, info = run(grids, d_sh, phi_m.arr)
     return Field(x, QU, proj), info
+
+
+# =========================================================================
+# joint MAP on sharded maps
+# =========================================================================
+
+def _lensing_quadforms(ds, mesh, axis_name, batch_axis):
+    """(ops, grids) shared by the sharded logpdf/MAP: EB-diag Cn^-1 and
+    Cf^-1 appliers, the (MB) forward multiplier, and the I-pol phi
+    grids."""
+    from ..inference.maximization import _fid
+
+    Cf = _eb_diag_grids(_fid(ds.Cf), "Cf")
+    Cn = _eb_diag_grids(ds.Cn, "Cn")
+    Bm = _eb_diag_grids(_fid(ds.B), "B")
+    Mm = _eb_diag_grids(_fid(ds.M), "M")
+    proj = _fid(ds.Cf).diag.proj
+    mk = lambda g: ShardedEBDiag(g, proj, mesh, axis_name, batch_axis)
+    return dict(
+        iCn=mk(_safe_inv(Cn)), iCf=mk(_safe_inv(Cf)), MB=mk(Mm * Bm),
+        proj=proj)
+
+
+def sharded_lensing_logpdf(ds, f: Field, phi: Field, mesh, axis_name="sp",
+                           batch_axis=None, nsteps_flow=7, _ops=None):
+    """The (f, phi) lensing posterior density evaluated on y-sharded
+    maps — equal to ds.logpdf(f=f, phi=phi) up to the (f, phi)-
+    independent logdet constants (reference dataset.jl mixed posterior;
+    every dot reduces with a cross-shard psum)."""
+    from ..core.field import dot as fdot
+    from ..inference.maximization import _fid
+
+    ops = _ops or _lensing_quadforms(ds, mesh, axis_name, batch_axis)
+    proj = ops["proj"]
+    QU = Basis("QU", "map")
+    L = ShardedLenseFlow(phi, nsteps=nsteps_flow, mesh=mesh,
+                         axis_name=axis_name, batch_axis=batch_axis)
+    d_qu = ds.d.to(QU)
+    Lf = (L @ f).arr
+    r = Field(d_qu.arr - ops["MB"](Lf), QU, proj)
+    chi2 = fdot(r, Field(ops["iCn"](r.arr), QU, proj))
+    pri_f = fdot(f, Field(ops["iCf"](f.arr), QU, proj))
+    iCphi = _safe_inv(jnp.real(jnp.asarray(_fid(ds.Cphi).diag.arr)))
+    icp = pad_multiplier(iCphi, mesh, axis_name)
+    pri_p = fdot(phi, fourier_diag_apply_sharded(icp, phi, mesh, axis_name,
+                                                 batch_axis))
+    return -0.5 * (chi2 + pri_f + pri_p)
+
+
+def sharded_MAP_joint(ds, mesh, axis_name="sp", batch_axis=None, nsteps=5,
+                      cg_nsteps=50, cg_tol=1e-8, nsteps_flow=7, ngrid=9,
+                      alpha_max=2.0, progress=False):
+    """Joint MAP on spatially-sharded maps: alternate the sharded
+    Wiener filter f-step with a Cphi/Nphi-preconditioned phi gradient
+    ascent + grid line search, every array y-sharded over the mesh
+    (the sharded analog of MAP_joint's coordinate descent,
+    src/maximization.jl:116-233). Demonstration-grade: unmixed
+    parametrization, fixed line-search grid. Returns
+    dict(f=..., phi=..., history=[logpdf per step])."""
+    from ..inference.maximization import _fid
+
+    ops = _lensing_quadforms(ds, mesh, axis_name, batch_axis)
+    proj = ops["proj"]
+    I_MAP = Basis("I", "map")
+
+    # phi-step preconditioner: the Fourier-diagonal phi Hessian
+    # (Cphi^-1 + Nphi^-1)^-1 (maximization.jl's Hpre)
+    Cphi = jnp.real(jnp.asarray(_fid(ds.Cphi).diag.arr))
+    if getattr(ds, "Nphi", None) is not None:
+        Nphi = jnp.real(jnp.asarray(_fid(ds.Nphi).diag.arr))
+        Hpre = _safe_inv(_safe_inv(Cphi) + _safe_inv(Nphi))
+    else:
+        Hpre = Cphi
+    hpre_p = pad_multiplier(Hpre, mesh, axis_name)
+
+    from jax.sharding import NamedSharding
+    from .spatial import _yspec
+    ysh = NamedSharding(mesh, _yspec(3, axis_name, batch_axis))
+    phi = Field(jax.device_put(jnp.zeros((1, proj.Ny, proj.Nx), proj.T.type),
+                               ysh), I_MAP, proj)
+
+    def lp(f, phi):
+        return sharded_lensing_logpdf(ds, f, phi, mesh, axis_name,
+                                      batch_axis, nsteps_flow, _ops=ops)
+
+    @jax.jit
+    def phi_step(f, phi):
+        g = jax.grad(lambda p: jnp.sum(lp(f, p)))(phi)
+        h = fourier_diag_apply_sharded(hpre_p, g, mesh, axis_name,
+                                       batch_axis)
+        alphas = jnp.linspace(0.0, alpha_max, ngrid)
+
+        def eval_alpha(_, a):
+            return None, jnp.sum(lp(f, Field(phi.arr + a * h.arr,
+                                             I_MAP, proj)))
+
+        _, lps = jax.lax.scan(eval_alpha, None, alphas)
+        best = jnp.argmax(lps)
+        return (Field(phi.arr + alphas[best] * h.arr, I_MAP, proj),
+                lps[best], alphas[best])
+
+    history = []
+    f = None
+    for step in range(nsteps):
+        f, _ = sharded_wiener_filter(ds, phi, mesh, axis_name, batch_axis,
+                                     nsteps=cg_nsteps, tol=cg_tol,
+                                     nsteps_flow=nsteps_flow)
+        phi, lpv, alpha = phi_step(f, phi)
+        history.append(dict(logpdf=float(lpv), alpha=float(alpha)))
+        if progress:
+            print(f"sharded_MAP_joint step {step + 1}: logpdf={float(lpv):.6g} "
+                  f"alpha={float(alpha):.3g}", flush=True)
+    return dict(f=f, phi=phi, history=history)
