@@ -70,7 +70,9 @@ from .parallel.spatial import (
 from .parallel.sharded_fft import (
     rfft2_sharded, irfft2_sharded, pad_multiplier, fourier_diag_apply_sharded,
 )
-from .parallel.sharded_wf import sharded_wiener_filter
+from .parallel.sharded_wf import (
+    sharded_wiener_filter, sharded_lensing_logpdf, sharded_MAP_joint,
+)
 from .core.field import fgrad, fvalue_and_grad
 from .core.field_tuple import FieldTuple
 from .core.field_tuple import DiagFieldTuple
