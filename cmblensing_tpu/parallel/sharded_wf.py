@@ -260,3 +260,24 @@ def sharded_MAP_joint(ds, mesh, axis_name="sp", batch_axis=None, nsteps=5,
             print(f"sharded_MAP_joint step {step + 1}: logpdf={float(lpv):.6g} "
                   f"alpha={float(alpha):.3g}", flush=True)
     return dict(f=f, phi=phi, history=history)
+
+
+def sharded_sample_f(key, ds, phi: Field, mesh, axis_name="sp",
+                     batch_axis=None, theta=None, **wf_kwargs):
+    """Posterior sample of f on y-sharded maps via the constrained-
+    simulation trick (reference src/maximization.jl:56-62): simulate
+    (f_sim, d_sim) at phi, sharded-Wiener-filter the residual data
+    d - d_sim, and add f_sim back. The CG solve — the expensive part —
+    runs fully sharded; the one-FFT simulation is generated replicated
+    and then sharded. Same key => same sample as inference.sample_f
+    (the sharded b is linear in d, so the residual solve IS the
+    offset=True solve)."""
+    theta = theta or {}
+    sim = (ds.simulate(key, theta=theta) if phi is None
+           else ds.simulate(key, theta=theta, phi=phi))
+    dres = ds.d - sim["d"]
+    df, info = sharded_wiener_filter(ds, phi, mesh, axis_name, batch_axis,
+                                     theta=theta, d=dres, **wf_kwargs)
+    QU = Basis("QU", "map")
+    f_sim = shard_spatial(sim["f"].to(QU), mesh, axis_name, batch_axis)
+    return Field(f_sim.arr + df.arr, QU, df.proj), info

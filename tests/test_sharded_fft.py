@@ -209,3 +209,31 @@ def test_sharded_logpdf_and_MAP(mesh4):
     pt = np.asarray(phi_m.arr).ravel()
     corr = float(pm @ pt / (np.linalg.norm(pm) * np.linalg.norm(pt) + 1e-30))
     assert corr > 0.4, corr
+
+
+def test_sharded_sample_f_matches_single_device(mesh4):
+    """Same-key parity: the sharded constrained-realization sampler
+    reproduces inference.sample_f exactly (the solve is the same
+    Gaussian system on the residual data)."""
+    from cmblensing_tpu.models.dataset import load_sim
+    from cmblensing_tpu.inference.maximization import sample_f
+    from cmblensing_tpu.parallel.sharded_wf import sharded_sample_f
+    from cmblensing_tpu.core.basis import Basis
+    from cmblensing_tpu.ops import deriv
+
+    out = load_sim(thetapix=3, Nside=32, pol="P", T=np.float32, seed=0)
+    ds, phi = out["ds"], out["phi"]
+    phi_m = phi.to(phi.basis.with_space("map"))
+    key = jax.random.PRNGKey(7)
+
+    f_ref, _ = sample_f(
+        key, ds, phi=phi_m,
+        conjgrad_kwargs=dict(tol=1e-10, nsteps=50, hessian_precision=None))
+    f_ref_qu = f_ref.to(Basis("QU", "map"))
+
+    with deriv.mode_ctx("matmul"):
+        f_sh, _ = sharded_sample_f(key, ds, phi_m, mesh4,
+                                   nsteps=50, tol=1e-10)
+    scale = float(jnp.max(jnp.abs(f_ref_qu.arr)))
+    err = float(jnp.max(jnp.abs(f_sh.arr - f_ref_qu.arr)))
+    assert err < 2e-3 * scale, (err, scale)
