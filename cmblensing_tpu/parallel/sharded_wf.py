@@ -72,8 +72,7 @@ def _eb_diag_grids(op, name):
     if not isinstance(op, Diag):
         raise NotImplementedError(
             f"sharded_wiener_filter needs {name} to be a (EB-)Fourier "
-            f"Diag operator; got {type(op).__name__} (pixel-masked "
-            f"datasets need the mask as a separate map-space leg)")
+            f"Diag operator; got {type(op).__name__}")
     d = op.diag
     if not d.basis.is_fourier:
         raise NotImplementedError(f"{name} must be Fourier-diagonal")
@@ -85,19 +84,40 @@ def _eb_diag_grids(op, name):
     return arr
 
 
+def _split_M(op):
+    """Decompose ds.M into (EB-Fourier grids, pixel-mask map or None).
+    load_sim builds masked datasets as LazyOp('*', Mfourier, Mpix)
+    (models/dataset.py::load_sim) — the Fourier leg joins the diagonal
+    sandwich, the pixel leg stays a LOCAL elementwise multiply on
+    y-sharded maps (zero communication)."""
+    from ..core.ops import LazyOp
+    if isinstance(op, LazyOp) and op.kind == "*":
+        legs = (op.X, op.Y)
+        four = [l for l in legs if isinstance(l, Diag) and l.diag.basis.is_fourier]
+        pix = [l for l in legs if isinstance(l, Diag) and l.diag.basis.is_map]
+        if len(four) == 1 and len(pix) == 1:
+            m = jnp.asarray(pix[0].diag.arr)
+            return _eb_diag_grids(four[0], "M"), m
+    return _eb_diag_grids(op, "M"), None
+
+
 def sharded_wiener_filter(ds, phi: Field, mesh, axis_name="sp",
                           batch_axis=None, theta=None, d=None,
                           nsteps=100, tol=1e-8, nsteps_flow=7, jit=True):
     """argmaxf_logpdf for spatially-sharded maps: solve the lensed
     Wiener filter of `ds` at fixed phi with every iterate y-sharded
-    over `mesh`. Requires ds's Cf/Cn/B/M to be Fourier-diagonal (the
-    unmasked DataSet family); phi may be sharded (shard_spatial) or
-    replicated. Returns (f_wf_QU_map_sharded, info).
+    over `mesh`. ds's Cf/Cn/B must be Fourier-diagonal; M may
+    additionally carry a pixel-mask leg (load_sim's
+    LazyOp('*', Mfourier, Mpix)) — the mask is a LOCAL elementwise
+    multiply on the y-sharded maps, zero extra communication. phi may
+    be sharded (shard_spatial) or replicated. Returns
+    (f_wf_QU_map_sharded, info).
 
     Preconditioned exactly like the single-device solve: the
-    Fourier-diagonal Hessian (Cf^-1 + (MB)^2/Cn)^-1 per EB mode. The
-    whole solve runs as ONE jitted program (jit=True is also required
-    for the CG while_loop to trace through the shard_map flow)."""
+    Fourier-diagonal Hessian (Cf^-1 + mean(mask^2) (MB)^2 / Cn)^-1 per
+    EB mode. The whole solve runs as ONE jitted program (jit=True is
+    also required for the CG while_loop to trace through the shard_map
+    flow)."""
     from ..inference.maximization import _fid
 
     proj = phi.proj
@@ -106,15 +126,21 @@ def sharded_wiener_filter(ds, phi: Field, mesh, axis_name="sp",
     Cf = _eb_diag_grids(_fid(ds.Cf), "Cf")
     Cn = _eb_diag_grids(ds.Cn, "Cn")
     Bm = _eb_diag_grids(_fid(ds.B), "B")
-    Mm = _eb_diag_grids(_fid(ds.M), "M")
+    Mm, mask = _split_M(_fid(ds.M))
 
     MB = Mm * Bm
     iCf = _safe_inv(Cf)
     iCn = _safe_inv(Cn)
     # Fourier-diagonal Hessian preconditioner (ill-conditioned modes
     # where both terms vanish get 0 — they are absent from b too)
-    prec = _safe_inv(iCf + MB * MB * iCn)
-    grids = (iCf, MB * iCn, MB * iCn * MB, prec)
+    m2bar = 1.0 if mask is None else jnp.mean(mask ** 2)
+    prec = _safe_inv(iCf + m2bar * MB * MB * iCn)
+    # masked legs: d = Mf (mask (B L f)) + n  (load_sim's M = Mf * Mpix),
+    # so the sandwich is B^T mask (Mf^2 Cn^-1) mask B and the data term
+    # B^T mask (Mf Cn^-1) d — Mf^2 Cn^-1 / Mf Cn^-1 fuse into single
+    # EB-diag grids
+    grids = (iCf, MB * iCn, MB * iCn * MB, prec,
+             Bm, Mm * Mm * iCn, Mm * iCn)
 
     if d is None:
         d = ds.d
@@ -122,20 +148,39 @@ def sharded_wiener_filter(ds, phi: Field, mesh, axis_name="sp",
     d_sh = shard_spatial(d_qu, mesh, axis_name, batch_axis).arr
     phi_m = phi.to(phi.basis.with_space("map"))
     QU = Basis("QU", "map")
+    if mask is not None:
+        mask = shard_spatial(Field(mask, Basis("I", "map"), proj), mesh,
+                             axis_name).arr
 
-    def run(grids, d_sh, phi_arr):
-        op_iCf, op_MBiCn, op_NL, op_prec = (
-            ShardedEBDiag(g, proj, mesh, axis_name, batch_axis)
-            for g in grids)
+    def run(grids, d_sh, phi_arr, mask):
+        (op_iCf, op_MBiCn, op_NL, op_prec, op_B, op_Mf2iCn,
+         op_MfiCn) = (ShardedEBDiag(g, proj, mesh, axis_name, batch_axis)
+                      for g in grids)
         L = ShardedLenseFlow(Field(phi_arr, phi_m.basis, proj),
                              nsteps=nsteps_flow, mesh=mesh,
                              axis_name=axis_name, batch_axis=batch_axis)
 
+        if mask is None:
+            # fused sandwich: ONE EB-diag apply per likelihood term
+            def NL(y):
+                return op_NL(y)
+
+            def bterm(dd):
+                return op_MBiCn(dd)
+        else:
+            # B^T mask (Mf^2 Cn^-1) mask B: beam/transfer in the pencil
+            # layout, the pixel mask as a local map-space multiply
+            def NL(y):
+                return op_B(mask * op_Mf2iCn(mask * op_B(y)))
+
+            def bterm(dd):
+                return op_B(mask * op_MfiCn(dd))
+
         def A(a):
             return op_iCf(a) + (L.H @ Field(
-                op_NL((L @ Field(a, QU, proj)).arr), QU, proj)).arr
+                NL((L @ Field(a, QU, proj)).arr), QU, proj)).arr
 
-        b = (L.H @ Field(op_MBiCn(d_sh), QU, proj)).arr
+        b = (L.H @ Field(bterm(d_sh), QU, proj)).arr
         x, info = conjugate_gradient(op_prec, A, b, nsteps=nsteps, tol=tol)
         # keep the result y-sharded on the way out of the jit
         from jax.sharding import NamedSharding
@@ -144,8 +189,8 @@ def sharded_wiener_filter(ds, phi: Field, mesh, axis_name="sp",
         return jax.lax.with_sharding_constraint(x, sh), info
 
     if jit:
-        run = jax.jit(run)
-    x, info = run(grids, d_sh, phi_m.arr)
+        run = jax.jit(run)  # mask=None is an empty pytree — fine as an arg
+    x, info = run(grids, d_sh, phi_m.arr, mask)
     return Field(x, QU, proj), info
 
 

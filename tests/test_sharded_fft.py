@@ -237,3 +237,32 @@ def test_sharded_sample_f_matches_single_device(mesh4):
     scale = float(jnp.max(jnp.abs(f_ref_qu.arr)))
     err = float(jnp.max(jnp.abs(f_sh.arr - f_ref_qu.arr)))
     assert err < 2e-3 * scale, (err, scale)
+
+
+def test_sharded_wiener_filter_masked(mesh4):
+    """Masked dataset: the pixel mask rides the sharded solve as a
+    LOCAL map-space multiply (M = Mf * Mpix decomposition) — matches
+    the generic argmaxf_logpdf solution."""
+    from cmblensing_tpu.models.dataset import load_sim
+    from cmblensing_tpu.inference.maximization import argmaxf_logpdf
+    from cmblensing_tpu.parallel.sharded_wf import sharded_wiener_filter
+    from cmblensing_tpu.core.basis import Basis
+    from cmblensing_tpu.ops import deriv
+
+    out = load_sim(thetapix=3, Nside=32, pol="P", T=np.float32, seed=0,
+                   pixel_mask_kwargs=dict(edge_padding_deg=0.2,
+                                          apodization_deg=0.1))
+    ds, phi = out["ds"], out["phi"]
+    phi_m = phi.to(phi.basis.with_space("map"))
+
+    f_ref, _ = argmaxf_logpdf(
+        ds, phi=phi_m,
+        conjgrad_kwargs=dict(tol=1e-10, nsteps=80, hessian_precision=None))
+    f_ref_qu = f_ref.to(Basis("QU", "map"))
+
+    with deriv.mode_ctx("matmul"):
+        f_sh, info = sharded_wiener_filter(ds, phi_m, mesh4,
+                                           nsteps=80, tol=1e-10)
+    scale = float(jnp.max(jnp.abs(f_ref_qu.arr)))
+    err = float(jnp.max(jnp.abs(f_sh.arr - f_ref_qu.arr)))
+    assert err < 5e-3 * scale, (err, scale)
