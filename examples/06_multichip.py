@@ -88,3 +88,13 @@ print("spatially-sharded lense:", lensed.arr.shape,
 lp = lambda p: jnp.sum((ShardedLenseFlow(p, mesh=smesh) @ f_sh).arr ** 2)
 g = jax.jit(jax.grad(lp))(phi_sh)
 print("sharded flow gradient norm:", float(jnp.linalg.norm(g.arr)))
+
+# ... and the whole posterior toolkit rides the same mesh: the lensed
+# Wiener filter (argmaxf_logpdf's Gaussian solve) as ONE jitted
+# program whose CG iterates never materialize a full map on any device
+from cmblensing_tpu import sharded_wiener_filter
+
+f_wf, info = sharded_wiener_filter(big["ds"], pm, smesh,
+                                   nsteps=10 if FAST else 40, tol=1e-7)
+print("sharded Wiener filter:", f_wf.arr.shape, "CG iters:",
+      int(info["iterations"]))
