@@ -199,19 +199,27 @@ def sharded_wiener_filter(ds, phi: Field, mesh, axis_name="sp",
 # =========================================================================
 
 def _lensing_quadforms(ds, mesh, axis_name, batch_axis):
-    """(ops, grids) shared by the sharded logpdf/MAP: EB-diag Cn^-1 and
-    Cf^-1 appliers, the (MB) forward multiplier, and the I-pol phi
-    grids."""
+    """Shared appliers for the sharded logpdf/MAP: EB-diag Cn^-1 and
+    Cf^-1, and the forward response fwd(x) = M B x (with the pixel-mask
+    leg, when present, as a local map-space multiply)."""
     from ..inference.maximization import _fid
 
     Cf = _eb_diag_grids(_fid(ds.Cf), "Cf")
     Cn = _eb_diag_grids(ds.Cn, "Cn")
     Bm = _eb_diag_grids(_fid(ds.B), "B")
-    Mm = _eb_diag_grids(_fid(ds.M), "M")
+    Mm, mask = _split_M(_fid(ds.M))
     proj = _fid(ds.Cf).diag.proj
     mk = lambda g: ShardedEBDiag(g, proj, mesh, axis_name, batch_axis)
+    if mask is None:
+        op_MB = mk(Mm * Bm)
+        fwd = op_MB
+    else:
+        op_B, op_Mf = mk(Bm), mk(Mm)
+        mask_sh = shard_spatial(Field(jnp.asarray(mask), Basis("I", "map"),
+                                      proj), mesh, axis_name).arr
+        fwd = lambda x: op_Mf(mask_sh * op_B(x))
     return dict(
-        iCn=mk(_safe_inv(Cn)), iCf=mk(_safe_inv(Cf)), MB=mk(Mm * Bm),
+        iCn=mk(_safe_inv(Cn)), iCf=mk(_safe_inv(Cf)), MB=fwd,
         proj=proj)
 
 

@@ -266,3 +266,28 @@ def test_sharded_wiener_filter_masked(mesh4):
     scale = float(jnp.max(jnp.abs(f_ref_qu.arr)))
     err = float(jnp.max(jnp.abs(f_sh.arr - f_ref_qu.arr)))
     assert err < 5e-3 * scale, (err, scale)
+
+
+def test_sharded_logpdf_masked_parity(mesh4):
+    """Masked dataset: sharded logpdf differences still match
+    ds.logpdf (the pixel mask rides as a local multiply)."""
+    from cmblensing_tpu.models.dataset import load_sim
+    from cmblensing_tpu.parallel.sharded_wf import sharded_lensing_logpdf
+    from cmblensing_tpu.core.basis import Basis
+    from cmblensing_tpu.ops import deriv
+
+    out = load_sim(thetapix=3, Nside=32, pol="P", T=np.float32, seed=0,
+                   pixel_mask_kwargs=dict(edge_padding_deg=0.2,
+                                          apodization_deg=0.1))
+    ds, phi, f = out["ds"], out["phi"], out["f"]
+    phi_m = phi.to(phi.basis.with_space("map"))
+    f_qu = f.to(Basis("QU", "map"))
+    f2 = Field(0.7 * f_qu.arr, f_qu.basis, f_qu.proj)
+    phi2 = Field(0.4 * phi_m.arr, phi_m.basis, phi_m.proj)
+
+    with deriv.mode_ctx("matmul"):
+        d_sh = (float(sharded_lensing_logpdf(ds, f_qu, phi_m, mesh4))
+                - float(sharded_lensing_logpdf(ds, f2, phi2, mesh4)))
+        d_ref = (float(jnp.sum(ds.logpdf(f=f_qu, phi=phi_m)))
+                 - float(jnp.sum(ds.logpdf(f=f2, phi=phi2))))
+    assert abs(d_sh - d_ref) < 2e-3 * abs(d_ref), (d_sh, d_ref)
