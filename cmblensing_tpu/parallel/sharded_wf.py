@@ -334,3 +334,70 @@ def sharded_sample_f(key, ds, phi: Field, mesh, axis_name="sp",
     QU = Basis("QU", "map")
     f_sim = shard_spatial(sim["f"].to(QU), mesh, axis_name, batch_axis)
     return Field(f_sim.arr + df.arr, QU, df.proj), info
+
+
+def sharded_hmc_phi_step(key, ds, f: Field, phi: Field, mesh,
+                         axis_name="sp", batch_axis=None, Lambda=None,
+                         N=25, eps=0.01, nsteps_flow=7,
+                         always_accept=False):
+    """One HMC step on phi with f fixed, entirely on y-sharded maps
+    (the sharded analog of inference.sampling.hmc_step,
+    src/sampling.jl:405-419): mass-matrix solves are pencil
+    Fourier-diagonal applies, the potential gradient flows through the
+    shard_map lensing adjoint, and the leapfrog is one jitted
+    lax.scan. The momentum draw replicates inference.hmc_step's
+    exactly (same key => same trajectory => same accept)."""
+    from ..inference.sampling import mass_matrix_phi
+    from ..core.ops import simulate_op
+    from ..core.field import dot as fdot
+
+    ops = _lensing_quadforms(ds, mesh, axis_name, batch_axis)
+    proj = ops["proj"]
+    if Lambda is None:
+        Lambda = mass_matrix_phi({}, ds)
+    lam = jnp.real(jnp.asarray(Lambda.diag.arr))
+    inv_lam = pad_multiplier(_safe_inv(lam), mesh, axis_name)
+
+    def U(p):
+        return sharded_lensing_logpdf(ds, f, p, mesh, axis_name,
+                                      batch_axis, nsteps_flow, _ops=ops)
+
+    U_grad = jax.grad(lambda x: jnp.sum(U(x)))
+
+    def solve(parr):
+        return fourier_diag_apply_sharded(
+            inv_lam, Field(parr, phi.basis, proj), mesh, axis_name,
+            batch_axis).arr
+
+    k1, k2 = jax.random.split(key)
+    p0 = simulate_op(k1, Lambda, batch_shape=phi.batch_shape).to(phi.basis)
+    p0 = shard_spatial(p0, mesh, axis_name, batch_axis)
+
+    @jax.jit
+    def traj(phi_arr, p_arr):
+        x0 = Field(phi_arr, phi.basis, proj)
+
+        def energy(xa, pa):
+            quad = fdot(Field(pa, phi.basis, proj),
+                        Field(solve(pa), phi.basis, proj))
+            return jnp.sum(U(Field(xa, phi.basis, proj))) - quad / 2
+
+        def step(carry, _):
+            xa, pa, gU = carry
+            x1 = xa - eps * solve(pa - (eps / 2) * gU)
+            gU1 = U_grad(Field(x1, phi.basis, proj)).arr
+            p1 = pa - (eps / 2) * (gU1 + gU)
+            return (x1, p1, gU1), None
+
+        g0 = U_grad(x0).arr
+        (xa, pa, _), _ = jax.lax.scan(step, (phi_arr, p_arr, g0), None,
+                                      length=N)
+        dH = energy(xa, pa) - energy(phi_arr, p_arr)
+        return xa, dH
+
+    xt, dH = traj(phi.arr, p0.arr)
+    logu = jnp.log(jax.random.uniform(k2, shape=jnp.shape(dH)))
+    accept = jnp.logical_or(always_accept, logu < dH)
+    acc = jnp.asarray(accept, phi.arr.dtype)
+    x_new = Field(acc * xt + (1 - acc) * phi.arr, phi.basis, proj)
+    return x_new, dH, accept

@@ -291,3 +291,35 @@ def test_sharded_logpdf_masked_parity(mesh4):
         d_ref = (float(jnp.sum(ds.logpdf(f=f_qu, phi=phi_m)))
                  - float(jnp.sum(ds.logpdf(f=f2, phi=phi2))))
     assert abs(d_sh - d_ref) < 2e-3 * abs(d_ref), (d_sh, d_ref)
+
+
+def test_sharded_hmc_phi_parity(mesh4):
+    """Same-key HMC parity: identical momentum draw + gradient =>
+    identical leapfrog trajectory, dH, and accept as the single-device
+    hmc_step (the logpdf constant offset cancels in both the gradient
+    and the energy difference)."""
+    from cmblensing_tpu.models.dataset import load_sim
+    from cmblensing_tpu.inference.sampling import hmc_step, mass_matrix_phi
+    from cmblensing_tpu.parallel.sharded_wf import sharded_hmc_phi_step
+    from cmblensing_tpu.core.basis import Basis
+    from cmblensing_tpu.ops import deriv
+
+    out = load_sim(thetapix=3, Nside=32, pol="P", T=np.float32, seed=0)
+    ds, phi, f = out["ds"], out["phi"], out["f"]
+    phi_m = phi.to(phi.basis.with_space("map"))
+    f_qu = f.to(Basis("QU", "map"))
+    Lam = mass_matrix_phi({}, ds)
+    key = jax.random.PRNGKey(3)
+
+    with deriv.mode_ctx("matmul"):
+        U = lambda p: ds.logpdf(f=f_qu, phi=p)
+        x_ref, dH_ref, acc_ref = hmc_step(key, U, phi_m, Lam, N=5, eps=3e-8)
+        x_sh, dH_sh, acc_sh = sharded_hmc_phi_step(
+            key, ds, f_qu, phi_m, mesh4, Lambda=Lam, N=5, eps=3e-8)
+
+    assert bool(acc_sh) == bool(acc_ref)
+    np.testing.assert_allclose(float(dH_sh), float(dH_ref),
+                               rtol=2e-2, atol=1e-3)
+    scale = float(jnp.max(jnp.abs(x_ref.arr)))
+    err = float(jnp.max(jnp.abs(x_sh.arr - x_ref.to(x_sh.basis).arr)))
+    assert err < 2e-4 * scale, (err, scale)
