@@ -401,3 +401,24 @@ def sharded_hmc_phi_step(key, ds, f: Field, phi: Field, mesh,
     acc = jnp.asarray(accept, phi.arr.dtype)
     x_new = Field(acc * xt + (1 - acc) * phi.arr, phi.basis, proj)
     return x_new, dH, accept
+
+
+def sharded_gibbs_pass(key, ds, phi: Field, mesh, axis_name="sp",
+                       batch_axis=None, cg_nsteps=50, cg_tol=1e-8,
+                       hmc_N=25, hmc_eps=0.01, nsteps_flow=7,
+                       Lambda=None):
+    """One Gibbs pass of sample_joint's core alternation
+    (src/sampling.jl:180-335) on y-sharded maps: draw
+    f ~ P(f | phi, d) by the sharded constrained realization, then
+    phi ~ P(phi | f, d) by one sharded HMC step. Returns
+    (f, phi, info)."""
+    kf, kp = jax.random.split(key)
+    f, wf_info = sharded_sample_f(kf, ds, phi, mesh, axis_name, batch_axis,
+                                  nsteps=cg_nsteps, tol=cg_tol,
+                                  nsteps_flow=nsteps_flow)
+    phi_new, dH, accept = sharded_hmc_phi_step(
+        kp, ds, f, phi.to(phi.basis.with_space("map")), mesh, axis_name,
+        batch_axis, Lambda=Lambda, N=hmc_N, eps=hmc_eps,
+        nsteps_flow=nsteps_flow)
+    return f, phi_new, dict(cg_iters=wf_info["iterations"], dH=dH,
+                            accept=accept)

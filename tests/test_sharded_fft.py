@@ -323,3 +323,29 @@ def test_sharded_hmc_phi_parity(mesh4):
     scale = float(jnp.max(jnp.abs(x_ref.arr)))
     err = float(jnp.max(jnp.abs(x_sh.arr - x_ref.to(x_sh.basis).arr)))
     assert err < 2e-4 * scale, (err, scale)
+
+
+def test_sharded_gibbs_pass(mesh4):
+    """Two sharded Gibbs passes run end-to-end: finite fields, sharded
+    layouts preserved, HMC dH finite."""
+    from cmblensing_tpu.models.dataset import load_sim
+    from cmblensing_tpu.parallel.sharded_wf import sharded_gibbs_pass
+    from cmblensing_tpu.ops import deriv
+
+    out = load_sim(thetapix=3, Nside=32, pol="P", T=np.float32, seed=0)
+    ds, phi = out["ds"], out["phi"]
+    phi_m = phi.to(phi.basis.with_space("map"))
+
+    key = jax.random.PRNGKey(11)
+    with deriv.mode_ctx("matmul"):
+        f1, p1, info1 = sharded_gibbs_pass(key, ds, phi_m, mesh4,
+                                           cg_nsteps=20, hmc_N=3,
+                                           hmc_eps=1e-8)
+        f2, p2, info2 = sharded_gibbs_pass(jax.random.PRNGKey(12), ds, p1,
+                                           mesh4, cg_nsteps=20, hmc_N=3,
+                                           hmc_eps=1e-8)
+    for x in (f1.arr, p1.arr, f2.arr, p2.arr):
+        assert np.all(np.isfinite(np.asarray(x)))
+    assert np.isfinite(float(info1["dH"])) and np.isfinite(float(info2["dH"]))
+    assert p2.arr.sharding.spec[1] == "sp" or \
+        p2.arr.sharding.spec == (None, "sp")
