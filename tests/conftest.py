@@ -9,6 +9,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+if not os.environ.get("CMBLENSING_TEST_TPU"):
+    # CPU-only lane: pin jax to the CPU platform BEFORE the first
+    # backend init. The remotely-tunneled TPU ("axon") plugin registers
+    # itself at interpreter startup (sitecustomize, which also forces
+    # JAX_PLATFORMS=axon) and its backend init BLOCKS INDEFINITELY when
+    # the tunnel is down — which would hang the whole suite at the
+    # first jax.devices() call. config.update after import outranks the
+    # plugin's env override, so only the cpu backend ever initializes.
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 
 @pytest.fixture(scope="session", autouse=True)
 def _cpu_default_device():
