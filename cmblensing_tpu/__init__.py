@@ -69,6 +69,7 @@ from .parallel.spatial import (
 )
 from .parallel.sharded_fft import (
     rfft2_sharded, irfft2_sharded, pad_multiplier, fourier_diag_apply_sharded,
+    get_Cl_sharded,
 )
 from .parallel.sharded_wf import (
     sharded_wiener_filter, sharded_lensing_logpdf, sharded_MAP_joint,

@@ -135,3 +135,73 @@ def fourier_diag_apply_sharded(mult_padded, f: Field, mesh,
     X = rfft2_sharded(arr, mesh, axis_name, batch_axis)
     out = irfft2_sharded(X * mult_padded, Nx, mesh, axis_name, batch_axis)
     return Field(out, f.basis, f.proj)
+
+
+def get_Cl_sharded(f1: Field, mesh, f2: Field = None, dl=50, ledges=None,
+                   Clfid=None, axis_name="sp", batch_axis=None):
+    """Binned (cross-)power spectrum of a y-sharded spin-0 map-basis
+    Field — the diagnostics analog of utils.spectra.get_Cl, with the
+    per-mode power computed and binned ON DEVICE (pencil rfft2 + local
+    segment_sum + psum over the mesh): only the ~nbins bin values ever
+    leave the devices. Weights/normalization match get_Cl exactly
+    (inverse-variance per full-plane mode; the rfft half-plane carries
+    the degeneracy factors)."""
+    import numpy as np
+    from ..utils.cls import Cls
+
+    if f2 is None:
+        f2 = f1
+    if f1.basis.ncomp > 1:
+        raise ValueError("index components first, e.g. get_Cl_sharded(f['E'], mesh)")
+    proj = f1.proj
+    if ledges is None:
+        ledges = np.arange(0, 16001, dl)
+    ledges = np.asarray(ledges, dtype=np.float64)
+
+    # host-side: l grid, full-plane-equivalent inverse-variance weights
+    # (lam = rfft degeneracy), bin ids; data-independent bin sums
+    L = np.asarray(proj.lmag, np.float64)                      # (Ny, Kx)
+    lam = np.broadcast_to(np.asarray(proj.lam_rfft, np.float64)[None, :],
+                          L.shape)
+    mask = (L > ledges.min()) & (L < ledges.max())
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if Clfid is None:
+            w = (2 * 1.0 ** 2 / (2 * L + 1)) ** -1
+        else:
+            w = (2 * np.asarray(Clfid(L), np.float64) ** 2 / (2 * L + 1)) ** -1
+    w = np.nan_to_num(w) * lam * mask
+    nbins = len(ledges) - 1
+    ids = np.clip(np.digitize(L, ledges) - 1, 0, nbins - 1)
+    ids = np.where(mask, ids, nbins)                           # dump bin
+    A = np.bincount(ids.ravel(), weights=w.ravel(), minlength=nbins + 1)[:nbins]
+    lb = np.bincount(ids.ravel(), weights=(w * L).ravel(),
+                     minlength=nbins + 1)[:nbins]
+    alpha = proj.Nx * proj.Ny / float(proj.deltax) ** 2
+
+    # pad to the pencil width; padded columns land in the dump bin
+    p = _axsize(mesh, axis_name)
+    kp = ((L.shape[-1] + p - 1) // p) * p
+    wpad = np.zeros((L.shape[0], kp), np.float32)
+    wpad[:, :L.shape[1]] = w / alpha
+    idpad = np.full((L.shape[0], kp), nbins, np.int32)
+    idpad[:, :L.shape[1]] = ids
+
+    X1 = rfft2_sharded(f1.arr, mesh, axis_name, batch_axis)[..., 0, :, :]
+    X2 = (X1 if f2 is f1 else
+          rfft2_sharded(f2.arr, mesh, axis_name, batch_axis)[..., 0, :, :])
+    sh2 = P(None, axis_name)
+
+    def body(x1, x2, wl, il):
+        pw = wl * jnp.real(jnp.conj(x1) * x2)
+        seg = jax.ops.segment_sum(pw.reshape(-1), il.reshape(-1),
+                                  num_segments=nbins + 1)
+        return jax.lax.psum(seg, axis_name)
+
+    seg = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(sh2, sh2, sh2, sh2), out_specs=P(),
+        check_vma=False,
+    )(X1, X2, jnp.asarray(wpad), jnp.asarray(idpad))
+    Clb = np.asarray(seg)[:nbins]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return Cls(lb / A, Clb / A)

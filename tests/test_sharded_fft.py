@@ -349,3 +349,32 @@ def test_sharded_gibbs_pass(mesh4):
     assert np.isfinite(float(info1["dH"])) and np.isfinite(float(info2["dH"]))
     assert p2.arr.sharding.spec[1] == "sp" or \
         p2.arr.sharding.spec == (None, "sp")
+
+
+def test_get_Cl_sharded_parity(mesh4):
+    """Device-binned sharded spectra match utils.spectra.get_Cl."""
+    from cmblensing_tpu.utils.spectra import get_Cl
+    from cmblensing_tpu.parallel.sharded_fft import get_Cl_sharded
+
+    proj = ProjLambert(32, 32, thetapix=3, T=np.float32)
+    rs = np.random.RandomState(4)
+    arr = rs.randn(1, 32, 32).astype(np.float32)
+    f = Field(jnp.asarray(arr), MAP, proj)
+
+    ref = get_Cl(f, dl=500)
+    f_sh = shard_spatial(f, mesh4)
+    got = get_Cl_sharded(f_sh, mesh4, dl=500)
+    m = np.isfinite(np.asarray(ref.Cl))
+    np.testing.assert_allclose(np.asarray(got.ell)[m], np.asarray(ref.ell)[m],
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.Cl)[m], np.asarray(ref.Cl)[m],
+                               rtol=2e-4)
+
+    # cross-spectrum parity too
+    arr2 = (arr + rs.randn(1, 32, 32).astype(np.float32))
+    g = Field(jnp.asarray(arr2), MAP, proj)
+    ref2 = get_Cl(f, g, dl=500)
+    got2 = get_Cl_sharded(f_sh, mesh4, f2=shard_spatial(g, mesh4), dl=500)
+    m2 = np.isfinite(np.asarray(ref2.Cl))
+    np.testing.assert_allclose(np.asarray(got2.Cl)[m2],
+                               np.asarray(ref2.Cl)[m2], rtol=2e-4)
