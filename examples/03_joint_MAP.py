@@ -10,6 +10,16 @@ FAST = bool(int(os.environ.get("CMBL_EXAMPLE_FAST", "0")))  # CI smoke lane
 
 
 import jax
+
+# pin the CPU platform unless the user asks for an accelerator: the
+# tunneled-TPU plugin's backend init blocks indefinitely when its
+# tunnel is down, which would hang any jax.devices() call below
+if os.environ.get("CMBL_EXAMPLE_DEVICE", "cpu") == "cpu":
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 # default to CPU (remote-tunneled TPU attachments can't run the eager
 # tail ops); set CMBL_EXAMPLE_DEVICE=tpu on a directly-attached chip,
 # or use scripts/map_1024.py for the fully on-chip workflow

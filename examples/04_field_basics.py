@@ -5,6 +5,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax
+
+# pin the CPU platform unless the user asks for an accelerator: the
+# tunneled-TPU plugin's backend init blocks indefinitely when its
+# tunnel is down, which would hang any jax.devices() call below
+if os.environ.get("CMBL_EXAMPLE_DEVICE", "cpu") == "cpu":
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 import jax.numpy as jnp
 
 cpu = jax.devices("cpu")[0]

@@ -12,6 +12,16 @@ FAST = bool(int(os.environ.get("CMBL_EXAMPLE_FAST", "0")))  # CI smoke lane
 
 import numpy as np
 import jax
+
+# pin the CPU platform unless the user asks for an accelerator: the
+# tunneled-TPU plugin's backend init blocks indefinitely when its
+# tunnel is down, which would hang any jax.devices() call below
+if os.environ.get("CMBL_EXAMPLE_DEVICE", "cpu") == "cpu":
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 import jax.numpy as jnp
 
 _dev = os.environ.get("CMBL_EXAMPLE_DEVICE", "cpu")
