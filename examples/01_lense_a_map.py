@@ -5,6 +5,7 @@ theory spectra, lense with LenseFlow, and compare power spectra.
 """
 import numpy as np
 import jax
+import os
 
 # pin the CPU platform unless the user asks for an accelerator: the
 # tunneled-TPU plugin's backend init blocks indefinitely when its
