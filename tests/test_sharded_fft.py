@@ -378,3 +378,46 @@ def test_get_Cl_sharded_parity(mesh4):
     m2 = np.isfinite(np.asarray(ref2.Cl))
     np.testing.assert_allclose(np.asarray(got2.Cl)[m2],
                                np.asarray(ref2.Cl)[m2], rtol=2e-4)
+
+
+def test_sharded_wiener_filter_2d_mesh_batched():
+    """Batched data on a 2-D (batch x space) mesh: 2 sims data-parallel
+    while each map's rows shard over 4 devices — solutions match the
+    per-sim single-device solves."""
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    from cmblensing_tpu.models.dataset import load_sim
+    from cmblensing_tpu.inference.maximization import argmaxf_logpdf
+    from cmblensing_tpu.parallel.sharded_wf import sharded_wiener_filter
+    from cmblensing_tpu.core.basis import Basis
+    from cmblensing_tpu.core.field import repeat_batch
+    from cmblensing_tpu.ops import deriv
+
+    mesh2 = spatial_mesh(8, devices=devs, nbatch=2)
+    out = load_sim(thetapix=3, Nside=32, pol="P", T=np.float32, seed=0)
+    ds, phi = out["ds"], out["phi"]
+    phi_m = phi.to(phi.basis.with_space("map"))
+
+    # two distinct data realizations as a batch
+    sims = ds.simulate(jax.random.PRNGKey(5), phi=repeat_batch(phi_m, 2),
+                       batch_shape=(2,))
+    ds_b = ds.replace(d=sims["d"])
+
+    with deriv.mode_ctx("matmul"):
+        f_sh, _ = sharded_wiener_filter(ds_b, phi_m, mesh2,
+                                        batch_axis="batch",
+                                        nsteps=40, tol=1e-10)
+    assert f_sh.arr.shape[0] == 2
+
+    for i in range(2):
+        from cmblensing_tpu.core.field import batch_index
+        di = batch_index(sims["d"], i)
+        f_ref, _ = argmaxf_logpdf(
+            ds.replace(d=di), phi=phi_m,
+            conjgrad_kwargs=dict(tol=1e-10, nsteps=40,
+                                 hessian_precision=None))
+        f_ref_qu = f_ref.to(Basis("QU", "map"))
+        scale = float(jnp.max(jnp.abs(f_ref_qu.arr)))
+        err = float(jnp.max(jnp.abs(f_sh.arr[i] - f_ref_qu.arr)))
+        assert err < 5e-3 * scale, (i, err, scale)
