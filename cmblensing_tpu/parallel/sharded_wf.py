@@ -16,6 +16,7 @@ its fields, FFTs, and solves are all single-device.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -290,7 +291,12 @@ def sharded_MAP_joint(ds, mesh, axis_name="sp", batch_axis=None, nsteps=5,
         g = jax.grad(lambda p: jnp.sum(lp(f, p)))(phi)
         h = fourier_diag_apply_sharded(hpre_p, g, mesh, axis_name,
                                        batch_axis)
-        alphas = jnp.linspace(0.0, alpha_max, ngrid)
+        # 0 plus a log-spaced grid: robust to the step scale (a linear
+        # grid can straddle a small optimum and null every step)
+        alphas = jnp.concatenate([
+            jnp.zeros((1,), jnp.float32),
+            jnp.logspace(np.log10(alpha_max) - 2.5, np.log10(alpha_max),
+                         ngrid - 1, dtype=jnp.float32)])
 
         def eval_alpha(_, a):
             return None, jnp.sum(lp(f, Field(phi.arr + a * h.arr,

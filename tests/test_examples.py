@@ -20,6 +20,7 @@ EXAMPLES = [
     "06_multichip.py",
     "07_muse.py",
     "08_equirect.py",
+    "09_bigmap.py",
 ]
 
 
