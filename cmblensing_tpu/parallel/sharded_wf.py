@@ -292,11 +292,16 @@ def sharded_MAP_joint(ds, mesh, axis_name="sp", batch_axis=None, nsteps=5,
         h = fourier_diag_apply_sharded(hpre_p, g, mesh, axis_name,
                                        batch_axis)
         # 0 plus a log-spaced grid: robust to the step scale (a linear
-        # grid can straddle a small optimum and null every step)
-        alphas = jnp.concatenate([
-            jnp.zeros((1,), jnp.float32),
-            jnp.logspace(np.log10(alpha_max) - 2.5, np.log10(alpha_max),
-                         ngrid - 1, dtype=jnp.float32)])
+        # grid can straddle a small optimum and null every step);
+        # non-positive alpha_max degrades to the all-zero grid instead
+        # of NaNs from log10
+        amax = max(float(alpha_max), 0.0)
+        if amax > 0:
+            tail = jnp.logspace(np.log10(amax) - 2.5, np.log10(amax),
+                                ngrid - 1, dtype=jnp.float32)
+        else:
+            tail = jnp.zeros((ngrid - 1,), jnp.float32)
+        alphas = jnp.concatenate([jnp.zeros((1,), jnp.float32), tail])
 
         def eval_alpha(_, a):
             return None, jnp.sum(lp(f, Field(phi.arr + a * h.arr,

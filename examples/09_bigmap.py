@@ -28,8 +28,6 @@ if os.environ.get("CMBL_EXAMPLE_DEVICE", "cpu") == "cpu":
     except Exception:
         pass
 
-import jax.numpy as jnp
-
 from cmblensing_tpu import (
     load_sim, spatial_mesh, shard_spatial, ShardedLenseFlow,
     sharded_wiener_filter, sharded_MAP_joint, sharded_sample_f,
@@ -64,10 +62,15 @@ pt = np.asarray(phi_m.arr).ravel()
 corr = float(pm @ pt / (np.linalg.norm(pm) * np.linalg.norm(pt) + 1e-30))
 print(f"sharded MAP: corr(phi, phi_true) = {corr:.3f}")
 
-# 4. one HMC step on phi
-phi_hmc, dH, acc = sharded_hmc_phi_step(jax.random.PRNGKey(2), ds, f_wf,
-                                        res["phi"], mesh, N=3, eps=1e-8)
+# 4. one HMC step on phi, conditioned on the MAP's own f
+phi_hmc, dH, acc = sharded_hmc_phi_step(jax.random.PRNGKey(2), ds,
+                                        res["f"], res["phi"], mesh,
+                                        N=3, eps=1e-8)
 print(f"HMC step: dH={float(dH):.3g} accept={bool(acc)}")
+
+# the lensing operator itself is also directly usable on sharded maps
+relensed = ShardedLenseFlow(shard_spatial(phi_hmc, mesh), mesh=mesh) @ res["f"]
+print("re-lensed at the HMC phi:", relensed.arr.sharding.spec)
 
 # 5. spectra binned on device (only bin values leave the mesh)
 cl = get_Cl_sharded(res["phi"], mesh, dl=500)
