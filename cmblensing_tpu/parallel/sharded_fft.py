@@ -178,17 +178,26 @@ def get_Cl_sharded(f1: Field, mesh, f2: Field = None, dl=50, ledges=None,
                      minlength=nbins + 1)[:nbins]
     alpha = proj.Nx * proj.Ny / float(proj.deltax) ** 2
 
-    # pad to the pencil width; padded columns land in the dump bin
+    # pad to the pencil width; padded columns land in the dump bin.
+    # The device reduction runs in f32, so normalize the weights by
+    # their max (w ~ (2L+1)/(2 Clfid^2) can overflow f32 for tiny
+    # fiducial spectra) and undo the scale on the host.
+    wscale = float(np.max(w)) or 1.0
     p = _axsize(mesh, axis_name)
     kp = ((L.shape[-1] + p - 1) // p) * p
     wpad = np.zeros((L.shape[0], kp), np.float32)
-    wpad[:, :L.shape[1]] = w / alpha
+    wpad[:, :L.shape[1]] = w / (alpha * wscale)
     idpad = np.full((L.shape[0], kp), nbins, np.int32)
     idpad[:, :L.shape[1]] = ids
 
     X1 = rfft2_sharded(f1.arr, mesh, axis_name, batch_axis)[..., 0, :, :]
     X2 = (X1 if f2 is f1 else
           rfft2_sharded(f2.arr, mesh, axis_name, batch_axis)[..., 0, :, :])
+    if X1.ndim > 2:
+        # like get_Cl: spectra of the FIRST batch entry
+        # (utils/spectra.py::get_Cl reshapes and takes [0])
+        X1 = X1.reshape((-1,) + X1.shape[-2:])[0]
+        X2 = X2.reshape((-1,) + X2.shape[-2:])[0]
     sh2 = P(None, axis_name)
 
     def body(x1, x2, wl, il):
@@ -202,6 +211,6 @@ def get_Cl_sharded(f1: Field, mesh, f2: Field = None, dl=50, ledges=None,
         in_specs=(sh2, sh2, sh2, sh2), out_specs=P(),
         check_vma=False,
     )(X1, X2, jnp.asarray(wpad), jnp.asarray(idpad))
-    Clb = np.asarray(seg)[:nbins]
+    Clb = np.asarray(seg)[:nbins] * wscale
     with np.errstate(invalid="ignore", divide="ignore"):
         return Cls(lb / A, Clb / A)

@@ -93,12 +93,20 @@ def _split_M(op):
     y-sharded maps (zero communication)."""
     from ..core.ops import LazyOp
     if isinstance(op, LazyOp) and op.kind == "*":
-        legs = (op.X, op.Y)
-        four = [l for l in legs if isinstance(l, Diag) and l.diag.basis.is_fourier]
-        pix = [l for l in legs if isinstance(l, Diag) and l.diag.basis.is_map]
-        if len(four) == 1 and len(pix) == 1:
-            m = jnp.asarray(pix[0].diag.arr)
-            return _eb_diag_grids(four[0], "M"), m
+        fourX = isinstance(op.X, Diag) and op.X.diag.basis.is_fourier
+        pixY = isinstance(op.Y, Diag) and op.Y.diag.basis.is_map
+        if fourX and pixY:
+            return _eb_diag_grids(op.X, "M"), jnp.asarray(op.Y.diag.arr)
+        # the sharded sandwich hard-codes mask-innermost (Mf @ (m @ x));
+        # a mask-OUTERMOST product is a different, non-commuting
+        # operator — refuse rather than silently solve the wrong system
+        pixX = isinstance(op.X, Diag) and op.X.diag.basis.is_map
+        fourY = isinstance(op.Y, Diag) and op.Y.diag.basis.is_fourier
+        if pixX and fourY:
+            raise NotImplementedError(
+                "sharded solve supports M = Mfourier * Mpix (mask applied "
+                "innermost, as load_sim builds); got the mask as the "
+                "OUTER leg, which is a different operator")
     return _eb_diag_grids(op, "M"), None
 
 
@@ -153,46 +161,65 @@ def sharded_wiener_filter(ds, phi: Field, mesh, axis_name="sp",
         mask = shard_spatial(Field(mask, Basis("I", "map"), proj), mesh,
                              axis_name).arr
 
-    def run(grids, d_sh, phi_arr, mask):
-        (op_iCf, op_MBiCn, op_NL, op_prec, op_B, op_Mf2iCn,
-         op_MfiCn) = (ShardedEBDiag(g, proj, mesh, axis_name, batch_axis)
-                      for g in grids)
-        L = ShardedLenseFlow(Field(phi_arr, phi_m.basis, proj),
-                             nsteps=nsteps_flow, mesh=mesh,
-                             axis_name=axis_name, batch_axis=batch_axis)
-
-        if mask is None:
-            # fused sandwich: ONE EB-diag apply per likelihood term
-            def NL(y):
-                return op_NL(y)
-
-            def bterm(dd):
-                return op_MBiCn(dd)
-        else:
-            # B^T mask (Mf^2 Cn^-1) mask B: beam/transfer in the pencil
-            # layout, the pixel mask as a local map-space multiply
-            def NL(y):
-                return op_B(mask * op_Mf2iCn(mask * op_B(y)))
-
-            def bterm(dd):
-                return op_B(mask * op_MfiCn(dd))
-
-        def A(a):
-            return op_iCf(a) + (L.H @ Field(
-                NL((L @ Field(a, QU, proj)).arr), QU, proj)).arr
-
-        b = (L.H @ Field(bterm(d_sh), QU, proj)).arr
-        x, info = conjugate_gradient(op_prec, A, b, nsteps=nsteps, tol=tol)
-        # keep the result y-sharded on the way out of the jit
-        from jax.sharding import NamedSharding
-        from .spatial import _yspec
-        sh = NamedSharding(mesh, _yspec(x.ndim, axis_name, batch_axis))
-        return jax.lax.with_sharding_constraint(x, sh), info
-
     if jit:
-        run = jax.jit(run)  # mask=None is an empty pytree — fine as an arg
-    x, info = run(grids, d_sh, phi_m.arr, mask)
+        # module-level jit keyed on the STATIC solve shape: repeated
+        # calls (MAP steps, Gibbs passes) hit the same compile cache
+        # instead of re-tracing the whole CG-over-LenseFlow program
+        run = _swf_run_jit
+    else:
+        run = _swf_run
+    x, info = run(grids, d_sh, phi_m.arr, mask, mesh=mesh,
+                  axis_name=axis_name, batch_axis=batch_axis,
+                  nsteps=int(nsteps), tol=float(tol),
+                  nsteps_flow=int(nsteps_flow), proj=proj,
+                  phi_basis=phi_m.basis)
     return Field(x, QU, proj), info
+
+
+def _swf_run(grids, d_sh, phi_arr, mask, *, mesh, axis_name, batch_axis,
+             nsteps, tol, nsteps_flow, proj, phi_basis):
+    QU = Basis("QU", "map")
+    (op_iCf, op_MBiCn, op_NL, op_prec, op_B, op_Mf2iCn,
+     op_MfiCn) = (ShardedEBDiag(g, proj, mesh, axis_name, batch_axis)
+                  for g in grids)
+    L = ShardedLenseFlow(Field(phi_arr, phi_basis, proj),
+                         nsteps=nsteps_flow, mesh=mesh,
+                         axis_name=axis_name, batch_axis=batch_axis)
+
+    if mask is None:
+        # fused sandwich: ONE EB-diag apply per likelihood term
+        def NL(y):
+            return op_NL(y)
+
+        def bterm(dd):
+            return op_MBiCn(dd)
+    else:
+        # B^T mask (Mf^2 Cn^-1) mask B: beam/transfer in the pencil
+        # layout, the pixel mask as a local map-space multiply
+        def NL(y):
+            return op_B(mask * op_Mf2iCn(mask * op_B(y)))
+
+        def bterm(dd):
+            return op_B(mask * op_MfiCn(dd))
+
+    def A(a):
+        return op_iCf(a) + (L.H @ Field(
+            NL((L @ Field(a, QU, proj)).arr), QU, proj)).arr
+
+    b = (L.H @ Field(bterm(d_sh), QU, proj)).arr
+    x, info = conjugate_gradient(op_prec, A, b, nsteps=nsteps, tol=tol)
+    # keep the result y-sharded on the way out of the jit
+    from jax.sharding import NamedSharding
+    from .spatial import _yspec
+    sh = NamedSharding(mesh, _yspec(x.ndim, axis_name, batch_axis))
+    return jax.lax.with_sharding_constraint(x, sh), info
+
+
+from functools import partial as _partial
+
+_swf_run_jit = _partial(jax.jit, static_argnames=(
+    "mesh", "axis_name", "batch_axis", "nsteps", "tol", "nsteps_flow",
+    "proj", "phi_basis"))(_swf_run)
 
 
 # =========================================================================
@@ -205,6 +232,10 @@ def _lensing_quadforms(ds, mesh, axis_name, batch_axis):
     leg, when present, as a local map-space multiply)."""
     from ..inference.maximization import _fid
 
+    if getattr(ds, "logprior", None) is not None:
+        raise NotImplementedError(
+            "sharded logpdf/MAP/HMC do not evaluate ds.logprior (it may "
+            "depend on f/phi); drop it or use the single-device path")
     Cf = _eb_diag_grids(_fid(ds.Cf), "Cf")
     Cn = _eb_diag_grids(ds.Cn, "Cn")
     Bm = _eb_diag_grids(_fid(ds.B), "B")
@@ -262,6 +293,12 @@ def sharded_MAP_joint(ds, mesh, axis_name="sp", batch_axis=None, nsteps=5,
     dict(f=..., phi=..., history=[logpdf per step])."""
     from ..inference.maximization import _fid
 
+    if isinstance(ds.d, Field) and ds.d.batch_shape:
+        raise NotImplementedError(
+            "sharded_MAP_joint optimizes ONE phi; batched data would "
+            "need per-entry phis and line-search alphas (as MAP_joint "
+            "does) — run per-entry, or use sharded_wiener_filter which "
+            "does support the batched 2-D mesh")
     ops = _lensing_quadforms(ds, mesh, axis_name, batch_axis)
     proj = ops["proj"]
     I_MAP = Basis("I", "map")
@@ -336,9 +373,12 @@ def sharded_sample_f(key, ds, phi: Field, mesh, axis_name="sp",
     and then sharded. Same key => same sample as inference.sample_f
     (the sharded b is linear in d, so the residual solve IS the
     offset=True solve)."""
+    if phi is None:
+        raise ValueError("sharded_sample_f needs an explicit phi (the "
+                         "solve is conditioned on it); pass a zero map "
+                         "for the unlensed conditional")
     theta = theta or {}
-    sim = (ds.simulate(key, theta=theta) if phi is None
-           else ds.simulate(key, theta=theta, phi=phi))
+    sim = ds.simulate(key, theta=theta, phi=phi)
     dres = ds.d - sim["d"]
     df, info = sharded_wiener_filter(ds, phi, mesh, axis_name, batch_axis,
                                      theta=theta, d=dres, **wf_kwargs)
@@ -370,6 +410,8 @@ def sharded_hmc_phi_step(key, ds, f: Field, phi: Field, mesh,
     inv_lam = pad_multiplier(_safe_inv(lam), mesh, axis_name)
 
     def U(p):
+        # per-batch log-posterior (sharded_lensing_logpdf's dots return
+        # per-batch scalars)
         return sharded_lensing_logpdf(ds, f, p, mesh, axis_name,
                                       batch_axis, nsteps_flow, _ops=ops)
 
@@ -384,14 +426,18 @@ def sharded_hmc_phi_step(key, ds, f: Field, phi: Field, mesh,
     p0 = simulate_op(k1, Lambda, batch_shape=phi.batch_shape).to(phi.basis)
     p0 = shard_spatial(p0, mesh, axis_name, batch_axis)
 
+    # (the trajectory re-traces per call — fine for one-off steps; the
+    # loop-heavy WF solve is the module-level-cached one)
     @jax.jit
     def traj(phi_arr, p_arr):
         x0 = Field(phi_arr, phi.basis, proj)
 
         def energy(xa, pa):
+            # per-batch H: both the potential and the kinetic quad are
+            # per-batch scalars
             quad = fdot(Field(pa, phi.basis, proj),
                         Field(solve(pa), phi.basis, proj))
-            return jnp.sum(U(Field(xa, phi.basis, proj))) - quad / 2
+            return U(Field(xa, phi.basis, proj)) - quad / 2
 
         def step(carry, _):
             xa, pa, gU = carry
@@ -409,7 +455,10 @@ def sharded_hmc_phi_step(key, ds, f: Field, phi: Field, mesh,
     xt, dH = traj(phi.arr, p0.arr)
     logu = jnp.log(jax.random.uniform(k2, shape=jnp.shape(dH)))
     accept = jnp.logical_or(always_accept, logu < dH)
-    acc = jnp.asarray(accept, phi.arr.dtype)
+    # per-batch accept: broadcast against the field's trailing axes
+    from ..core.field import batch_broadcast
+    acc = batch_broadcast(jnp.asarray(accept, phi.arr.dtype),
+                          Field(phi.arr, phi.basis, proj))
     x_new = Field(acc * xt + (1 - acc) * phi.arr, phi.basis, proj)
     return x_new, dH, accept
 

@@ -421,3 +421,35 @@ def test_sharded_wiener_filter_2d_mesh_batched():
         scale = float(jnp.max(jnp.abs(f_ref_qu.arr)))
         err = float(jnp.max(jnp.abs(f_sh.arr[i] - f_ref_qu.arr)))
         assert err < 5e-3 * scale, (i, err, scale)
+
+
+def test_sharded_hmc_batched_2d_mesh():
+    """Batched HMC on a (batch x space) mesh: per-chain dH and accept,
+    per-chain state update (regression: the energy used to mix a
+    batch-summed potential with per-batch kinetic terms and the accept
+    mask was never batch-broadcast)."""
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    from cmblensing_tpu.models.dataset import load_sim
+    from cmblensing_tpu.parallel.sharded_wf import sharded_hmc_phi_step
+    from cmblensing_tpu.core.basis import Basis
+    from cmblensing_tpu.core.field import repeat_batch
+    from cmblensing_tpu.ops import deriv
+
+    mesh2 = spatial_mesh(8, devices=devs, nbatch=2)
+    out = load_sim(thetapix=3, Nside=32, pol="P", T=np.float32, seed=0)
+    ds, phi, f = out["ds"], out["phi"], out["f"]
+    phi_b = repeat_batch(phi.to(phi.basis.with_space("map")), 2)
+    f_b = repeat_batch(f.to(Basis("QU", "map")), 2)
+    sims = ds.simulate(jax.random.PRNGKey(5), phi=phi_b, batch_shape=(2,))
+    ds_b = ds.replace(d=sims["d"])
+
+    with deriv.mode_ctx("matmul"):
+        x, dH, acc = sharded_hmc_phi_step(jax.random.PRNGKey(0), ds_b, f_b,
+                                          phi_b, mesh2, batch_axis="batch",
+                                          N=3, eps=1e-8)
+    assert x.arr.shape[0] == 2
+    assert np.shape(np.asarray(dH)) == (2,)
+    assert np.shape(np.asarray(acc)) == (2,)
+    assert np.all(np.isfinite(np.asarray(x.arr)))
