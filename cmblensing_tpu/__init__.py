@@ -74,6 +74,7 @@ from .parallel.sharded_fft import (
 from .parallel.sharded_wf import (
     sharded_wiener_filter, sharded_lensing_logpdf, sharded_MAP_joint,
     sharded_sample_f, sharded_hmc_phi_step, sharded_gibbs_pass,
+    sharded_sample_joint,
 )
 from .core.field import fgrad, fvalue_and_grad
 from .core.field_tuple import FieldTuple

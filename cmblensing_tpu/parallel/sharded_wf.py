@@ -482,3 +482,90 @@ def sharded_gibbs_pass(key, ds, phi: Field, mesh, axis_name="sp",
         nsteps_flow=nsteps_flow)
     return f, phi_new, dict(cg_iters=wf_info["iterations"], dH=dH,
                             accept=accept)
+
+
+def sharded_sample_joint(key, ds, mesh, nsamps=100, axis_name="sp",
+                         batch_axis=None, cg_nsteps=50, cg_tol=1e-8,
+                         hmc_N=25, hmc_eps=0.01, nsteps_flow=7,
+                         Lambda=None, phistart=None, filename=None,
+                         resume=False, nfilewrite=10, nsavemaps=10,
+                         progress=False):
+    """Gibbs chain on spatially-sharded maps: repeated
+    sharded_gibbs_pass (f by constrained realization, phi by HMC) with
+    the same native CRC-checkpoint/resume machinery as sample_joint
+    (reference src/sampling.jl:180-335). Per-step scalars (logpdf, dH,
+    accept, cg_iters) are recorded every step; the phi map (gathered to
+    host) every `nsavemaps` steps. Returns inference.chains.Chains."""
+    import pickle
+    from ..inference.chains import Chains
+    from ..utils.transfer import device_get_safe
+    from jax.sharding import NamedSharding
+    from .spatial import _yspec
+
+    ops = _lensing_quadforms(ds, mesh, axis_name, batch_axis)
+    proj = ops["proj"]
+    I_MAP = Basis("I", "map")
+    ysh = NamedSharding(mesh, _yspec(3, axis_name, batch_axis))
+
+    start_step = 0
+    if phistart is not None:
+        phi = phistart.to(I_MAP)
+    else:
+        phi = Field(jax.device_put(
+            jnp.zeros((1, proj.Ny, proj.Nx), proj.T.type), ysh), I_MAP, proj)
+
+    ckpt = f"{filename}.ckpt" if filename else None
+    if ckpt and resume:
+        import os as _os
+        if _os.path.exists(ckpt):
+            from ..native import read_records
+            recs = read_records(ckpt)
+            if recs:
+                payload = pickle.loads(recs[-1])
+                st = payload["state"]
+                phi = Field(jax.device_put(jnp.asarray(st["phi"]), ysh),
+                            I_MAP, proj)
+                key = jnp.asarray(st["key"])   # raw uint32 key data
+                start_step = int(st["step"])
+
+    writer = None
+    if ckpt:
+        from ..native import CheckpointWriter
+        writer = CheckpointWriter(ckpt, append=bool(resume))
+
+    chain, chunk = [], []
+    f = None
+    try:
+        for step in range(start_step + 1, nsamps + 1):
+            key, sk = jax.random.split(key)
+            f, phi, info = sharded_gibbs_pass(
+                sk, ds, phi, mesh, axis_name, batch_axis,
+                cg_nsteps=cg_nsteps, cg_tol=cg_tol, hmc_N=hmc_N,
+                hmc_eps=hmc_eps, nsteps_flow=nsteps_flow, Lambda=Lambda)
+            lp = sharded_lensing_logpdf(ds, f, phi, mesh, axis_name,
+                                        batch_axis, nsteps_flow, _ops=ops)
+            entry = dict(step=step,
+                         logpdf=np.asarray(device_get_safe(lp)),
+                         dH=np.asarray(device_get_safe(info["dH"])),
+                         accept=np.asarray(device_get_safe(info["accept"])),
+                         cg_iters=int(info["cg_iters"]))
+            if step % nsavemaps == 0:
+                entry["phi"] = np.asarray(device_get_safe(phi.arr))
+            chain.append(entry)
+            chunk.append(entry)
+            if progress:
+                print(f"sharded_sample_joint step {step}: "
+                      f"logpdf={float(entry['logpdf']):.6g} "
+                      f"accept={bool(np.all(entry['accept']))}", flush=True)
+            if writer and (step % nfilewrite == 0 or step == nsamps):
+                payload = dict(chunk=chunk, state=dict(
+                    step=step,
+                    phi=np.asarray(device_get_safe(phi.arr)),
+                    key=np.asarray(device_get_safe(key))))
+                writer.write(pickle.dumps(payload))
+                chunk = []
+    finally:
+        if writer:
+            writer.flush()
+            writer.close()
+    return Chains([chain])

@@ -453,3 +453,32 @@ def test_sharded_hmc_batched_2d_mesh():
     assert np.shape(np.asarray(dH)) == (2,)
     assert np.shape(np.asarray(acc)) == (2,)
     assert np.all(np.isfinite(np.asarray(x.arr)))
+
+
+def test_sharded_sample_joint_resume(mesh4, tmp_path):
+    """Sharded Gibbs chain with native CRC checkpoints: 4 steps, then
+    resume for 2 more — continuous steps, finite scalars, periodic phi
+    maps recorded."""
+    from cmblensing_tpu.models.dataset import load_sim
+    from cmblensing_tpu.parallel.sharded_wf import sharded_sample_joint
+    from cmblensing_tpu.ops import deriv
+
+    out = load_sim(thetapix=3, Nside=32, pol="P", T=np.float32, seed=0)
+    ds = out["ds"]
+    fn = str(tmp_path / "chain")
+    key = jax.random.PRNGKey(0)
+
+    with deriv.mode_ctx("matmul"):
+        ch = sharded_sample_joint(key, ds, mesh4, nsamps=4, cg_nsteps=15,
+                                  hmc_N=3, hmc_eps=1e-8, filename=fn,
+                                  nfilewrite=2, nsavemaps=2)
+        ch2 = sharded_sample_joint(key, ds, mesh4, nsamps=6, cg_nsteps=15,
+                                   hmc_N=3, hmc_eps=1e-8, filename=fn,
+                                   nfilewrite=2, nsavemaps=2, resume=True)
+    c1 = ch[0]
+    assert [e["step"] for e in c1] == [1, 2, 3, 4]
+    assert all(np.isfinite(e["logpdf"]) for e in c1)
+    assert "phi" in c1[1] and "phi" not in c1[0]
+    c2 = ch2[0]
+    assert [e["step"] for e in c2] == [5, 6]
+    assert all(np.isfinite(e["logpdf"]) for e in c2)
