@@ -27,16 +27,14 @@ motivated by TPU hardware:
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.basis import Basis, lense_basis, deriv_basis
+from ..core.basis import lense_basis
 from ..core.field import Field
 from ..core.proj import ProjLambert
-from ..ops import fft as _fft
 
 
 # =========================================================================
@@ -44,13 +42,7 @@ from ..ops import fft as _fft
 # =========================================================================
 
 from ..ops.deriv import gradhess as _deriv_gradhess, grad_xy as _deriv_grad_xy, \
-    div_xy as _deriv_div_xy, dij_sum as _deriv_dij_sum
-
-
-def _grids(proj):
-    ilx = (1j * jnp.asarray(proj.lx))[None, :]
-    ily = (1j * jnp.asarray(proj.ly))[:, None]
-    return ilx, ily
+    div_xy as _deriv_div_xy
 
 
 def _gradhess_phi(phi_map, proj):
@@ -215,21 +207,37 @@ def _kernel_precision():
 # the differentiable primitive
 # =========================================================================
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _lenseflow_apply(phi_map, f_map, t0, t1, nsteps, proj, backend="scan"):
+def _mode_ctx_or_null(deriv_mode):
+    """Backend pin covering an independently-traced region: the bwd of
+    a custom_vjp is traced during the (later) transpose pass, outside
+    any `with` the caller held at fwd time — so the resolved mode rides
+    the primitives as a static arg and each trace re-enters the ctx."""
+    import contextlib
+    from ..ops import deriv as _deriv
+    return (_deriv.mode_ctx(deriv_mode) if deriv_mode
+            else contextlib.nullcontext())
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _lenseflow_apply(phi_map, f_map, t0, t1, nsteps, proj, backend="scan",
+                     deriv_mode=None):
     """Integrate f from t0 to t1 under the LenseFlow velocity.
     phi_map: (..., 1, Ny, Nx); f_map: (..., ncomp, Ny, Nx) map arrays."""
-    g, h = _gradhess_phi(phi_map, proj)
-    if backend == "pallas":
-        from ..ops.pallas_lenseflow import pallas_flow_apply
-        return pallas_flow_apply(f_map, g, h, float(t0), float(t1),
-                                 int(nsteps), proj, "forward",
-                                 _kernel_precision())
-    return _rk4(lambda t, y: _velocity(t, y, g, h, proj), f_map, t0, t1, nsteps, proj)
+    with _mode_ctx_or_null(deriv_mode):
+        g, h = _gradhess_phi(phi_map, proj)
+        if backend == "pallas":
+            from ..ops.pallas_lenseflow import pallas_flow_apply
+            return pallas_flow_apply(f_map, g, h, float(t0), float(t1),
+                                     int(nsteps), proj, "forward",
+                                     _kernel_precision())
+        return _rk4(lambda t, y: _velocity(t, y, g, h, proj), f_map, t0, t1,
+                    nsteps, proj)
 
 
-def _lenseflow_fwd(phi_map, f_map, t0, t1, nsteps, proj, backend="scan"):
-    out = _lenseflow_apply(phi_map, f_map, t0, t1, nsteps, proj, backend)
+def _lenseflow_fwd(phi_map, f_map, t0, t1, nsteps, proj, backend="scan",
+                   deriv_mode=None):
+    out = _lenseflow_apply(phi_map, f_map, t0, t1, nsteps, proj, backend,
+                           deriv_mode)
     return out, (phi_map, out)
 
 
@@ -341,45 +349,50 @@ def _backward_flow_scan(f1, dy, g, h, proj, t1, t0, nsteps):
     return df0, dphi
 
 
-def _lenseflow_bwd(t0, t1, nsteps, proj, backend, res, dy):
+def _lenseflow_bwd(t0, t1, nsteps, proj, backend, deriv_mode, res, dy):
     """Continuous adjoint: integrate the coupled (f, delta_f, delta_phi)
     system backward t1->t0 (reference negδvelocityᴴ,
     src/lenseflow.jl:176-214), starting from (f(t1), cotangent, 0)."""
     phi_map, f1 = res
-    g, h = _gradhess_phi(phi_map, proj)
-    if backend == "pallas":
-        from ..ops.pallas_lenseflow import pallas_flow_bwd
-        return pallas_flow_bwd(dy, f1, g, h, float(t0), float(t1),
-                               int(nsteps), proj, _kernel_precision())
+    with _mode_ctx_or_null(deriv_mode):
+        g, h = _gradhess_phi(phi_map, proj)
+        if backend == "pallas":
+            from ..ops.pallas_lenseflow import pallas_flow_bwd
+            return pallas_flow_bwd(dy, f1, g, h, float(t0), float(t1),
+                                   int(nsteps), proj, _kernel_precision())
 
-    df0, dphi = _backward_flow_scan(f1, dy, g, h, proj, t1, t0, nsteps)
+        df0, dphi = _backward_flow_scan(f1, dy, g, h, proj, t1, t0, nsteps)
     return (dphi, df0)
 
 
 _lenseflow_apply.defvjp(_lenseflow_fwd, _lenseflow_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def _lenseflow_apply_adjoint(phi_map, f_map, t0, t1, nsteps, proj,
-                             backend="scan"):
+                             backend="scan", deriv_mode=None):
     """Apply L(phi)^dagger (or its inverse-adjoint depending on t0/t1
     direction): integrate the adjoint velocity backward
     (reference flowops.jl:12)."""
-    g, h = _gradhess_phi(phi_map, proj)
-    if backend == "pallas":
-        from ..ops.pallas_lenseflow import pallas_flow_apply
-        return pallas_flow_apply(f_map, g, h, float(t1), float(t0),
-                                 int(nsteps), proj, "adjoint",
-                                 _kernel_precision())
-    return _rk4(lambda t, y: _velocity_adj(t, y, g, h, proj), f_map, t1, t0, nsteps, proj)
+    with _mode_ctx_or_null(deriv_mode):
+        g, h = _gradhess_phi(phi_map, proj)
+        if backend == "pallas":
+            from ..ops.pallas_lenseflow import pallas_flow_apply
+            return pallas_flow_apply(f_map, g, h, float(t1), float(t0),
+                                     int(nsteps), proj, "adjoint",
+                                     _kernel_precision())
+        return _rk4(lambda t, y: _velocity_adj(t, y, g, h, proj), f_map, t1,
+                    t0, nsteps, proj)
 
 
-def _lenseflow_adj_fwd(phi_map, f_map, t0, t1, nsteps, proj, backend="scan"):
-    out = _lenseflow_apply_adjoint(phi_map, f_map, t0, t1, nsteps, proj, backend)
+def _lenseflow_adj_fwd(phi_map, f_map, t0, t1, nsteps, proj, backend="scan",
+                       deriv_mode=None):
+    out = _lenseflow_apply_adjoint(phi_map, f_map, t0, t1, nsteps, proj,
+                                   backend, deriv_mode)
     return out, (phi_map, f_map)
 
 
-def _lenseflow_adj_bwd(t0, t1, nsteps, proj, backend, res, u):
+def _lenseflow_adj_bwd(t0, t1, nsteps, proj, backend, deriv_mode, res, u):
     """VJP of out = L(phi)^H f via <u, L^H f> = <L u, f>:
     the f-cotangent is the FORWARD apply of u, and the phi-cotangent is
     the transpose-delta flow evaluated with (primal := u, cotangent :=
@@ -387,9 +400,10 @@ def _lenseflow_adj_bwd(t0, t1, nsteps, proj, backend, res, u):
     has no AD rule of its own, so the adjoint apply needs this explicit
     custom_vjp to stay differentiable under the fused backend)."""
     phi_map, f_map = res
-    Lu = _lenseflow_apply(phi_map, u, t0, t1, nsteps, proj, backend)
-    dphi, _ = _lenseflow_bwd(t0, t1, nsteps, proj, backend, (phi_map, Lu),
-                             f_map)
+    Lu = _lenseflow_apply(phi_map, u, t0, t1, nsteps, proj, backend,
+                          deriv_mode)
+    dphi, _ = _lenseflow_bwd(t0, t1, nsteps, proj, backend, deriv_mode,
+                             (phi_map, Lu), f_map)
     return (dphi, Lu)
 
 
@@ -442,29 +456,40 @@ class LenseFlow:
         return self.phi.to(self.phi.basis.with_space("map")).arr
 
     def _go(self, f: Field, t0, t1, adjoint):
-        import contextlib
         from ..ops import deriv as _deriv
         B = f.basis
         fl = f.to(lense_basis(B))
         phi_map = self._phi_map()
-        nstate_bwd = 2 * fl.arr.shape[-3] + 1
-        backend = _resolve_backend(fl.arr, f.proj, nstate_bwd)
+        farr = fl.arr
+        # broadcast phi/f to a common batch OUTSIDE the custom_vjp:
+        # jax's own broadcast_to transpose then sums the cotangents over
+        # the broadcast axes (the primitive's bwd contract needs
+        # matching shapes), and the scan carry keeps a fixed shape
+        if phi_map.shape[:-3] != farr.shape[:-3]:
+            batch = jnp.broadcast_shapes(phi_map.shape[:-3],
+                                         farr.shape[:-3])
+            phi_map = jnp.broadcast_to(phi_map, batch + phi_map.shape[-3:])
+            farr = jnp.broadcast_to(farr, batch + farr.shape[-3:])
+        nstate_bwd = 2 * farr.shape[-3] + 1
+        backend = _resolve_backend(farr, f.proj, nstate_bwd)
         # pin the derivative backend while inputs are still concrete:
-        # inside the scan the placement check only sees tracers (this
-        # also covers _gradhess_phi and the pallas path's non-TPU
-        # platform_dependent fallback)
-        ctx = contextlib.nullcontext()
+        # inside the scan the placement check only sees tracers. The
+        # mode rides the primitives as a STATIC arg so the custom_vjp
+        # backward — traced later, outside any ctx held here — resolves
+        # the SAME backend as the forward.
+        deriv_mode = None
         if _deriv.get_deriv_mode() == "auto":
             # delegate to the same policy _backend would apply eagerly
             # (factored / matmul / fft, precision- and size-aware)
-            ctx = _deriv.mode_ctx(_deriv._backend(f.proj, fl.arr))
-        with ctx:
-            if adjoint:
-                out = _lenseflow_apply_adjoint(phi_map, fl.arr, t0, t1,
-                                               self.nsteps, f.proj, backend)
-            else:
-                out = _lenseflow_apply(phi_map, fl.arr, t0, t1,
-                                       self.nsteps, f.proj, backend)
+            deriv_mode = _deriv._backend(f.proj, farr)
+        if adjoint:
+            out = _lenseflow_apply_adjoint(phi_map, farr, t0, t1,
+                                           self.nsteps, f.proj, backend,
+                                           deriv_mode)
+        else:
+            out = _lenseflow_apply(phi_map, farr, t0, t1,
+                                   self.nsteps, f.proj, backend,
+                                   deriv_mode)
         return Field(out, fl.basis, f.proj).to(B)
 
     def __matmul__(self, f: Field) -> Field:

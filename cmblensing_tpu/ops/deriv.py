@@ -78,8 +78,14 @@ def set_matmul_precision(p):
 
 
 def _prec():
-    return (jax.lax.Precision.HIGH if _PRECISION == "high"
-            else jax.lax.Precision.HIGHEST)
+    if _PRECISION == "high":
+        return jax.lax.Precision.HIGH
+    if _PRECISION == "bf16":
+        # single-pass bf16 operands (the TPU DEFAULT) — the dense path
+        # implements this with explicit casts; the factored einsum path
+        # consumes this value directly
+        return jax.lax.Precision.DEFAULT
+    return jax.lax.Precision.HIGHEST
 
 
 def _mm_x(a, M):
@@ -213,7 +219,10 @@ def _pick_B_measured(n):
     env = os.environ.get("CMBL_RADIX_B")
     if env:
         b = int(env)
-        return b if n % b == 0 else 1
+        # the butterfly machinery needs an even radix that divides n;
+        # fall back to 1 (dense) rather than die on an assert deep in
+        # _real_butterfly_mats
+        return b if (b > 1 and b % 2 == 0 and n % b == 0) else 1
     B = 1
     for cand in (2, 4, 8, 16):
         if n % cand == 0 and n // cand >= 256:
@@ -257,10 +266,6 @@ def _backend(proj, arr=None):
             and n <= _FACTORED_MAX):
         return "factored"
     return "matmul" if n <= _MATMUL_MAX else "fft"
-
-
-def _use_matmul(proj, arr=None):
-    return _backend(proj, arr) == "matmul"
 
 
 @functools.lru_cache(maxsize=None)

@@ -61,7 +61,7 @@ def main(N=1024):
     def bwdonly_loop(K, farr, parr):
         # pure custom_vjp backward integration (residual = (phi, f1))
         def body(i, farr):
-            dphi, df0 = _lenseflow_bwd(0.0, 1.0, 7, proj, "scan", (parr, farr), farr)
+            dphi, df0 = _lenseflow_bwd(0.0, 1.0, 7, proj, "scan", None, (parr, farr), farr)
             return farr + eps * df0
         return jnp.sum(jnp.abs(jax.lax.fori_loop(0, K, body, farr)))
 

@@ -92,7 +92,7 @@ def test_pallas_flows_interpret_match_scan():
     assert rel(out, ref) < 1e-5
 
     dy = jax.random.normal(jax.random.PRNGKey(2), f.shape)
-    dphi_ref, df0_ref = _lenseflow_bwd(0., 1., nsteps, proj, "scan", (phi, f), dy)
+    dphi_ref, df0_ref = _lenseflow_bwd(0., 1., nsteps, proj, "scan", None, (phi, f), dy)
     dphi, df0 = plf.pallas_flow_bwd(dy, f, g, h, 0., 1., nsteps, proj,
                                     interpret=True)
     assert rel(df0, df0_ref) < 1e-5
@@ -110,7 +110,7 @@ def test_pallas_split_backward_matches_scan():
     proj, phi, f = _weak_lensing_setup()
     dy = jax.random.normal(jax.random.PRNGKey(2), f.shape)
     g, h = _gradhess_phi(phi, proj)
-    dphi_ref, df0_ref = _lenseflow_bwd(0., 1., 3, proj, "scan", (phi, f), dy)
+    dphi_ref, df0_ref = _lenseflow_bwd(0., 1., 3, proj, "scan", None, (phi, f), dy)
     state = jnp.concatenate([f, dy, jnp.zeros((1,) + f.shape[-2:], f.dtype)],
                             axis=0)
     mats = plf._mats_for(proj, np.float32)
@@ -198,7 +198,7 @@ def test_pallas_bv_backward_matches_scan():
     proj, phi, f = _weak_lensing_setup()
     dy = jax.random.normal(jax.random.PRNGKey(2), f.shape)
     g, h = _gradhess_phi(phi, proj)
-    dphi_ref, df0_ref = _lenseflow_bwd(0., 1., 3, proj, "scan", (phi, f), dy)
+    dphi_ref, df0_ref = _lenseflow_bwd(0., 1., 3, proj, "scan", None, (phi, f), dy)
     state = jnp.concatenate([f, dy, jnp.zeros((1,) + f.shape[-2:], f.dtype)],
                             axis=0)
     out = plf._bv_flow(state, (*g, *h), proj, 3, 1.0, 0.0, "f32",

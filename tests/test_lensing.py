@@ -210,3 +210,54 @@ def test_factored_backend_parity_on_tpu():
     ga = np.asarray(grad_("fft", phi.arr, f.arr))
     gb = np.asarray(grad_("factored", phi.arr, f.arr))
     assert rel(gb, ga) < 1e-4, ("grad", rel(gb, ga))
+
+
+def test_lenseflow_mixed_batching():
+    """phi/f with different batch shapes broadcast to a common batch,
+    and gradients sum cotangents over the broadcast axes (regression:
+    the custom_vjp used to return a dphi with f's batch shape, breaking
+    the bwd shape contract; batched-phi x unbatched-f broke the scan
+    carry)."""
+    import jax
+    import jax.numpy as jnp
+    from cmblensing_tpu.core.proj import ProjLambert
+    from cmblensing_tpu.core import field as F
+    from cmblensing_tpu.core.field import Field
+    from cmblensing_tpu.models.lenseflow import LenseFlow
+
+    from cmblensing_tpu.core.basis import MAP, QU_MAP
+    proj = ProjLambert(16, 16, thetapix=3, T=np.float32)
+    rs = np.random.RandomState(0)
+    phi1 = Field(jnp.asarray(rs.randn(1, 16, 16).astype(np.float32) * 1e-6),
+                 MAP, proj)
+    fb = Field(jnp.asarray(rs.randn(3, 2, 16, 16).astype(np.float32)),
+               QU_MAP, proj)
+
+    # unbatched phi, batched f: forward + phi-gradient
+    out = LenseFlow(phi1) @ fb
+    assert out.arr.shape == (3, 2, 16, 16)
+
+    def lp(parr):
+        return jnp.sum((LenseFlow(Field(parr, MAP, proj)) @ fb).arr ** 2)
+
+    g = jax.grad(lp)(phi1.arr)
+    assert g.shape == phi1.arr.shape          # summed over broadcast axes
+    assert np.all(np.isfinite(np.asarray(g)))
+    # cotangent sum identity: gradient of the broadcast loss equals the
+    # sum of per-entry gradients
+    g_sum = sum(jax.grad(lambda p, i=i: jnp.sum(
+        (LenseFlow(Field(p, MAP, proj)) @ Field(fb.arr[i], QU_MAP, proj)
+         ).arr ** 2))(phi1.arr) for i in range(3))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_sum),
+                               rtol=2e-4, atol=1e-8)
+
+    # batched phi, unbatched f: forward + f-gradient
+    phib = Field(jnp.asarray(rs.randn(3, 1, 16, 16).astype(np.float32) * 1e-6),
+                 MAP, proj)
+    f1 = Field(fb.arr[0], QU_MAP, proj)
+    out2 = LenseFlow(phib) @ f1
+    assert out2.arr.shape == (3, 2, 16, 16)
+    gf = jax.grad(lambda a: jnp.sum(
+        (LenseFlow(phib) @ Field(a, QU_MAP, proj)).arr ** 2))(f1.arr)
+    assert gf.shape == f1.arr.shape
+    assert np.all(np.isfinite(np.asarray(gf)))
