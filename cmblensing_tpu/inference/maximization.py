@@ -242,11 +242,12 @@ def _jit_step_unmix_and_norm(dstheta, theta, f_mix, phi_mix, dphi, alpha,
     alpha may be a scalar or a per-batch-entry vector."""
     if jnp.ndim(alpha) > 0:
         alpha = alpha.reshape(alpha.shape + (1,) * (phi_mix.arr.ndim - jnp.ndim(alpha)))
-    pm = phi_mix + alpha * dphi
-    u = unmix(dstheta, f_mix=f_mix, phi_mix=pm, theta=theta)
-    phi = u["phi"].to(u["phi"].basis.with_space("map"))
-    lp = jnp.sum(Mixed(dstheta).logpdf(f_mix=f_mix, phi_mix=pm, theta=theta))
-    return pm, phi, lp, jnp.max(jnp.atleast_1d(field_norm(dphi)))
+    with _pctx(precision):
+        pm = phi_mix + alpha * dphi
+        u = unmix(dstheta, f_mix=f_mix, phi_mix=pm, theta=theta)
+        phi = u["phi"].to(u["phi"].basis.with_space("map"))
+        lp = jnp.sum(Mixed(dstheta).logpdf(f_mix=f_mix, phi_mix=pm, theta=theta))
+        return pm, phi, lp, jnp.max(jnp.atleast_1d(field_norm(dphi)))
 
 
 _jit_field_norm = jax.jit(lambda g: field_norm(g))
@@ -321,24 +322,26 @@ def _jit_grid_linesearch(dstheta, theta, f_mix, phi_mix, dphi, amax, ngrid,
     # amax may be per-batch-entry: each batched dataset gets its own
     # alpha grid and its own argmax
     alphas = amax * steps if amax.ndim == 0 else steps[:, None] * amax[None, :]
-    res0 = _mixed_gaussian_residuals(dstheta, theta, f_mix, phi_mix)
 
     def _bcast(alpha):
         if jnp.ndim(alpha) == 0:
             return alpha
         return alpha.reshape(alpha.shape + (1,) * (phi_mix.arr.ndim - jnp.ndim(alpha)))
 
-    def dlp_at(alpha):
-        res_a = _mixed_gaussian_residuals(dstheta, theta, f_mix,
-                                          phi_mix + _bcast(alpha) * dphi)
-        total = 0.0
-        for (za, Sa), (z0, S0) in zip(res_a, res0):
-            dz = za - z0.to(za.basis)
-            s = za + z0.to(za.basis)
-            total = total - 0.5 * field_dot(dz, Sa.solve(s))   # () or (nb,)
-        return total
+    with _pctx(precision):
+        res0 = _mixed_gaussian_residuals(dstheta, theta, f_mix, phi_mix)
 
-    dlps = jax.vmap(dlp_at)(alphas)                    # (ngrid,) or (ngrid, nb)
+        def dlp_at(alpha):
+            res_a = _mixed_gaussian_residuals(dstheta, theta, f_mix,
+                                              phi_mix + _bcast(alpha) * dphi)
+            total = 0.0
+            for (za, Sa), (z0, S0) in zip(res_a, res0):
+                dz = za - z0.to(za.basis)
+                s = za + z0.to(za.basis)
+                total = total - 0.5 * field_dot(dz, Sa.solve(s))  # () or (nb,)
+            return total
+
+        dlps = jax.vmap(dlp_at)(alphas)                # (ngrid,) or (ngrid, nb)
     alphas = jnp.concatenate([jnp.zeros_like(alphas[:1]), alphas])
     dlps = jnp.concatenate([jnp.zeros_like(dlps[:1]), dlps])
     dlps = jnp.where(jnp.isfinite(dlps), dlps, -jnp.inf)
@@ -372,6 +375,16 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
     theta = theta or {}
     cg = dict(tol=1e-1, nsteps=500)
     cg.update(conjgrad_kwargs or {})
+    if precision is None:
+        # honor the documented 'strict f32 everywhere': the f-step CG's
+        # own hessian_precision default would otherwise still run
+        # 'high' bf16 Hessian applies
+        cg.setdefault("hessian_precision", None)
+    if getattr(ds, "logprior", None) is not None and linesearch == "grid":
+        # the cancellation-free grid objective covers only the Gaussian
+        # terms; a logprior(f, phi) must be line-searched on the full
+        # mixed logpdf
+        linesearch = "brent"
 
     from ..models.dataset import NoLensingDataSet
     if isinstance(ds, NoLensingDataSet):
@@ -410,6 +423,7 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
 
     history = []
     alpha = 1.0
+    amax = 2.0
     alpha_max0 = alpha_max
     key = key if key is not None else jax.random.PRNGKey(0)
     prev_phi_mix = prev_g = None
@@ -432,6 +446,10 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
             # phi-step
             with timed("MAP_joint/phi_step"):
                 f_mix, phi_mix, g = phi_grad_and_fmix(f, phi)
+                # the secant pair must use the point where g was
+                # evaluated (the PRE-update phi_mix) — saving the
+                # post-update one makes dpm identically zero
+                phi_mix_pre = phi_mix
                 # BFGS-style diagonal Hessian update from smoothed secant
                 # ratios (reference src/maximization.jl:180-186)
                 if (nburnin_update_hessian is not None
@@ -451,7 +469,15 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
                         cl_s = _Cls(cl_s.ell, cl_s.Cl / np.maximum(cl_s.ell, 1) ** 4)
                         Hpre_inv = Cl_to_Cov("I", phi.proj, cl_s, units=1)
                 dphi = Hpre_inv @ g
-                amax = alpha_max0 if alpha_max0 is not None else 2 * alpha
+                if alpha_max0 is not None:
+                    amax = alpha_max0
+                else:
+                    # grow/shrink with the accepted step, but never let a
+                    # null step (alpha=0 self-guard) collapse the grid to
+                    # all-zeros forever — keep the previous scale instead
+                    amax = jnp.where(jnp.asarray(alpha) > 0,
+                                     2.0 * jnp.asarray(alpha, jnp.float32),
+                                     jnp.asarray(amax, jnp.float32))
                 if linesearch == "grid":
                     # single batched on-device evaluation; batched datasets
                     # get a per-entry alpha (see _jit_grid_linesearch)
@@ -497,7 +523,7 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
             if "gradnorm" in history_keys:
                 entry["gradnorm"] = np.asarray(_jit_field_norm(g))
             history.append(entry)
-            prev_phi_mix, prev_g = phi_mix, g
+            prev_phi_mix, prev_g = phi_mix_pre, g
             if step > minsteps and dnorm * alpha_s < gradtol:
                 break
 
@@ -552,6 +578,8 @@ def MAP_marg(ds: DataSet, theta=None, key=None, phistart=None, nsteps=10,
     theta = theta or {}
     cg = dict(tol=1e-1, nsteps=500)
     cg.update(conjgrad_kwargs or {})
+    if precision is None:
+        cg.setdefault("hessian_precision", None)  # strict f32 end-to-end
     key = key if key is not None else jax.random.PRNGKey(0)
 
     dstheta = ds.at(theta)
@@ -595,6 +623,11 @@ def MAP_marg(ds: DataSet, theta=None, key=None, phistart=None, nsteps=10,
             g_sims = phi_gradient(phi_b, f_wf_sims, d_sims)
             gbar = _jit_marg_mean_field(g_sims)
 
+        if gbar is None:
+            # nsteps_with_meanfield_update < 1: no mean-field estimate
+            # yet — subtract nothing instead of crashing on None
+            gbar = Field(jnp.zeros_like(g_data.arr), g_data.basis,
+                         g_data.proj)
         phi, gnorm = _jit_marg_update(dstheta, theta, phi, g_data, gbar,
                                       jnp.float32(alpha))
         history.append(dict(step=step, phi=phi))

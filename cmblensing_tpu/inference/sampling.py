@@ -129,6 +129,16 @@ def grid_and_sample(key, logpdf_fn, xs, nsamples=1, smooth_frac=0.1,
     for b in range(nb):
         lp = lps[:, b].copy()
         finite = np.isfinite(lp)
+        if not finite.any():
+            # a poisoned chain (NaN state / -inf grid everywhere):
+            # sample uniformly from the grid rather than killing the
+            # whole run with a zero-size reduction
+            import warnings
+            warnings.warn("grid_and_sample: no finite logpdf on the grid "
+                          f"for batch entry {b}; sampling uniformly",
+                          stacklevel=2)
+            finite = np.ones_like(finite)
+            lp = np.zeros_like(lp)
         xs_b, lp_b = xs[finite], lp[finite]
         lp_b = lp_b - lp_b.max()
         # mild smoothing of the log pdf (reference uses loess)
@@ -142,7 +152,10 @@ def grid_and_sample(key, logpdf_fn, xs, nsamples=1, smooth_frac=0.1,
         pdf = np.exp(lp_s - lp_s.max())
         cdf = np.cumsum((pdf[1:] + pdf[:-1]) / 2 * np.diff(xs_b))
         cdf = np.concatenate([[0], cdf])
-        cdf /= cdf[-1]
+        if cdf[-1] > 0:
+            cdf /= cdf[-1]
+        else:  # fully underflowed pdf: fall back to uniform sampling
+            cdf = np.linspace(0.0, 1.0, len(xs_b))
         key, sub = jax.random.split(key)
         r = np.asarray(jax.random.uniform(sub, (nsamples,)))
         out[:, b] = np.interp(r, cdf, xs_b)
@@ -379,7 +392,7 @@ def sample_joint(
                 state = gibbs_mix(state, ds_b)
             with timed("gibbs/sample_phi"):
                 state = gibbs_sample_phi(state, ds_b, symp_kwargs,
-                                         always_accept=(state["step"] < nburnin_always_accept))
+                                         always_accept=(state["step"] <= nburnin_always_accept))
             with timed("gibbs/sample_theta"):
                 for name, rng_ in theta_range.items():
                     state = gibbs_sample_slice_theta(name, rng_)(state, ds_b)
