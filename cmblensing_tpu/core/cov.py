@@ -19,10 +19,7 @@ from ..utils.cls import Cls
 def Cl_to_2D(Cl, proj: ProjLambert):
     """Evaluate a 1-D spectrum on the 2-D |l| grid, NaN->0
     (src/proj_lambert.jl:173-175)."""
-    if callable(Cl) and not isinstance(Cl, Cls):
-        v = Cl(np.asarray(proj.lmag, dtype=np.float64))
-    else:
-        v = Cl(np.asarray(proj.lmag, dtype=np.float64))
+    v = Cl(np.asarray(proj.lmag, dtype=np.float64))
     v = np.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
     return v.astype(proj.T)
 
@@ -50,6 +47,17 @@ def Cl_to_Cov(pol, proj: ProjLambert, *Cl, units=None):
     has_banded = any(isinstance(c, tuple) for c in Cl)
     if not has_banded:
         return _cl_to_cov_fixed(pol, proj, Cl, units)
+    # only these banded patterns are implemented (which spectra carry a
+    # (Cl, ledges, name) tuple); anything else used to fail later with
+    # a baffling unpack error
+    supported = {"I": (True,), "P": (True, False),
+                 "IP": (True, True, False, True)}
+    banded = tuple(isinstance(c, tuple) for c in Cl)
+    if banded != supported.get(pol):
+        raise NotImplementedError(
+            f"banded Cl_to_Cov('{pol}') supports tuple spectra in the "
+            f"pattern {supported.get(pol)} (True = (Cl, ledges, name)); "
+            f"got {banded}")
     return _cl_to_cov_banded(pol, proj, Cl, units)
 
 
@@ -147,5 +155,9 @@ def cov_to_Cl(C, **kwargs):
     d = C.diag if isinstance(C, Diag) else C
     proj = d.proj
     alpha = proj.Nx * proj.Ny / float(proj.deltax) ** 2
+    # the reference scales the sqrt-diagonal FIELD by sqrt(alpha)
+    # (proj_lambert.jl:417); get_Cl is quadratic in the field, so the
+    # equivalent output factor is alpha (a sqrt(alpha) output factor
+    # left the round trip cov_to_Cl(Cl_to_Cov(Cl)) low by 1/sqrt(alpha))
     f = Field(jnp.sqrt(jnp.abs(d.arr)).astype(d.arr.dtype), d.basis, proj)
-    return get_Cl(f, **kwargs) * np.sqrt(alpha)
+    return get_Cl(f, **kwargs) * alpha

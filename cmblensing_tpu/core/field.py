@@ -102,14 +102,6 @@ class Field:
         return self.to(harmonic_basis(self.basis))
 
     # --- component access ------------------------------------------------
-    _COMP_INDEX = {
-        ("I",): {"I": 0},
-        ("QU",): {"Q": 0, "U": 1},
-        ("EB",): {"E": 0, "B": 1},
-        ("IQU",): {"I": 0, "Q": 1, "U": 2},
-        ("IEB",): {"I": 0, "E": 1, "B": 2},
-    }
-
     def __getitem__(self, k):
         """f['I'], f['E'], f['Q'], ... — extract a spin-0 sub-field, with
         automatic basis conversion like the reference's f[:El] etc.
@@ -327,10 +319,12 @@ def randn(key, proj: ProjLambert, pol="I", batch_shape=()) -> Field:
     return Field(jax.random.normal(key, shape, dtype=proj.T.type), b, proj)
 
 
-def white_noise_like(key, f: Field) -> Field:
-    """White noise matching f's pol/batch, in map basis."""
+def white_noise_like(key, f: Field, batch_shape=None) -> Field:
+    """White noise matching f's pol/batch (or an explicit batch_shape),
+    in map basis."""
     b = f.basis.with_space("map")
-    shape = f.batch_shape + (b.ncomp, f.proj.Ny, f.proj.Nx)
+    bs = f.batch_shape if batch_shape is None else tuple(batch_shape)
+    shape = bs + (b.ncomp, f.proj.Ny, f.proj.Nx)
     return Field(jax.random.normal(key, shape, dtype=f.proj.T.type), b, f.proj)
 
 

@@ -137,11 +137,18 @@ class OpAlgebra:
     def __mul__(self, other):
         if isinstance(other, (int, float)) or (hasattr(other, "ndim") and not isinstance(other, (Field,)) and getattr(other, "ndim", None) in (0, 1)):
             return Scaled(other, self)
+        if isinstance(other, Field):
+            # fail HERE rather than deep inside a later LazyOp apply
+            raise TypeError("operators apply to Fields with '@' "
+                            "(op @ f); '*' composes operators")
         return LazyOp("*", self, other)
 
     def __rmul__(self, other):
         if isinstance(other, (int, float)) or (hasattr(other, "ndim") and not isinstance(other, (Field,)) and getattr(other, "ndim", None) in (0, 1)):
             return Scaled(other, self)
+        if isinstance(other, Field):
+            raise TypeError("operators apply to Fields with '@' "
+                            "(op @ f); '*' composes operators")
         return LazyOp("*", other, self)
 
     def __truediv__(self, other):
@@ -473,15 +480,29 @@ class ParamDependentOp(OpAlgebra):
 
 
 def evaluate_at(op, theta):
-    """op(theta) for anything — no-op for parameter-independent ops
-    (reference `(ds::DataSet)(θ)` src/dataset.jl:12-18)."""
+    """op(theta) for anything — no-op for parameter-independent ops,
+    RECURSIVE through Scaled/LazyOp compositions (the reference's
+    LazyBinaryOp propagates θ; src/dataset.jl:12-18)."""
     if isinstance(op, ParamDependentOp):
         return op(theta)
+    if isinstance(op, Scaled):
+        inner = evaluate_at(op.op, theta)
+        return op if inner is op.op else Scaled(op.scalar, inner)
+    if isinstance(op, LazyOp):
+        X = evaluate_at(op.X, theta)
+        Y = evaluate_at(op.Y, theta)
+        return op if (X is op.X and Y is op.Y) else LazyOp(op.kind, X, Y)
     return op
 
 
 def depends_on(op, theta):
-    return isinstance(op, ParamDependentOp) and op.depends_on(theta)
+    if isinstance(op, ParamDependentOp):
+        return op.depends_on(theta)
+    if isinstance(op, Scaled):
+        return depends_on(op.op, theta)
+    if isinstance(op, LazyOp):
+        return depends_on(op.X, theta) or depends_on(op.Y, theta)
+    return False
 
 
 # =========================================================================
@@ -490,20 +511,26 @@ def depends_on(op, theta):
 
 @jax.tree_util.register_pytree_node_class
 class BlockDiagIEB(OpAlgebra):
-    """A T/E/B covariance with TE cross-correlation:
+    """A T/E/B operator with TE cross-coupling:
 
-        [ STT STE  .           stored as four Fourier-diagonal spin-0
-          STE SEE  .           fields (TT, TE, EE) plus BB.
+        [ STT STE  .           stored as Fourier-diagonal spin-0
+          SET SEE  .           fields (TT, TE, ET, EE) plus BB.
            .   .  SBB ]
-    """
 
-    __slots__ = ("TT", "TE", "EE", "BB")
+    Covariances are symmetric (ET = TE, the default); PRODUCTS of
+    non-commuting blocks are not, so — like the reference, whose ΣTE is
+    a full 2x2 SizedMatrix (src/specialops.jl:61-103) — the class
+    carries a separate ET entry when needed (e.g. the mixing matrix
+    D(r) = sqrt((Cf + A) pinv(Cf)) for IP datasets)."""
 
-    def __init__(self, TT: Field, TE: Field, EE: Field, BB: Field):
+    __slots__ = ("TT", "TE", "EE", "BB", "ET")
+
+    def __init__(self, TT: Field, TE: Field, EE: Field, BB: Field, ET=None):
         self.TT, self.TE, self.EE, self.BB = TT, TE, EE, BB
+        self.ET = TE if ET is None else ET
 
     def tree_flatten(self):
-        return (self.TT, self.TE, self.EE, self.BB), None
+        return (self.TT, self.TE, self.EE, self.BB, self.ET), None
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
@@ -514,55 +541,61 @@ class BlockDiagIEB(OpAlgebra):
         return self.TT.proj
 
     def _blocks(self):
-        return self.TT.arr, self.TE.arr, self.EE.arr, self.BB.arr
+        return (self.TT.arr, self.TE.arr, self.ET.arr, self.EE.arr,
+                self.BB.arr)
 
     def __matmul__(self, f: Field):
         g = f.to(IEB_FOURIER)
-        tt, te, ee, bb = self._blocks()
+        tt, te, et, ee, bb = self._blocks()
         i = g.arr[..., 0, :, :] * tt[..., 0, :, :] + g.arr[..., 1, :, :] * te[..., 0, :, :]
-        e = g.arr[..., 0, :, :] * te[..., 0, :, :] + g.arr[..., 1, :, :] * ee[..., 0, :, :]
+        e = g.arr[..., 0, :, :] * et[..., 0, :, :] + g.arr[..., 1, :, :] * ee[..., 0, :, :]
         b = g.arr[..., 2, :, :] * bb[..., 0, :, :]
         return Field(jnp.stack([i, e, b], axis=-3), IEB_FOURIER, g.proj)
 
     def _inv_blocks(self):
-        tt, te, ee, bb = self._blocks()
-        det = tt * ee - te * te
+        tt, te, et, ee, bb = self._blocks()
+        det = tt * ee - te * et
         itt = safe_divide(ee, det)
         iee = safe_divide(tt, det)
         ite = safe_divide(-te, det)
+        iet = safe_divide(-et, det)
         ibb = safe_reciprocal(bb)
-        return itt, ite, iee, ibb
+        return itt, ite, iet, iee, ibb
 
     def solve(self, f: Field):
         g = f.to(IEB_FOURIER)
-        itt, ite, iee, ibb = self._inv_blocks()
+        itt, ite, iet, iee, ibb = self._inv_blocks()
         i = g.arr[..., 0, :, :] * itt[..., 0, :, :] + g.arr[..., 1, :, :] * ite[..., 0, :, :]
-        e = g.arr[..., 0, :, :] * ite[..., 0, :, :] + g.arr[..., 1, :, :] * iee[..., 0, :, :]
+        e = g.arr[..., 0, :, :] * iet[..., 0, :, :] + g.arr[..., 1, :, :] * iee[..., 0, :, :]
         b = g.arr[..., 2, :, :] * ibb[..., 0, :, :]
         return Field(jnp.stack([i, e, b], axis=-3), IEB_FOURIER, g.proj)
 
     def pinv(self):
-        itt, ite, iee, ibb = self._inv_blocks()
+        itt, ite, iet, iee, ibb = self._inv_blocks()
         F = lambda a: Field(a, FOURIER, self.proj)
-        return BlockDiagIEB(F(itt), F(ite), F(iee), F(ibb))
+        return BlockDiagIEB(F(itt), F(ite), F(iee), F(ibb), F(iet))
 
     inv = pinv
 
     @property
     def H(self):
-        return self  # real symmetric
+        if self.ET is self.TE:
+            return self  # symmetric
+        return BlockDiagIEB(self.TT, self.ET, self.EE, self.BB, self.TE)
 
     def sqrt(self):
-        """Matrix sqrt of the 2x2 TE block per mode (closed form for
-        symmetric 2x2: (A + sqrt(det) I)/sqrt(tr + 2 sqrt(det)))."""
-        tt, te, ee, bb = self._blocks()
-        s = jnp.sqrt(jnp.maximum(tt * ee - te * te, 0.0))
+        """Matrix sqrt of the 2x2 TE block per mode via Cayley-Hamilton
+        (valid for any 2x2 with no negative real eigenvalues):
+        sqrt(A) = (A + sqrt(det) I)/sqrt(tr + 2 sqrt(det))."""
+        tt, te, et, ee, bb = self._blocks()
+        s = jnp.sqrt(jnp.maximum(tt * ee - te * et, 0.0))
         t = jnp.sqrt(tt + ee + 2 * s)
         stt = safe_divide(tt + s, t)
         ste = safe_divide(te, t)
+        set_ = safe_divide(et, t)
         see = safe_divide(ee + s, t)
         F = lambda a: Field(a, FOURIER, self.proj)
-        return BlockDiagIEB(F(stt), F(ste), F(see), F(jnp.sqrt(bb)))
+        return BlockDiagIEB(F(stt), F(ste), F(see), F(jnp.sqrt(bb)), F(set_))
 
     def diag(self) -> Field:
         return Field(jnp.concatenate([self.TT.arr, self.EE.arr, self.BB.arr], axis=-3),
@@ -584,23 +617,30 @@ class BlockDiagIEB(OpAlgebra):
 
     def __mul__(self, other):
         if isinstance(other, BlockDiagIEB):
-            tt, te, ee, bb = self._blocks()
-            ott, ote, oee, obb = other._blocks()
+            # full 2x2 block product — NOT symmetric unless the blocks
+            # commute (the reference's ΣTE*ΣTE matrix product,
+            # specialops.jl:98)
+            tt, te, et, ee, bb = self._blocks()
+            ott, ote, oet, oee, obb = other._blocks()
             F = lambda a: Field(a, FOURIER, self.proj)
-            return BlockDiagIEB(F(tt * ott + te * ote), F(tt * ote + te * oee),
-                                F(te * ote + ee * oee), F(bb * obb))
+            return BlockDiagIEB(F(tt * ott + te * oet),   # (T,T)
+                                F(tt * ote + te * oee),   # (T,E)
+                                F(et * ote + ee * oee),   # (E,E)
+                                F(bb * obb),
+                                F(et * ott + ee * oet))   # (E,T)
         return super().__mul__(other)
 
     def __add__(self, other):
         F = lambda a: Field(a, FOURIER, self.proj)
         if isinstance(other, BlockDiagIEB):
             return BlockDiagIEB(F(self.TT.arr + other.TT.arr), F(self.TE.arr + other.TE.arr),
-                                F(self.EE.arr + other.EE.arr), F(self.BB.arr + other.BB.arr))
+                                F(self.EE.arr + other.EE.arr), F(self.BB.arr + other.BB.arr),
+                                F(self.ET.arr + other.ET.arr))
         if isinstance(other, Diag) and other.basis == IEB_FOURIER:
             o = other.diag.arr
             return BlockDiagIEB(F(self.TT.arr + o[..., 0:1, :, :]), self.TE,
                                 F(self.EE.arr + o[..., 1:2, :, :]),
-                                F(self.BB.arr + o[..., 2:3, :, :]))
+                                F(self.BB.arr + o[..., 2:3, :, :]), self.ET)
         return super().__add__(other)
 
 
@@ -687,11 +727,27 @@ def grad_y(f: Field) -> Field:
     return Field(g.arr * _ily(g.proj), g.basis, g.proj)
 
 
+def _neg_grad_x(f):
+    return -grad_x(f)
+
+
+def _neg_grad_y(f):
+    return -grad_y(f)
+
+
+_GRADIENT_OPS = None
+
+
 def gradient_ops(proj=None):
-    """The pair (d/dx, d/dy) as FuncOps. Adjoint of d/dx is -d/dx."""
-    gx = FuncOp(op=grad_x, opH=lambda f: -grad_x(f))
-    gy = FuncOp(op=grad_y, opH=lambda f: -grad_y(f))
-    return (gx, gy)
+    """The pair (d/dx, d/dy) as FuncOps. Adjoint of d/dx is -d/dx.
+    Returns module-level singletons: FuncOp identity is its function
+    objects (pytree aux-data), so fresh lambdas per call would retrace
+    every jit that receives them (see the FuncOp docstring)."""
+    global _GRADIENT_OPS
+    if _GRADIENT_OPS is None:
+        _GRADIENT_OPS = (FuncOp(op=grad_x, opH=_neg_grad_x),
+                         FuncOp(op=grad_y, opH=_neg_grad_y))
+    return _GRADIENT_OPS
 
 
 def gradient(f: Field):
@@ -732,16 +788,19 @@ def logdet(op):
     if isinstance(op, ParamDependentOp):
         return logdet(op.fiducial)
     if isinstance(op, Scaled):
-        # n * log(s) + logdet(op): need op dimension; only support Diag
+        # logdet(s*A) = n_nonzero * log|s| + logdet(A), counting only
+        # the NONZERO modes of A — consistent with the safe_log_abs
+        # pseudo-logdet convention everywhere else (zero/singular modes
+        # contribute nothing at any s)
         inner = op.op
         ld = logdet(inner)
-        n = _op_dim(inner)
+        n = _op_nonzero_dim(inner)
         s = op.scalar
         return ld + n * jnp.log(jnp.abs(s))
     if isinstance(op, BlockDiagIEB):
         lam = jnp.asarray(op.proj.lam_rfft)
-        tt, te, ee, bb = op._blocks()
-        det2 = tt * ee - te * te
+        tt, te, et, ee, bb = op._blocks()
+        det2 = tt * ee - te * et
         v = (safe_log_abs(det2) + safe_log_abs(bb)) * lam
         return jnp.sum(jnp.real(v), axis=(-1, -2, -3))
     if isinstance(op, Diag):
@@ -765,12 +824,34 @@ def _op_dim(op):
     raise TypeError(type(op))
 
 
+def _op_nonzero_dim(op):
+    """Number of nonzero (non-singular) modes of a diagonal-like op,
+    with rfft degeneracy weights — the dimension that scales a
+    pseudo-logdet under s*A."""
+    if isinstance(op, Diag):
+        d = op.diag
+        if d.basis.is_fourier:
+            lam = jnp.asarray(d.proj.lam_rfft)
+            return jnp.sum((d.arr != 0) * lam, axis=(-1, -2, -3))
+        return jnp.sum(d.arr != 0, axis=(-1, -2, -3))
+    if isinstance(op, BlockDiagIEB):
+        lam = jnp.asarray(op.proj.lam_rfft)
+        tt, te, et, ee, bb = op._blocks()
+        det2 = tt * ee - te * et
+        return jnp.sum(((det2 != 0) * 2 + (bb != 0)) * lam,
+                       axis=(-1, -2, -3))
+    raise TypeError(f"logdet of Scaled({type(op).__name__}) needs a "
+                    "diagonal-like inner operator")
+
+
 def logdet_rel(op, theta):
     """logdet(op(theta)) - logdet(op(fiducial)) if op depends on theta,
-    else 0 (reference src/generic.jl:263-271)."""
+    else 0 (reference src/generic.jl:263-271). Works through
+    Scaled/LazyOp compositions of parameter-dependent ops."""
     if depends_on(op, theta):
-        fid = op.fiducial
-        at = op(theta)
+        fid = op.fiducial if isinstance(op, ParamDependentOp) \
+            else evaluate_at(op, {})
+        at = evaluate_at(op, theta)
         return logdet(at) - logdet(fid)
     return 0.0
 
@@ -805,11 +886,9 @@ def diag_field(op):
 def simulate_op(key, op, batch_shape=()):
     """Draw xi with <xi xi'> = op: sqrt(op) @ whitenoise
     (src/specialops.jl:6)."""
-    from .field import white_noise_like, Field as F
+    from .field import white_noise_like
     d = _diag_field_of(op)
-    b_map = d.basis.with_space("map")
-    shape = batch_shape + (d.ncomp, d.proj.Ny, d.proj.Nx)
-    xi = F(jax.random.normal(key, shape, dtype=d.proj.T.type), b_map, d.proj)
+    xi = white_noise_like(key, d, batch_shape=batch_shape)
     if isinstance(op, ParamDependentOp):
         op = op.fiducial
     return op.sqrt() @ xi

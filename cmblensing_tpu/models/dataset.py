@@ -34,10 +34,10 @@ from .lenseflow import LenseFlow
 
 
 def _op_call(op, theta):
-    """Evaluate a (possibly parameter-dependent) operator at theta."""
-    if isinstance(op, ParamDependentOp):
-        return op(theta)
-    return op
+    """Evaluate a (possibly parameter-dependent) operator at theta —
+    recursive through Scaled/LazyOp compositions."""
+    from ..core.ops import evaluate_at
+    return evaluate_at(op, theta)
 
 
 # module-level singleton so DataSets from different load_sim calls share
@@ -348,7 +348,8 @@ def _add_scalar_identity(op, s):
         return Diag(Field(op.diag.arr + s, op.diag.basis, op.diag.proj))
     if isinstance(op, BlockDiagIEB):
         F = lambda a: Field(a, op.TT.basis, op.proj)
-        return BlockDiagIEB(F(op.TT.arr + s), op.TE, F(op.EE.arr + s), F(op.BB.arr + s))
+        return BlockDiagIEB(F(op.TT.arr + s), op.TE, F(op.EE.arr + s),
+                            F(op.BB.arr + s), op.ET)
     raise TypeError(type(op))
 
 
@@ -536,7 +537,7 @@ def _op_scale(s, op):
         return Diag(Field(s * op.diag.arr, op.diag.basis, op.diag.proj))
     if isinstance(op, BlockDiagIEB):
         F = lambda a: Field(s * a.arr, a.basis, a.proj)
-        return BlockDiagIEB(F(op.TT), F(op.TE), F(op.EE), F(op.BB))
+        return BlockDiagIEB(F(op.TT), F(op.TE), F(op.EE), F(op.BB), F(op.ET))
     return Scaled(s, op)
 
 
@@ -548,7 +549,8 @@ def _op_lincomb(a, s, b):
         return Diag(Field(a.diag.arr + s * gb.arr, a.diag.basis, a.diag.proj))
     if isinstance(a, BlockDiagIEB) and isinstance(b, BlockDiagIEB):
         F = lambda x, y: Field(x.arr + s * y.arr, x.basis, x.proj)
-        return BlockDiagIEB(F(a.TT, b.TT), F(a.TE, b.TE), F(a.EE, b.EE), F(a.BB, b.BB))
+        return BlockDiagIEB(F(a.TT, b.TT), F(a.TE, b.TE), F(a.EE, b.EE),
+                            F(a.BB, b.BB), F(a.ET, b.ET))
     raise TypeError((type(a), type(b)))
 
 

@@ -278,3 +278,92 @@ def test_gmres_arnoldi_jit_pytree_preconditioned():
     bb = jnp.asarray(rs.randn(4).astype(np.float32))
     xb = gmres(lambda v: d * v, bb, maxiter=4)
     assert np.allclose(np.asarray(xb), np.asarray(bb / d), atol=1e-5)
+
+
+def test_cov_to_cl_roundtrip():
+    """cov_to_Cl(Cl_to_Cov(Cl)) ~ Cl (regression: the output factor was
+    sqrt(alpha) where the quadratic estimator needs alpha, leaving the
+    round trip low by ~1/sqrt(alpha) ~ 1e-5)."""
+    from cmblensing_tpu.core.cov import cov_to_Cl
+
+    proj = _proj(64, 64)
+    Cl = camb()["unlensed_scalar"]["TT"]
+    back = cov_to_Cl(Cl_to_Cov("I", proj, Cl, units=1))
+    ells, vals = np.asarray(back.ell), np.asarray(back.Cl)
+    m = np.isfinite(vals) & (ells > 300) & (ells < 2000)
+    ratio = vals[m] / np.asarray(Cl(ells[m]))
+    assert abs(np.median(ratio) - 1) < 0.05, np.median(ratio)
+
+
+def test_blockdiag_asymmetric_product():
+    """(A*B)@f == A@(B@f) for non-commuting TE blocks, and the matrix
+    sqrt of the (asymmetric) mixing product squares back (regression:
+    the product used to be silently symmetrized, corrupting the IP
+    mixing matrix D(r) = sqrt((Cf+A) pinv(Cf)))."""
+    from cmblensing_tpu.core.basis import Basis
+    proj = _proj(8, 8)
+    rs = np.random.RandomState(0)
+    mk = lambda a: Field(jnp.asarray(a.astype(np.complex64)), FOURIER, proj)
+    tt = rs.rand(1, 8, 5) + 2.0
+    ee = rs.rand(1, 8, 5) + 2.0
+    te = rs.rand(1, 8, 5) * 0.5
+    bb = rs.rand(1, 8, 5) + 1.0
+    Cf = BlockDiagIEB(mk(tt), mk(te), mk(ee), mk(bb))
+    num = BlockDiagIEB(mk(tt + 0.3), mk(te), mk(ee + 0.9), mk(bb + 0.5))
+
+    f = Field(jnp.asarray(rs.randn(3, 8, 8).astype(np.float32)),
+              Basis("IEB", "map"), proj)
+    P = num * Cf.pinv()
+    lhs = (P @ f).arr
+    rhs = (num @ (Cf.solve(f))).arr
+    assert float(jnp.max(jnp.abs(lhs - rhs))) < 1e-4
+
+    S = P.sqrt()
+    err = float(jnp.max(jnp.abs(((S * S) @ f).arr - lhs))) / \
+        float(jnp.max(jnp.abs(lhs)))
+    assert err < 1e-5, err
+
+
+def test_theta_through_compositions():
+    """Scaled/LazyOp wrappers around a ParamDependentOp evaluate theta
+    recursively (regression: they silently applied the fiducial)."""
+    from cmblensing_tpu.core.ops import evaluate_at, depends_on
+
+    proj = _proj()
+    Cl = camb()["unlensed_scalar"]["TT"]
+    Cf = Cl_to_Cov("I", proj, (Cl, np.array([0.0, 5000.0]), "A"))
+    f = F.randn(jax.random.PRNGKey(0), proj, pol="I")
+
+    for op in (2.0 * Cf, Cf + Cf):
+        assert depends_on(op, dict(A=np.array([3.0])))
+        at = evaluate_at(op, dict(A=np.array([3.0])))
+        base = evaluate_at(op, dict(A=np.array([1.0])))
+        r = float(F.dot(f, at @ f) / F.dot(f, base @ f))
+        assert abs(r - 3.0) < 1e-3, r
+
+
+def test_logdet_scaled_counts_nonzero_modes():
+    """logdet(s*A) = n_nonzero log s + logdet(A): zero modes of A must
+    not contribute (regression: the full dimension was used)."""
+    from cmblensing_tpu.core.ops import logdet
+
+    proj = _proj()
+    # half the modes zero
+    arr = np.ones((1, 16, 9), np.complex64)
+    arr[:, 8:, :] = 0.0
+    D = Diag(Field(jnp.asarray(arr), FOURIER, proj))
+    ld1 = float(logdet(D))
+    ld2 = float(logdet(2.0 * D))
+    lam = np.broadcast_to(np.asarray(proj.lam_rfft)[None, None, :], arr.shape)
+    n_nonzero = float((lam * (arr != 0)).sum())
+    assert abs((ld2 - ld1) - n_nonzero * np.log(2.0)) < 1e-3
+
+
+def test_op_times_field_raises():
+    """op * Field fails immediately with guidance (regression: it built
+    a broken LazyOp that died far from the mistake)."""
+    proj = _proj()
+    f = F.randn(jax.random.PRNGKey(0), proj, pol="I")
+    Dop = Diag(Field(jnp.abs(f.arr) + 1.0, MAP, proj))
+    with pytest.raises(TypeError, match="@"):
+        Dop * f
