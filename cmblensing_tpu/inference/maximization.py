@@ -96,6 +96,12 @@ def argmaxf_logpdf(ds: DataSet, phi=None, theta=None, d=None, fstart=None,
     throughout (cf. the inexact-Krylov bound locked by
     tests/test_inference.py::test_argmaxf_mixed_precision_hessian)."""
     theta = theta or {}
+    if getattr(ds, "logprior", None) is not None:
+        import warnings
+        warnings.warn(
+            "argmaxf_logpdf solves the GAUSSIAN conditional in f; an "
+            "f-dependent ds.logprior is not part of this solve "
+            "(matches the reference's analytic gradientf)", stacklevel=2)
     cg = dict(tol=1e-1, nsteps=500, hessian_precision="auto")
     cg.update(conjgrad_kwargs or {})
     if d is None:

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..core.field import Field, repeat_batch
 from ..models.dataset import DataSet
-from .maximization import argmaxf_logpdf, MAP_joint, _fid
+from .maximization import MAP_joint
 
 
 def _theta_vec(theta_dict, names):
@@ -216,8 +216,7 @@ class MuseProblem:
     def logLike(self, d, z, theta):
         """z = dict(f=..., phi=...) (ext/...MuseInferenceExt.jl:45-47)."""
         dsd = self.ds.replace(d=d)
-        import jax.numpy as _jnp
-        return _jnp.sum(dsd.logpdf(theta=self._theta(theta), **z))
+        return jnp.sum(dsd.logpdf(theta=self._theta(theta), **z))
 
     def grad_theta_logLike(self, d, z, theta):
         tvec = _theta_vec(self._theta(theta), self.params)

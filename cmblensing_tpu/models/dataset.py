@@ -20,11 +20,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.basis import Basis, MAP
-from ..core.field import Field, dot as field_dot, from_maps, repeat_batch
+from ..core.basis import Basis
+from ..core.field import Field, repeat_batch
 from ..core.ops import (
     Diag, Id, Identity, _Identity, BlockDiagIEB, ParamDependentOp, Scaled,
-    logdet as op_logdet, logdet_rel, nan2zero, evaluate_at, simulate_op,
+    OpAlgebra, logdet_rel, evaluate_at,
 )
 from ..core.cov import Cl_to_Cov
 from ..core.proj import ProjLambert
@@ -36,7 +36,6 @@ from .lenseflow import LenseFlow
 def _op_call(op, theta):
     """Evaluate a (possibly parameter-dependent) operator at theta —
     recursive through Scaled/LazyOp compositions."""
-    from ..core.ops import evaluate_at
     return evaluate_at(op, theta)
 
 
@@ -128,15 +127,18 @@ class DataSet:
         return dataclasses.replace(self, **kw)
 
     def at(self, theta):
-        """Evaluate every parameter-dependent operator at theta
-        (reference `(ds::DataSet)(θ)`, src/dataset.jl:12-18)."""
-        if not theta:
-            return self
+        """Evaluate every parameter-dependent operator at theta —
+        recursively through Scaled/LazyOp compositions, and with
+        theta={} at the fiducial, so ds.at({}) returns CONCRETE
+        operators like the reference's ds() (src/dataset.jl:12-18)."""
+        from ..core.ops import evaluate_at
+        theta = theta or {}
         kw = {}
         for f in dataclasses.fields(self):
             v = getattr(self, f.name)
-            if isinstance(v, ParamDependentOp):
-                kw[f.name] = v(theta)
+            ev = evaluate_at(v, theta) if isinstance(v, OpAlgebra) else v
+            if ev is not v:
+                kw[f.name] = ev
         return self.replace(**kw) if kw else self
 
     # --- generative model (reference @fwdmodel, src/dataset.jl:59-66) ----
@@ -177,7 +179,11 @@ class DataSet:
         d = mu + n
         return dict(f=f, phi=phi, ft=ft, n=n, d=d)
 
-    # fast analytic gradient wrt f (reference src/dataset.jl:76-80)
+    # fast analytic gradient wrt f (reference src/dataset.jl:76-80).
+    # NOTE: Gaussian terms only, like the reference's hand-written
+    # gradientf — an f-dependent logprior is NOT included (and the
+    # CG f-step assumes a Gaussian conditional anyway; argmaxf_logpdf
+    # warns when a logprior is present).
     def gradientf_logpdf(self, f, phi=None, theta=None, d=None):
         theta = theta or {}
         if d is None:
@@ -222,6 +228,8 @@ class NoLensingDataSet:
         lp = MvNormal(0, _op_call(self.Cf, theta)).logpdf(f)
         mu = _op_call(self.M, theta) @ (_op_call(self.B, theta) @ f)
         lp = lp + MvNormal(mu, _op_call(self.Cn, theta)).logpdf(d)
+        if self.logprior is not None:
+            lp = lp + self.logprior(theta=theta, f=f)
         return lp
 
     def simulate(self, key, theta=None, f=None, batch_shape=()):
@@ -292,8 +300,6 @@ def simulate(key, ds, **kw):
 
 
 def logpdf(ds, **kw):
-    if isinstance(ds, Mixed):
-        return ds.logpdf(**kw)
     return ds.logpdf(**kw)
 
 
@@ -424,6 +430,22 @@ def load_sim(
     Aphi0 = float(fiducial_theta.pop("Aphi", 1.0))
     if Cl is None:
         Cl = camb_cls(lmax=lmax, **fiducial_theta)
+    else:
+        if fiducial_theta:
+            # the reference errors on this exact combination
+            # (dataset.jl:242-246): a user Cl already encodes its
+            # cosmology, so fiducial_theta would be silently ignored
+            raise ValueError("pass either Cl or fiducial_theta, not both "
+                             "(the provided Cl fixes the fiducial cosmology)")
+        try:
+            cl_lmax = float(np.max(np.asarray(Cl["unlensed_scalar"]["TT"].ell)))
+        except Exception:
+            cl_lmax = np.inf
+        if cl_lmax < lmax:
+            raise ValueError(
+                f"provided Cl extends only to ell={cl_lmax:.0f} but this "
+                f"grid needs lmax={lmax} (ceil(sqrt(2)*nyquist)+1) — the "
+                f"covariance would be silently zero at high ell")
     r0 = float(Cl["params"].get("r", 0.2))
 
     if Cln is None:

@@ -263,6 +263,34 @@ def quadratic_estimate(ds, which=None, wiener_filtered=True, AL=None,
     ds1 = ds
     if ds2 is None:
         ds2 = ds1
+    else:
+        # the normalization uses ds1's operators only, which is valid
+        # exactly when the two datasets share them (the reference
+        # asserts the same, quadratic_estimate.jl:41)
+        import numpy as _np
+        from ..inference.maximization import _fid as _fidop
+
+        def _same(a, b):
+            a, b = _fidop(a), _fidop(b)
+            if a is b:
+                return True
+            da = getattr(a, "diag", None)
+            db = getattr(b, "diag", None)
+            if da is None or db is None or callable(da) or callable(db):
+                return a is b
+            return _np.allclose(_np.asarray(da.arr), _np.asarray(db.arr),
+                                rtol=1e-6, atol=0)
+        for name in ("Cf", "Cf_tilde", "Cn_hat", "Cphi", "B_hat"):
+            if not _same(getattr(ds1, name), getattr(ds2, name)):
+                raise ValueError(
+                    f"quadratic_estimate(ds, ds2=...) requires matching "
+                    f"{name} between the two datasets (the normalization "
+                    f"is computed from ds1's operators)")
+        b1 = getattr(ds1.d, "batch_shape", ())
+        b2 = getattr(ds2.d, "batch_shape", ())
+        if b1 != b2:
+            raise ValueError(f"ds.d and ds2.d must share a batch shape; "
+                             f"got {b1} vs {b2}")
     if which is None:
         which = "TT" if ds1.d.basis.pol == "I" else "EB"
     assert which in ("TT", "EE", "EB")
