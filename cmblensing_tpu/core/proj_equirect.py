@@ -68,6 +68,14 @@ class ProjEquiRect:
     def __hash__(self):
         return hash((ProjEquiRect, self.Ny, self.Nx, self.theta_span, self.phi_span, self.T.str))
 
+    # serialization by parameters only, rehydrating through the
+    # memoized constructor — like ProjLambert.__reduce__ — so unpickled
+    # fields share the SAME proj singleton (identity __eq__ / pytree
+    # aux-data comparisons depend on it)
+    def __reduce__(self):
+        return (ProjEquiRect, (self.Ny, self.Nx, self.theta_span,
+                               self.phi_span, self.T))
+
     def __eq__(self, other):
         return self is other
 
@@ -121,6 +129,11 @@ class EquiRectField:
         if self.basis == "az" and basis == "map":
             return EquiRectField(jnp.fft.irfft(self.arr, n=nP, axis=-1) * rsq, "map", self.proj)
         if self.basis == "qu_map" and basis == "qu_az":
+            if nP % 2:
+                raise NotImplementedError(
+                    "qu_map <-> qu_az needs even Nx (the m-column "
+                    "folding assumes it); the spin-0 'az' path supports "
+                    "odd Nx")
             P = self.arr[..., 0, :, :] + 1j * self.arr[..., 1, :, :]
             F = jnp.fft.fft(P, axis=-1) / rsq             # (..., nT, nP)
             top = F[..., :, : nP // 2 + 1]
@@ -275,8 +288,12 @@ class BlockDiagEquiRect:
         return jnp.sum(ld), jnp.prod(sign)
 
     def logdet(self):
-        l, s = self.logabsdet()
-        return l + jnp.log(s)
+        """Pseudo-logdet: sum of log|det| over blocks (the package's
+        safe_log_abs convention; the reference only exposes logabsdet,
+        proj_equirect.jl:342-347). A negative-determinant block would
+        otherwise yield a silent NaN from log(sign)."""
+        l, _ = self.logabsdet()
+        return l
 
     def zero_field(self, batch_shape=()):
         """Zero field in the map-space domain of this operator (the
@@ -458,19 +475,21 @@ def Cl_to_Beam_EquiRect(pol, proj: ProjEquiRect, Cl, lmax=3000, units=1):
     """Beam operator: covariance blocks right-multiplied by pixel areas
     (src/proj_equirect.jl:505-535)."""
     cov = Cl_to_Cov_EquiRect("I", proj, Cl, lmax=lmax, units=units)
+    # keep construction on HOST numpy like Cl_to_Cov_EquiRect — an
+    # eager device transfer at setup time breaks on remotely-attached
+    # TPUs (complex h2d is unimplemented there), and keeps blocks
+    # uniformly typed between Cov and Beam operators
+    blocks = np.asarray(cov.blocks)
     Om = proj.Omega.astype(np.float64)
     if pol == "I":
-        return BlockDiagEquiRect(cov.blocks * jnp.asarray(Om[None, None, :].astype(proj.T)),
+        return BlockDiagEquiRect(blocks * Om[None, None, :].astype(proj.T),
                                  "az", proj)
     if pol == "P":
-        nT = proj.Ny
-        nm = cov.blocks.shape[0]
-        Z = jnp.zeros_like(cov.blocks)
-        top = jnp.concatenate([cov.blocks, Z], axis=-1)
-        bot = jnp.concatenate([Z, cov.blocks], axis=-1)
-        big = jnp.concatenate([top, bot], axis=-2)
+        Z = np.zeros_like(blocks)
+        big = np.concatenate([np.concatenate([blocks, Z], axis=-1),
+                              np.concatenate([Z, blocks], axis=-1)], axis=-2)
         OmOm = np.concatenate([Om, Om])
         return BlockDiagEquiRect(
-            (big * jnp.asarray(OmOm[None, None, :].astype(proj.T))).astype(proj.complex_T.type),
+            (big * OmOm[None, None, :].astype(proj.T)).astype(proj.complex_T),
             "qu_az", proj)
     raise ValueError(pol)

@@ -34,7 +34,12 @@ _MATMUL_MAX = 1024  # grids with max(Ny,Nx) <= this use matmul DFT in auto mode
 
 
 def set_fft_mode(mode: str):
-    """Set global FFT backend: 'xla', 'matmul', or 'auto'."""
+    """Set global FFT backend: 'xla', 'matmul', or 'auto'.
+
+    NOTE trace-time binding: the mode is read when a function is
+    TRACED. Already-compiled jit executables keep the backend they were
+    traced with — call .clear_cache() on them (or build new jits) after
+    switching modes."""
     global _MODE
     assert mode in ("xla", "matmul", "auto")
     global_cache_clear()
@@ -62,17 +67,13 @@ def _use_matmul(Ny, Nx, arr=None):
 
 
 @functools.lru_cache(maxsize=None)
-def _dft_mats(n: int, dtype_str: str):
-    """Forward DFT matrix W[k,j] = exp(-2πi k j / n) (full), and the
-    half-plane rfft version, as numpy constants."""
+def _dft_mats(n: int):
+    """Forward DFT matrix W[k,j] = exp(-2πi k j / n), as a numpy
+    constant (always complex128; consumers cast as needed)."""
     j = np.arange(n)
     k = np.arange(n)
     W = np.exp(-2j * np.pi * np.outer(k, j) / n)
     return W
-
-
-def _cdtype(rdtype):
-    return jnp.complex64 if jnp.dtype(rdtype) == jnp.float32 else jnp.complex128
 
 
 def global_cache_clear():
@@ -91,8 +92,8 @@ def _matmul_rfft2(x):
     Ny, Nx = x.shape[-2], x.shape[-1]
     rdt = x.dtype
     ndt = np.dtype(str(rdt))
-    Wx = _dft_mats(Nx, str(rdt))[: Nx // 2 + 1]          # (Nxh, Nx)
-    Wy = _dft_mats(Ny, str(rdt))                         # (Ny, Ny)
+    Wx = _dft_mats(Nx)[: Nx // 2 + 1]          # (Nxh, Nx)
+    Wy = _dft_mats(Ny)                         # (Ny, Ny)
     WxT_re = jnp.asarray(Wx.real.T.astype(ndt))          # (Nx, Nxh)
     WxT_im = jnp.asarray(Wx.imag.T.astype(ndt))
     # x-axis rfft: (..., Ny, Nx) @ (Nx, Nxh); HIGHEST precision — the
@@ -121,7 +122,7 @@ def _matmul_irfft2(X, Nx: int):
     ndt = np.float64 if wide else np.float32
     # inverse fft along y (complex): conj(Wy)/Ny; Wy is symmetric so no
     # transpose is needed
-    Wy = _dft_mats(Ny, str(rdt))
+    Wy = _dft_mats(Ny)
     Wyi_re = jnp.asarray((Wy.real / Ny).astype(ndt))
     Wyi_im = jnp.asarray((-Wy.imag / Ny).astype(ndt))
     Xre, Xim = jnp.real(X), jnp.imag(X)
@@ -167,13 +168,15 @@ def ifft2(X):
     return jnp.fft.ifft2(X)
 
 
-def unfold(X, Ny=None):
+def unfold(X, Nx=None):
     """Expand a half-plane rfft2 array (..., Ny, Nx//2+1) to the full
     plane (..., Ny, Nx) using conjugate symmetry (src/util_fft.jl:81-97,
-    transposed layout). Nx is inferred assuming even Nx unless given."""
-    Nyh = X.shape[-2]
+    transposed layout). Nx is inferred assuming even Nx unless given
+    explicitly (required for odd grids: Nxh = Nx//2+1 is ambiguous)."""
     Nxh = X.shape[-1]
-    Nx = 2 * (Nxh - 1)
+    if Nx is None:
+        Nx = 2 * (Nxh - 1)
+    assert Nx // 2 + 1 == Nxh, (Nx, Nxh)
     # full-plane entry at (ky, kx) for kx > Nx/2 equals conj of entry at (-ky, Nx-kx)
     rest = X[..., :, 1:-1] if Nx % 2 == 0 else X[..., :, 1:]
     rest = jnp.conj(rest[..., ::-1])          # reverse kx

@@ -136,18 +136,12 @@ def conjugate_gradient(M, A, b, x0=None, nsteps=500, tol=1e-1, fixed_iters=False
 
     def _bb(s, leaf):
         """Broadcast per-batch scalar s against a leaf's array."""
-        if isinstance(leaf, Field):
-            raise TypeError
         s = jnp.asarray(s)
         if s.ndim == 0:
             return s
         return s.reshape(s.shape + (1,) * (leaf.ndim - s.ndim))
 
-    def _bb_arr(s, leaf):
-        s = jnp.asarray(s)
-        if s.ndim == 0:
-            return s
-        return s.reshape(s.shape + (1,) * (leaf.ndim - s.ndim))
+    _bb_arr = _bb
 
     hist_keys = (("res",) if record_history is True
                  else tuple(record_history) if record_history else ())
@@ -224,7 +218,7 @@ def conjugate_gradient_with_history(M, A, b, x0=None, nsteps=100, tol=1e-1,
         history.append(entry)
 
     rec(0)
-    for i in range(1, nsteps):
+    for i in range(1, nsteps + 1):
         Ap = _apply(A, p)
         alpha = res / tree_dot(p, Ap)
         x = _tmap(lambda xi, pi: xi + alpha * pi, x, p)
