@@ -165,7 +165,9 @@ class Projector:
     _cache = {}
 
     def __new__(cls, hpx_proj: ProjHealpix, cart_proj: ProjLambert):
-        key = (hpx_proj.Nside, hash(cart_proj))
+        # key on the proj itself (dict equality), not its hash — a hash
+        # collision between distinct grids must not alias projectors
+        key = (hpx_proj.Nside, cart_proj)
         if key in cls._cache:
             return cls._cache[key]
         self = super().__new__(cls)
@@ -218,17 +220,22 @@ def _project_sph_to_cart_comp(projector, m):
 
 
 def _project_cart_to_sph_comp(projector, arr):
-    """One spin-0 (Ny, Nx) map -> (npix,), zeros off-patch."""
+    """One spin-0 (..., Ny, Nx) map -> (..., npix), zeros off-patch.
+    Interpolation is evaluated ONLY at the in-patch healpix pixels
+    (like the fft sibling below), and leading batch axes ride through
+    (a full flatten used to silently return only batch 0)."""
     i0, j0, wi, wj = projector.cart2sph
     Nx = projector.cart_proj.Nx
-    flat = arr.reshape(-1)
-    g = lambda di, dj: flat[(i0 + di) * Nx + (j0 + dj)]
-    vals = ((1 - wi) * (1 - wj) * g(0, 0) + (1 - wi) * wj * g(0, 1)
-            + wi * (1 - wj) * g(1, 0) + wi * wj * g(1, 1))
-    npix = projector.hpx_proj.npix
-    out = jnp.zeros(npix, dtype=arr.dtype)
     sel = projector.hpx_idxs_in_patch
-    return out.at[sel].set(vals[sel])
+    i0s, j0s = i0[sel], j0[sel]
+    wis, wjs = wi[sel], wj[sel]
+    flat = arr.reshape(arr.shape[:-2] + (-1,))
+    g = lambda di, dj: flat[..., (i0s + di) * Nx + (j0s + dj)]
+    vals = ((1 - wis) * (1 - wjs) * g(0, 0) + (1 - wis) * wjs * g(0, 1)
+            + wis * (1 - wjs) * g(1, 0) + wis * wjs * g(1, 1))
+    npix = projector.hpx_proj.npix
+    out = jnp.zeros(arr.shape[:-2] + (npix,), dtype=arr.dtype)
+    return out.at[..., sel].set(vals)
 
 
 def _project_cart_to_sph_comp_fft(projector, arr):

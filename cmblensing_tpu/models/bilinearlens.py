@@ -47,9 +47,25 @@ def _bilinear_apply(f_map, dx, dy):
     def gather(fi, fj):
         idx = fi * Nx + fj
         flat = f_map.reshape(f_map.shape[:-2] + (-1,))
-        return jnp.take(flat, idx.reshape(-1), axis=-1).reshape(
-            f_map.shape[:-2] + (Ny, Nx))
+        if idx.ndim == 2:
+            return jnp.take(flat, idx.reshape(-1), axis=-1).reshape(
+                f_map.shape[:-2] + (Ny, Nx))
+        # batched phi: per-batch gather (a flat take would mix batch
+        # entries into the index space)
+        b = jnp.broadcast_shapes(idx.shape[:-2], f_map.shape[:-3])
+        flat_b = jnp.broadcast_to(flat, b + flat.shape[-2:])
+        idx_b = jnp.broadcast_to(
+            idx.reshape(idx.shape[:-2] + (1, Ny * Nx)), b + (1, Ny * Nx))
+        out = jnp.take_along_axis(flat_b, idx_b, axis=-1)
+        return out.reshape(b + (f_map.shape[-3], Ny, Nx))
 
+    def cax(w):
+        # batched weights (B, Ny, Nx) need an explicit comp axis, or
+        # broadcasting would align the batch with the COMPONENT axis of
+        # (B, C, Ny, Nx)
+        return w if w.ndim == 2 else w[..., None, :, :]
+
+    wi, wj = cax(wi), cax(wj)
     out = ((1 - wi) * (1 - wj) * gather(i0, j0)
            + (1 - wi) * wj * gather(i0, j1)
            + wi * (1 - wj) * gather(i1, j0)
@@ -109,7 +125,9 @@ class BilinearLens:
         B = f.basis
         fl = f.to(lense_basis(B))
         dx, dy = _displacements(self.phi)
-        mdx, mdy = _displacements(-self.phi)
+        # anti-lensing displacements are exactly the negation (the
+        # gradient is linear in phi) — no second FFT pipeline needed
+        mdx, mdy = -dx, -dy
         if self._adjoint:
             A = lambda a: self._adj_arr(a, dx, dy)
             Pl = lambda a: self._adj_arr(a, mdx, mdy)

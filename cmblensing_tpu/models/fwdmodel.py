@@ -28,16 +28,25 @@ def simulate(model):
     sample sites and returning the model's return value."""
 
     def sim(key, *args, **conditioned):
-        counter = [0]
+        import zlib
+        seen = set()
 
         def sample(name, dist):
+            seen.add(name)
             if name in conditioned and conditioned[name] is not None:
                 return conditioned[name]
-            counter[0] += 1
-            k = jax.random.fold_in(key, counter[0])
+            # key by a stable hash of the SITE NAME, not a positional
+            # counter: conditioning on one site must not change the
+            # draws of the others (and two sites must never share a key)
+            k = jax.random.fold_in(key, zlib.crc32(name.encode()))
             return dist.sample(k)
 
-        return model(*args, sample=sample)
+        out = model(*args, sample=sample)
+        unknown = set(conditioned) - seen
+        if unknown:
+            raise ValueError(f"conditioned on unknown site(s) {sorted(unknown)}; "
+                             f"model sites are {sorted(seen)}")
+        return out
 
     return sim
 
@@ -70,6 +79,9 @@ def loglikelihood(model, latents):
         total = [0.0]
 
         def sample(name, dist):
+            if name not in values or values[name] is None:
+                raise ValueError(
+                    f"loglikelihood requires a value for site '{name}'")
             v = values[name]
             if name not in latents:
                 total[0] = total[0] + dist.logpdf(v)

@@ -57,14 +57,29 @@ class Taylens:
         B = f.basis
         (ii, jj), (rx, ry), proj = self._setup()
         Ny, Nx = proj.Ny, proj.Nx
-        idx = (ii * Nx + jj).reshape(-1)
+        idx2 = ii * Nx + jj                     # (..., Ny, Nx), maybe batched
 
         def remap(arr):
             flat = arr.reshape(arr.shape[:-2] + (-1,))
-            return jnp.take(flat, idx, axis=-1).reshape(arr.shape[:-2] + (Ny, Nx))
+            if idx2.ndim == 2:
+                return jnp.take(flat, idx2.reshape(-1), axis=-1).reshape(
+                    arr.shape[:-2] + (Ny, Nx))
+            # batched phi: per-batch gather (a flat take would mix
+            # batch entries into the index space)
+            b = jnp.broadcast_shapes(idx2.shape[:-2], arr.shape[:-3])
+            flat_b = jnp.broadcast_to(flat, b + flat.shape[-2:])
+            idx_b = jnp.broadcast_to(
+                idx2.reshape(idx2.shape[:-2] + (1, Ny * Nx)),
+                b + (1, Ny * Nx))
+            out = jnp.take_along_axis(flat_b, idx_b, axis=-1)
+            return out.reshape(b + (arr.shape[-3], Ny, Nx))
 
         fl = f.to(lense_basis(B))
         Ff = _fft.rfft2(fl.arr)
+        # batched residuals (B, Ny, Nx) need an explicit comp axis, or
+        # broadcasting would align the batch with the COMPONENT axis
+        cax = lambda w: w if w.ndim == 2 else w[..., None, :, :]
+        rx, ry = cax(rx), cax(ry)
         p1 = {p: (1.0 if p == 0 else rx ** p) for p in range(self.order + 1)}
         p2 = {p: (1.0 if p == 0 else ry ** p) for p in range(self.order + 1)}
         out = remap(fl.arr)

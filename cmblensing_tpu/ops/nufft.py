@@ -60,8 +60,12 @@ def nufft_eval(m, ys, xs):
     F = F * jnp.asarray(dec_y)[:, None] * jnp.asarray(dec_x)[None, :]
     # zero-pad the centered spectrum to the oversampled grid
     Fs = jnp.fft.fftshift(F, axes=(-2, -1))
-    pad = [(0, 0)] * (m.ndim - 2) + [((oy - Ny) // 2, (oy - Ny + 1) // 2),
-                                     ((ox - Nx) // 2, (ox - Nx + 1) // 2)]
+    # pad so the zero mode (at index N//2 after fftshift) lands at
+    # index o//2 of the oversampled grid: left pad = o//2 - N//2 (the
+    # floor/ceil split was off by one for odd axis lengths)
+    pad = [(0, 0)] * (m.ndim - 2) + [
+        (oy // 2 - Ny // 2, oy - Ny - (oy // 2 - Ny // 2)),
+        (ox // 2 - Nx // 2, ox - Nx - (ox // 2 - Nx // 2))]
     Fp = jnp.pad(Fs, pad)
     Fp = jnp.fft.ifftshift(Fp, axes=(-2, -1))
     u = jnp.fft.ifft2(Fp) * (oy * ox)               # oversampled samples

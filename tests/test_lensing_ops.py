@@ -144,3 +144,55 @@ def test_antilensing_inverts_powerlens():
     rt = Linv @ (L @ f)
     rel = float(jnp.max(jnp.abs(rt.arr - f.arr)) / jnp.max(jnp.abs(f.arr)))
     assert rel < 5e-2, rel
+
+
+def test_gather_lensers_batched_phi(setup):
+    """BilinearLens/Taylens with a batched phi: per-batch gathers match
+    per-entry applies (regression: the flat take mixed batch entries
+    into the index space and crashed on reshape)."""
+    import jax.numpy as jnp
+    proj, phi, f, g, Llf = setup
+    phi_b = F.Field(jnp.stack([phi.arr, 0.5 * phi.arr]), phi.basis, proj)
+
+    for Op in (BilinearLens, Taylens):
+        out_b = (Op(phi_b) @ f).arr
+        assert out_b.shape[0] == 2
+        for i, scale in enumerate((1.0, 0.5)):
+            phi_i = F.Field(scale * phi.arr, phi.basis, proj)
+            out_i = (Op(phi_i) @ f).arr
+            err = float(jnp.max(jnp.abs(out_b[i] - out_i)))
+            assert err < 1e-5 * float(jnp.max(jnp.abs(out_i))) + 1e-6, (Op, i, err)
+
+
+def test_fwdmodel_conditioning_stability():
+    """Conditioning on one site must not change other sites' draws, and
+    unknown conditioned names must raise (regression: a positional
+    counter keyed the PRNG, so conditioning shifted every later site)."""
+    import jax
+    import pytest as _pytest
+    from cmblensing_tpu.models import fwdmodel
+    import jax.numpy as jnp
+
+    def model(sample=None):
+        a = sample("a", _ScalarN(0.0))
+        b = sample("b", _ScalarN(1.0))
+        return dict(a=a, b=b)
+
+    class _ScalarN:
+        def __init__(self, mu):
+            self.mu = mu
+
+        def sample(self, key):
+            return self.mu + jax.random.normal(key, ())
+
+        def logpdf(self, v):
+            return -0.5 * (v - self.mu) ** 2
+
+    sim = fwdmodel.simulate(model)
+    key = jax.random.PRNGKey(0)
+    full = sim(key)
+    cond = sim(key, a=123.0)
+    assert float(cond["b"]) == float(full["b"])      # b unchanged
+    assert float(full["a"]) != float(full["b"] - 1.0)  # distinct site keys
+    with _pytest.raises(ValueError, match="unknown site"):
+        sim(key, typo_site=1.0)

@@ -69,3 +69,42 @@ def test_fft_projection_dense_regime():
     sel = np.asarray(pr.hpx_idxs_in_patch)
     err2 = np.abs(np.asarray(back.arr[0])[sel] - m[sel])
     assert np.median(err2) < 0.02
+
+
+def test_nufft_odd_sizes():
+    """Regression: the centered-spectrum zero-padding was off by one
+    frequency bin for odd axis lengths (~200% error)."""
+    from cmblensing_tpu.ops.nufft import nufft_eval
+    rs = np.random.RandomState(0)
+    for (Ny, Nx) in [(17, 16), (16, 17), (15, 15)]:
+        m = jnp.asarray(rs.randn(Ny, Nx).astype(np.float32))
+        ys = jnp.asarray(rs.rand(30).astype(np.float32) * Ny)
+        xs = jnp.asarray(rs.rand(30).astype(np.float32) * Nx)
+        got = np.asarray(nufft_eval(m, ys, xs))
+        ky, kx = np.fft.fftfreq(Ny), np.fft.fftfreq(Nx)
+        F = np.fft.fft2(np.asarray(m)) / (Ny * Nx)
+        ph = np.exp(2j * np.pi * (np.asarray(ys)[:, None, None] * ky[None, :, None]
+                                  + np.asarray(xs)[:, None, None] * kx[None, None, :]))
+        ref = np.real((F[None] * ph).sum(axis=(1, 2)))
+        err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+        assert err < 1e-4, (Ny, Nx, err)
+
+
+def test_healpix_projection_batched():
+    """Regression: cart->healpix projection silently dropped all batch
+    entries but the first (full flatten mixed batch into pixel index)."""
+    from cmblensing_tpu.core.proj_healpix import (ProjHealpix, Projector,
+                                                  _project_cart_to_sph_comp)
+    from cmblensing_tpu.core.proj import ProjLambert
+
+    cart = ProjLambert(16, 16, thetapix=30, T=np.float32)
+    hpx = ProjHealpix(32)
+    pr = Projector(hpx, cart)
+    rs = np.random.RandomState(0)
+    arr = jnp.asarray(rs.randn(2, 16, 16).astype(np.float32))
+    out_b = np.asarray(_project_cart_to_sph_comp(pr, arr))
+    assert out_b.shape == (2, hpx.npix)
+    for i in range(2):
+        out_i = np.asarray(_project_cart_to_sph_comp(pr, arr[i]))
+        np.testing.assert_allclose(out_b[i], out_i, rtol=0, atol=1e-6)
+    assert np.max(np.abs(out_b[1])) > 0        # second entry not dropped
