@@ -15,7 +15,7 @@ vmapped and sharded over a TPU device mesh.
 
 __version__ = "0.1.0"
 
-from .core.proj import ProjLambert
+from .core.proj import ProjLambert, rfft_degeneracy_fac
 from .core.basis import (
     Basis, MAP, FOURIER, QU_MAP, QU_FOURIER, EB_MAP, EB_FOURIER,
     IQU_MAP, IQU_FOURIER, IEB_MAP, IEB_FOURIER,
@@ -29,7 +29,7 @@ from .core.field import (
 from .core.ops import (
     Diag, Identity, Id, LazyOp, FuncOp, ParamDependentOp, BlockDiagIEB,
     BandPass, HighPass, LowPass, MidPass, MidPasses,
-    gradient_ops, gradhess, logdet, logdet_rel, simulate_op,
+    gradient_ops, gradhess, logdet, logdet_rel, simulate_op, laplacian,
 )
 from .core.cov import Cl_to_Cov, cov_to_Cl
 from .utils.cls import (
@@ -91,7 +91,9 @@ from .utils.cls import (smooth, get_rho_l, shift_l, get_l4Cl, ell2, ell4,
 from .utils.timing import timed, timer_report, reset_timers
 from .utils.transfer import device_put_safe, device_get_safe
 from .ops.deriv import set_deriv_mode, get_deriv_mode, set_matmul_precision
-from .ops.fft import set_fft_mode, get_fft_mode
+from .ops.fft import (
+    set_fft_mode, get_fft_mode, unfold, fftsyms, rfft2vec, vec2rfft,
+)
 from .utils.summation import set_sum_mode, get_sum_mode
 
 # export-list parity with the reference (src/CMBLensing.jl:94-117)

@@ -183,3 +183,81 @@ def unfold(X, Nx=None):
     # reverse ky (with wrap: row 0 stays)
     rest = jnp.concatenate([rest[..., :1, :], rest[..., 1:, :][..., ::-1, :]], axis=-2)
     return jnp.concatenate([X, rest], axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def fftsyms(Ny: int, Nx: int):
+    """rfft2 half-plane symmetry bookkeeping (src/util_fft.jl:112-124,
+    transposed layout: our half axis is the LAST one).
+
+    Returns numpy arrays over the (Ny, Nx//2+1) half-plane:
+
+    * ``ireal`` — bool mask of entries whose real part is a unique DOF
+    * ``iimag`` — bool mask of entries whose imag part is a unique DOF
+    * ``(src_y, src_x)`` — int index maps such that every entry equals
+      ``conj(X[src_y, src_x])`` where ``conj_mask`` is True and
+      ``X[src_y, src_x]`` (identity) elsewhere
+    * ``conj_mask`` — bool mask of the redundant (conjugate-partner)
+      entries
+
+    ``ireal.sum() + iimag.sum() == Ny*Nx`` — the real DOF count of the
+    underlying map.
+    """
+    Nxh = Nx // 2 + 1
+    ireal = np.ones((Ny, Nxh), bool)
+    iimag = np.ones((Ny, Nxh), bool)
+    src_y = np.tile(np.arange(Ny)[:, None], (1, Nxh))
+    src_x = np.tile(np.arange(Nxh)[None, :], (Ny, 1))
+    conj_mask = np.zeros((Ny, Nxh), bool)
+    selfconj_cols = [0] + ([Nx // 2] if Nx % 2 == 0 else [])
+    for c in selfconj_cols:
+        for ky in range(Ny):
+            ky_neg = (-ky) % Ny
+            if ky == ky_neg:          # self-conjugate entry: purely real
+                iimag[ky, c] = False
+            elif ky > Ny // 2:        # redundant: conj of (Ny-ky, c)
+                ireal[ky, c] = False
+                iimag[ky, c] = False
+                src_y[ky, c] = ky_neg
+                conj_mask[ky, c] = True
+    return ireal, iimag, (src_y, src_x), conj_mask
+
+
+def rfft2vec(X, Nx=None):
+    """Pack an rfft2 half-plane array (..., Ny, Nx//2+1) into a real
+    vector (..., Ny*Nx) of its unique real/imag entries
+    (src/util_fft.jl:49-54; generalized to rectangular grids and
+    leading batch axes). Nx is inferred assuming even Nx unless given.
+    Inverse: :func:`vec2rfft`."""
+    Ny, Nxh = X.shape[-2:]
+    if Nx is None:
+        Nx = 2 * (Nxh - 1)
+    assert Nx // 2 + 1 == Nxh, (Nx, Nxh)
+    ireal, iimag, _, _ = fftsyms(Ny, Nx)
+    return jnp.concatenate(
+        [jnp.real(X)[..., ireal], jnp.imag(X)[..., iimag]], axis=-1)
+
+
+def vec2rfft(v, Ny=None, Nx=None):
+    """Unpack a real vector produced by :func:`rfft2vec` back into the
+    rfft2 half-plane array (..., Ny, Nx//2+1), restoring the redundant
+    conjugate entries (src/util_fft.jl:56-72). With no shape given, a
+    square even grid is assumed (Ny = Nx = sqrt(len))."""
+    if Ny is None or Nx is None:
+        n = int(round(np.sqrt(v.shape[-1])))
+        assert n * n == v.shape[-1], \
+            "vec length is not a square; pass Ny and Nx explicitly"
+        Ny = Nx = n
+    assert v.shape[-1] == Ny * Nx, (v.shape, Ny, Nx)
+    Nxh = Nx // 2 + 1
+    ireal, iimag, (src_y, src_x), conj_mask = fftsyms(Ny, Nx)
+    nreal = int(ireal.sum())
+    batch = v.shape[:-1]
+    dt = jnp.result_type(v.dtype, np.complex64)
+    re = jnp.zeros(batch + (Ny, Nxh), v.dtype).at[..., ireal].set(
+        v[..., :nreal])
+    im = jnp.zeros(batch + (Ny, Nxh), v.dtype).at[..., iimag].set(
+        v[..., nreal:])
+    X = (re + 1j * im).astype(dt)
+    Xg = X[..., src_y, src_x]
+    return jnp.where(conj_mask, jnp.conj(Xg), Xg)

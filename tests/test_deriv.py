@@ -308,7 +308,7 @@ def test_div_plus_dij_backends_agree():
     assert rel < 5e-3, rel
 
 
-def test_backend_policy_by_size():
+def test_flow_kernel_policy_by_size():
     """Locks the measured backend policy: fused whole-flow kernels only
     where the whole backward integration fits VMEM (<=~512^2);
     scan-equivalent above; never for batched/vmapped states."""

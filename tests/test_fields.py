@@ -47,6 +47,37 @@ def test_unfold_matches_full_fft():
     assert jnp.max(jnp.abs(cfft.unfold(jnp.fft.rfft2(x)) - full)) < 1e-4
 
 
+@pytest.mark.parametrize("Ny,Nx", [(8, 8), (8, 6), (6, 8), (7, 8), (8, 7), (7, 9)])
+def test_rfft2vec_roundtrip(Ny, Nx):
+    """rfft2vec/vec2rfft pack the half-plane into exactly Ny*Nx real
+    DOF and invert losslessly, incl. odd axes and rectangles
+    (src/util_fft.jl:49-72 is square-even only)."""
+    import numpy as np
+    x = jax.random.normal(jax.random.PRNGKey(2), (Ny, Nx))
+    X = jnp.fft.rfft2(x)
+    v = cfft.rfft2vec(X, Nx=Nx)
+    assert v.shape == (Ny * Nx,) and not np.iscomplexobj(np.asarray(v))
+    X2 = cfft.vec2rfft(v, Ny=Ny, Nx=Nx)
+    assert float(jnp.max(jnp.abs(X2 - X))) < 1e-5
+    # map-level roundtrip
+    x2 = jnp.fft.irfft2(X2, s=(Ny, Nx))
+    assert float(jnp.max(jnp.abs(x2 - x))) < 1e-5
+    # DOF masks are consistent and complete
+    ireal, iimag, _, conj_mask = cfft.fftsyms(Ny, Nx)
+    assert int(ireal.sum()) + int(iimag.sum()) == Ny * Nx
+    assert not (conj_mask & (ireal | iimag)).any()
+
+
+def test_rfft2vec_batched_jit_square_default():
+    """Batched packing under jit; square-grid shape inference."""
+    x = jax.random.normal(jax.random.PRNGKey(3), (3, 8, 8))
+    X = jnp.fft.rfft2(x)
+    v = jax.jit(cfft.rfft2vec)(X)
+    assert v.shape == (3, 64)
+    X2 = jax.jit(cfft.vec2rfft)(v)
+    assert float(jnp.max(jnp.abs(X2 - X))) < 1e-5
+
+
 @pytest.mark.parametrize("Ny,Nx", NSIDES)
 @pytest.mark.parametrize("pol,bases", [
     ("I", [MAP, FOURIER]),
