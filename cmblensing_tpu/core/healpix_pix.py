@@ -28,10 +28,6 @@ def _ring_info(nside, ring):
     npr = np.where(ring < nside, 4 * ring,
                    np.where(ring <= 3 * nside, 4 * nside, 4 * (4 * nside - ring)))
     # z of ring
-    z = np.where(
-        ring < nside, 1 - (ring / nside) ** 2 / 3 * 4 / (4 / 3) / 1,  # placeholder
-        0.0)
-    # correct formulas:
     z_cap_n = 1.0 - (ring ** 2) / (3.0 * nside ** 2)
     z_eq = 4.0 / 3.0 - 2.0 * ring / (3.0 * nside)
     z_cap_s = -1.0 + ((4 * nside - ring) ** 2) / (3.0 * nside ** 2)

@@ -246,9 +246,11 @@ def _project_cart_to_sph_comp_fft(projector, arr):
     sel = projector.hpx_idxs_in_patch
     ys = jnp.asarray(projector.is_, dtype=arr.dtype)[sel] - 1.0
     xs = jnp.asarray(projector.js_, dtype=arr.dtype)[sel] - 1.0
-    vals = nufft_eval(arr, ys, xs)
-    out = jnp.zeros(projector.hpx_proj.npix, dtype=arr.dtype)
-    return out.at[sel].set(vals)
+    vals = nufft_eval(arr, ys, xs)                  # (..., npts)
+    # leading batch axes ride through (like the bilinear sibling above)
+    out = jnp.zeros(arr.shape[:-2] + (projector.hpx_proj.npix,),
+                    dtype=arr.dtype)
+    return out.at[..., sel].set(vals)
 
 
 def _project_sph_to_cart_comp_fft(projector, m, cg_iters=15):

@@ -440,17 +440,17 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
     try:
         for step in range(1, nsteps + 1):
             # f-step
-            with timed("MAP_joint/f_step"):
+            with timed("MAP_joint/f_step") as s:
                 if quasi_sample:
                     key, sk = jax.random.split(key)
-                    f, cg_info = sample_f(sk, dstheta, phi=phi, theta=theta,
-                                          fstart=f, conjgrad_kwargs=cg)
+                    f, cg_info = s(sample_f(sk, dstheta, phi=phi, theta=theta,
+                                            fstart=f, conjgrad_kwargs=cg))
                 else:
-                    f, cg_info = argmaxf_logpdf(dstheta, phi=phi, theta=theta,
-                                                fstart=f, conjgrad_kwargs=cg)
+                    f, cg_info = s(argmaxf_logpdf(dstheta, phi=phi, theta=theta,
+                                                  fstart=f, conjgrad_kwargs=cg))
 
             # phi-step
-            with timed("MAP_joint/phi_step"):
+            with timed("MAP_joint/phi_step") as s:
                 f_mix, phi_mix, g = phi_grad_and_fmix(f, phi)
                 # the secant pair must use the point where g was
                 # evaluated (the PRE-update phi_mix) — saving the

@@ -386,27 +386,28 @@ def sample_joint(
     from ..utils.timing import timed
     if gibbs_passes is None:
         def default_passes(state):
-            with timed("gibbs/sample_f"):
-                state = gibbs_sample_f(state, ds_b, cg)
-            with timed("gibbs/mix"):
-                state = gibbs_mix(state, ds_b)
-            with timed("gibbs/sample_phi"):
-                state = gibbs_sample_phi(state, ds_b, symp_kwargs,
-                                         always_accept=(state["step"] <= nburnin_always_accept))
-            with timed("gibbs/sample_theta"):
+            with timed("gibbs/sample_f") as s:
+                state = s(gibbs_sample_f(state, ds_b, cg))
+            with timed("gibbs/mix") as s:
+                state = s(gibbs_mix(state, ds_b))
+            with timed("gibbs/sample_phi") as s:
+                state = s(gibbs_sample_phi(state, ds_b, symp_kwargs,
+                                           always_accept=(state["step"] <= nburnin_always_accept)))
+            with timed("gibbs/sample_theta") as s:
                 for name, rng_ in theta_range.items():
                     state = gibbs_sample_slice_theta(name, rng_)(state, ds_b)
-            with timed("gibbs/unmix"):
-                state = gibbs_unmix(state, ds_b)
-            with timed("gibbs/postprocess"):
-                state = gibbs_postprocess(state, ds_b)
+                state = s(state)
+            with timed("gibbs/unmix") as s:
+                state = s(gibbs_unmix(state, ds_b))
+            with timed("gibbs/postprocess") as s:
+                state = s(gibbs_postprocess(state, ds_b))
             return state
         passes = default_passes
     else:
         def passes(state):
             for p in gibbs_passes:
-                with timed(f"gibbs/{getattr(p, '__name__', 'pass')}"):
-                    state = p(state, ds_b)
+                with timed(f"gibbs/{getattr(p, '__name__', 'pass')}") as s:
+                    state = s(p(state, ds_b))
             return state
 
     # async native chunk writer (cmblensing_tpu.native) — sampling never

@@ -77,8 +77,14 @@ struct Writer {
         error.store(true);
       }
       fflush(fp);
-      pending.fetch_sub(1);
-      written.fetch_add(1);
+      {
+        // the pending decrement must happen under the cv's mutex, or a
+        // flusher can evaluate its predicate, miss this notify in the
+        // window before it atomically sleeps, and block forever
+        std::lock_guard<std::mutex> lk(mu);
+        pending.fetch_sub(1);
+        written.fetch_add(1);
+      }
       cv.notify_all();
     }
   }
@@ -102,10 +108,13 @@ int64_t ckpt_write(void* handle, const uint8_t* buf, uint64_t len) {
   Writer* w = static_cast<Writer*>(handle);
   if (!w || w->error.load()) return -1;
   {
+    // increment under mu too: a worker that pops + decrements before
+    // the increment would let a concurrent flush observe pending==0
+    // while this record is still unwritten
     std::lock_guard<std::mutex> lk(w->mu);
     w->queue.emplace_back(buf, buf + len);
+    w->pending.fetch_add(1);
   }
-  w->pending.fetch_add(1);
   w->cv.notify_all();
   return w->pending.load();
 }

@@ -74,10 +74,17 @@ def batch_sharding(mesh, axis_name="batch"):
     return NamedSharding(mesh, P(axis_name))
 
 
-def shard_batch(f, mesh=None, axis_name="batch"):
+def shard_batch(f, mesh=None, axis_name="batch", batch_size=None):
     """Shard a batched Field's leading axis over the mesh. Operators and
     un-batched fields stay replicated; XLA propagates the sharding
-    through every elementwise/FFT op."""
+    through every elementwise/FFT op.
+
+    For generic pytrees, only Field leaves (whose batchedness is known
+    from their own metadata) are sharded; raw-array leaves are sharded
+    ONLY when batch_size is given and their leading dim equals it — a
+    bare (Ny, Nx) mask or (ncomp, Ny, Nx) plane whose first axis
+    happens to divide the mesh must not get a spatial/component axis
+    sharded as "batch"."""
     if mesh is None:
         mesh = make_mesh(axis_name=axis_name)
     if isinstance(f, Field):
@@ -90,13 +97,19 @@ def shard_batch(f, mesh=None, axis_name="batch"):
         spec = P(axis_name, *([None] * (f.arr.ndim - 1)))
         arr = jax.device_put(f.arr, NamedSharding(mesh, spec))
         return Field(arr, f.basis, f.proj)
-    # generic pytree: shard any leaf whose leading dim is divisible
+
     def _shard(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % mesh.size == 0:
+        if isinstance(x, Field):
+            return shard_batch(x, mesh, axis_name)
+        if (batch_size is not None and hasattr(x, "ndim") and x.ndim >= 1
+                and x.shape[0] == batch_size
+                and x.shape[0] % mesh.size == 0):
             spec = P(axis_name, *([None] * (x.ndim - 1)))
             return jax.device_put(x, NamedSharding(mesh, spec))
         return x
-    return jax.tree_util.tree_map(_shard, f)
+
+    return jax.tree_util.tree_map(
+        _shard, f, is_leaf=lambda x: isinstance(x, Field))
 
 
 def replicate(x, mesh=None, axis_name="batch"):

@@ -36,7 +36,9 @@ class Cls:
 
     def __getitem__(self, idx):
         if isinstance(idx, slice):
-            return self(np.arange(idx.start or 0, idx.stop))
+            stop = idx.stop if idx.stop is not None else (
+                int(self.ell[-1]) + 1 if len(self.ell) else 0)
+            return self(np.arange(idx.start or 0, stop, idx.step or 1))
         return self(idx)
 
     # arithmetic (src/cls.jl:67-81)
@@ -253,14 +255,18 @@ def camb(lmax=6000, r=0.2, ombh2=0.0224567, omch2=0.118489, tau=0.055, mnu=0.06,
     defaults; otherwise calls pycamb on host (gated on availability)."""
     if nt is None:
         nt = -r / 8
+    # nt participates in the cache check too (the fiducial was computed
+    # at the inflation-consistency value -r/8): an explicit non-default
+    # nt must NOT silently return the cached tensor spectra
     asked = dict(r=r, ombh2=ombh2, omch2=omch2, tau=tau, mnu=mnu, theta_s=theta_s,
-                 H0=H0, logA=logA, ns=ns, AL=AL, k_pivot=k_pivot)
+                 H0=H0, logA=logA, ns=ns, nt=nt, AL=AL, k_pivot=k_pivot)
+    defaults = dict(_DEFAULT_PARAMS, nt=-_DEFAULT_PARAMS["r"] / 8)
     cached = _load_default_cls()
     p = cached["params"]
     if (lmax <= p.get("lmax", 0)
-            and all(asked[k] == _DEFAULT_PARAMS[k] for k in asked)):
+            and all(asked[k] == defaults[k] for k in asked)):
         return cached
-    return _camb_live(lmax=lmax, nt=nt, **asked)
+    return _camb_live(lmax=lmax, **asked)
 
 
 def _camb_live(lmax, r, ombh2, omch2, tau, mnu, theta_s, H0, logA, ns, nt, AL, k_pivot):
@@ -292,7 +298,14 @@ def _camb_live(lmax, r, ombh2, omch2, tau, mnu, theta_s, H0, logA, ns, nt, AL, k
     powers = res.get_cmb_power_spectra(cp)
     out = CMBSpectra()
     Clpp_raw = res.get_lens_potential_cls(lmax_p)[2:lmax_p, 0]
-    Clpp = extrapolate_cls(ell, ellp, 2 * np.pi * Clpp_raw / ellp ** 4)
+    # CAMB's get_lens_potential_cls returns [L(L+1)]^2 C_L^phiphi / 2pi
+    # (its documented convention, and the one the reference's own
+    # file-reading path uses, src/cls.jl:236). The reference's LIVE camb
+    # path divides by ell^4 instead (src/cls.jl:186) — a (1+1/L)^2
+    # low-L bias (21% at L=10) we deliberately do NOT reproduce; the
+    # shipped dat/default_camb_cls.npz is corrected the same way.
+    Clpp = extrapolate_cls(ell, ellp,
+                           2 * np.pi * Clpp_raw / (ellp * (ellp + 1.0)) ** 2)
     for k in ["unlensed_scalar", "lensed_scalar", "tensor", "unlensed_total", "total"]:
         d = SpecSet()
         for i, x in enumerate(["TT", "EE", "BB", "TE"]):

@@ -20,7 +20,9 @@ def _spin0_fourier_full(f: Field):
     g = f.to(FOURIER) if f.basis.pol == "I" else f
     arr = np.asarray(g.arr)
     assert arr.shape[-3] == 1
-    return np.asarray(unfold(arr[..., 0, :, :]))
+    # Nx must be passed explicitly: the even-grid inference 2*(Nxh-1)
+    # silently yields an (Ny, Nx-1) plane on odd-Nx grids
+    return np.asarray(unfold(arr[..., 0, :, :], Nx=f.proj.Nx))
 
 
 def get_Cl(f1: Field, f2: Field = None, dl=50, ledges=None, Clfid=None, err_estimate=False):
@@ -70,5 +72,7 @@ def get_Cl(f1: Field, f2: Field = None, dl=50, ledges=None, Clfid=None, err_esti
 
 
 def get_Dl(*args, **kwargs):
+    """Binned spectrum in the package-wide Dl = ell(ell+1)Cl/2pi
+    convention (matching toDl in utils/cls.py and plot_cls)."""
     cl = get_Cl(*args, **kwargs)
-    return Cls(cl.ell, cl.ell ** 2 * cl.Cl / (2 * np.pi))
+    return Cls(cl.ell, cl.ell * (cl.ell + 1) * cl.Cl / (2 * np.pi))

@@ -21,15 +21,28 @@ def set_timing_enabled(flag: bool):
 
 @contextlib.contextmanager
 def timed(label: str, sync=True):
-    """Context manager accumulating wall time under label."""
+    """Context manager accumulating wall time under label.
+
+    Yields a sync function — pass the block's outputs through it
+    (``state = s(compute(...))``) so the timing blocks on the actual
+    device work. Pure jitted programs dispatch asynchronously, so
+    without it the exit can only jax.effects_barrier() (which waits for
+    *effectful* computations only) and the block's device time would be
+    attributed to whichever later block first blocks on the result."""
     if not _enabled:
-        yield
+        yield lambda x: x
         return
+    synced = [False]
+
+    def _sync(x):
+        synced[0] = True
+        return jax.block_until_ready(x)
+
     t0 = time.perf_counter()
     try:
-        yield
+        yield _sync
     finally:
-        if sync:
+        if sync and not synced[0]:
             try:
                 jax.effects_barrier()
             except Exception:

@@ -305,6 +305,63 @@ def test_cross_spectrum_and_rho():
     assert np.allclose(np.asarray(rho.Cl), 1.0, atol=1e-4)
 
 
+def test_get_cl_odd_grid_and_dl_convention():
+    """get_Cl works on odd-Nx grids (regression: unfold's even-Nx
+    inference crashed the boolean lmag mask), and get_Dl uses the
+    package-wide ell(ell+1)/2pi convention (matching toDl)."""
+    import jax
+    from cmblensing_tpu.core.proj import ProjLambert
+    from cmblensing_tpu.core.field import Field
+    from cmblensing_tpu.core.basis import Basis
+    from cmblensing_tpu.utils.spectra import get_Cl, get_Dl
+
+    for Ny, Nx in [(16, 15), (15, 16), (15, 15)]:
+        proj = ProjLambert(Ny, Nx, thetapix=3, T=np.float32)
+        f = Field(jax.random.normal(jax.random.PRNGKey(0), (1, Ny, Nx)),
+                  Basis("I", "map"), proj)
+        cl = get_Cl(f, ledges=np.arange(500, 3000, 500))
+        assert np.isfinite(np.asarray(cl.Cl)).all()
+    dl = get_Dl(f, ledges=np.arange(500, 3000, 500))
+    cl = get_Cl(f, ledges=np.arange(500, 3000, 500))
+    expect = cl.ell * (cl.ell + 1) * cl.Cl / (2 * np.pi)
+    assert np.allclose(np.asarray(dl.Cl), np.asarray(expect), rtol=1e-6)
+
+
+def test_cls_slice_semantics():
+    """Cls[a:b:c] honors numpy slice semantics: step respected,
+    open-ended stop allowed (regression: step was dropped and
+    stop=None crashed)."""
+    from cmblensing_tpu.utils.cls import Cls
+    ell = np.arange(2, 101)
+    cl = Cls(ell, ell.astype(np.float64))
+    assert len(cl[10:20:2]) == 5
+    assert np.allclose(cl[10:20:2], [10, 12, 14, 16, 18])
+    out = cl[90:]
+    assert len(out) == 11 and np.allclose(out[:-1][np.isfinite(out[:-1])],
+                                          np.arange(90, 100))
+
+
+def test_camb_nt_not_silently_cached():
+    """camb() with a non-default nt must not return the cached fiducial
+    tensor spectra (regression: nt was missing from the cache check)."""
+    from cmblensing_tpu.utils.cls import camb
+    camb()  # defaults hit the cache
+    camb(nt=-0.2 / 8)  # the fiducial inflation-consistency value: cache ok
+    with pytest.raises(RuntimeError, match="pycamb"):
+        camb(nt=0.0)
+
+
+def test_default_cls_pp_convention_marker():
+    """The shipped fiducial phiphi uses CAMB's documented
+    [L(L+1)]^2 C/2pi convention (scripts/fix_default_cls_pp.py), not
+    the reference live path's ell^4 (src/cls.jl:186)."""
+    import cmblensing_tpu.utils.cls as cls_mod
+    import os
+    z = np.load(os.path.join(os.path.dirname(cls_mod.__file__),
+                             "..", "dat", "default_camb_cls.npz"))
+    assert "pp_convention" in z.files
+
+
 def test_cls_helpers():
     """Spectra helpers: toDl/toCl inverses, ell2/ell4, shift_l,
     noise/beam Cls shapes (reference cls.jl:50-81, 288-309)."""

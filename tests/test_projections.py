@@ -150,6 +150,30 @@ def test_healpix_projection_roundtrip():
     assert np.median(err) < 0.01
 
 
+def test_healpix_fft_projection_batched():
+    """project(..., method='fft') on a batched flat field: per-batch
+    results match per-entry projections (regression: the fft path
+    allocated an unbatched output and crashed on batched fields)."""
+    import jax
+    import jax.numpy as jnp
+    from cmblensing_tpu.core.field import Field
+    from cmblensing_tpu.core.basis import Basis
+    nside = 16
+    proj = ProjLambert(32, 32, thetapix=10, T=np.float32)
+    hpx = ProjHealpix(nside)
+    key = jax.random.PRNGKey(0)
+    arr = jax.random.normal(key, (2, 1, 32, 32), jnp.float32)
+    fb = Field(arr, Basis("I", "map"), proj)
+    out_b = project(fb, hpx, method="fft")
+    assert out_b.arr.shape == (1, 2, hpx.npix)   # (ncomp, batch, npix)
+    for i in range(2):
+        fi = Field(arr[i], Basis("I", "map"), proj)
+        out_i = project(fi, hpx, method="fft")
+        err = float(np.max(np.abs(np.asarray(out_b.arr)[0, i]
+                                  - np.asarray(out_i.arr)[0])))
+        assert err < 1e-5, (i, err)
+
+
 def test_healpix_qu_projection():
     nside = 16
     npix = hp.nside2npix(nside)
