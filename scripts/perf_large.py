@@ -43,13 +43,19 @@ for mode in modes:
     deriv.set_deriv_mode(mode)
     g, h = jax.jit(lambda p: lf._gradhess_phi(p, proj))(phi)
     g = jax.block_until_ready(g)
-    V = lambda t, x: lf._velocity(t, x, g, h, proj)
-    flow = lambda x: lf._rk4(V, x, 0.0, 1.0, 7) * c
-    print(f"[{mode}] N={N} forward flow: {pipelined(flow, f):9.2f} ms", flush=True)
+    # g/h ride through the step state as jit ARGUMENTS: closed-over
+    # device arrays embed as HLO constants, and at 4096^2 the 5 phi
+    # planes (320 MB) blow the remote-compile request limit (HTTP 413).
+    def flow(s):
+        x, g, h = s
+        V = lambda t, y: lf._velocity(t, y, g, h, proj)
+        return (lf._rk4(V, x, 0.0, 1.0, 7) * c, g, h)
+    print(f"[{mode}] N={N} forward flow: {pipelined(flow, (f, g, h)):9.2f} ms", flush=True)
     def bflow(s):
-        df0, dphi = lf._backward_flow_scan(s[:2], s[2:4], g, h, proj,
+        x, g, h = s
+        df0, dphi = lf._backward_flow_scan(x[:2], x[2:4], g, h, proj,
                                            1.0, 0.0, 7)
-        return s + c * jnp.concatenate([df0, dphi + dphi, df0], axis=0)[:4]
+        return (x + c * jnp.concatenate([df0, dphi + dphi, df0], axis=0)[:4], g, h)
     st = jnp.concatenate([f, f], axis=0)
-    print(f"[{mode}] N={N} backward flow: {pipelined(bflow, st):8.2f} ms", flush=True)
+    print(f"[{mode}] N={N} backward flow: {pipelined(bflow, (st, g, h)):8.2f} ms", flush=True)
 deriv.set_deriv_mode("auto")
