@@ -347,7 +347,28 @@ def _jit_grid_linesearch(dstheta, theta, f_mix, phi_mix, dphi, amax, ngrid,
                 total = total - 0.5 * field_dot(dz, Sa.solve(s))  # () or (nb,)
             return total
 
-        dlps = jax.vmap(dlp_at)(alphas)                # (ngrid,) or (ngrid, nb)
+        # memory guard: every alpha evaluation runs a full lensing flow,
+        # and the unrolled RK4's liveness is ~O(100) map planes per
+        # trial — a 16-wide vmap at 2048^2 spin-2 exceeds the v5e's
+        # 16 GB HBM (measured). Chunk the grid with lax.map(batch_size)
+        # once the estimated vmap footprint passes ~8 GB; at <=1024^2
+        # the estimate stays under budget and the single vmap (fastest)
+        # is unchanged. Override: CMBL_LINESEARCH_CHUNK.
+        import os as _osmod
+        plane_bytes = (phi_mix.arr.size // max(phi_mix.arr.shape[-3], 1)
+                       ) * jnp.finfo(rdt).bits // 8
+        est_per_trial = 100 * plane_bytes
+        env_chunk = _osmod.environ.get("CMBL_LINESEARCH_CHUNK")
+        if env_chunk:
+            chunk = max(1, int(env_chunk))
+        elif ngrid * est_per_trial > 8 * 1024**3:
+            chunk = max(1, int(8 * 1024**3 // est_per_trial))
+        else:
+            chunk = ngrid
+        if chunk >= ngrid:
+            dlps = jax.vmap(dlp_at)(alphas)            # (ngrid,) or (ngrid, nb)
+        else:
+            dlps = jax.lax.map(dlp_at, alphas, batch_size=chunk)
     alphas = jnp.concatenate([jnp.zeros_like(alphas[:1]), alphas])
     dlps = jnp.concatenate([jnp.zeros_like(dlps[:1]), dlps])
     dlps = jnp.where(jnp.isfinite(dlps), dlps, -jnp.inf)

@@ -50,6 +50,33 @@ def test_MAP_joint_quasi_sample(sim32):
     assert np.isfinite(res["history"][-1]["logpdf"])
 
 
+def test_grid_linesearch_chunked_parity(sim32, monkeypatch):
+    """The memory-guarded (lax.map chunked) grid line search picks the
+    same alpha as the single vmap: large maps chunk the 16-wide grid to
+    stay inside HBM (a 2048^2 spin-2 MAP OOMs without it) and must not
+    change the optimizer's decisions."""
+    from cmblensing_tpu.inference import maximization as mx
+    from cmblensing_tpu.models.dataset import mix
+    ds, f, phi = sim32["ds"], sim32["f"], sim32["phi"]
+    m = mix(ds, f=f, phi=phi)
+    f_mix, phi_mix = m["f_mix"], m["phi_mix"]
+    dphi = phi_mix * 0.5
+    amax = jnp.float32(1.0)
+    try:
+        a0, d0 = mx._jit_grid_linesearch(ds, {}, f_mix, phi_mix, dphi,
+                                         amax, 8, None)
+        mx._jit_grid_linesearch.clear_cache()
+        monkeypatch.setenv("CMBL_LINESEARCH_CHUNK", "3")
+        a1, d1 = mx._jit_grid_linesearch(ds, {}, f_mix, phi_mix, dphi,
+                                         amax, 8, None)
+        np.testing.assert_allclose(float(a0), float(a1), rtol=1e-6)
+        np.testing.assert_allclose(float(d0), float(d1), rtol=1e-4, atol=1e-4)
+    finally:
+        # drop the chunked trace so later same-shape calls re-trace
+        # under the default (unchunked) policy
+        mx._jit_grid_linesearch.clear_cache()
+
+
 def test_MAP_marg_runs(sim32):
     ds = sim32["ds"]
     phi, hist = MAP_marg(ds, nsteps=2, Nsims=4, nsteps_with_meanfield_update=1,
