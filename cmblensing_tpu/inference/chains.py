@@ -138,11 +138,15 @@ def _partial_moments(x, lo, hi, h):
     a = np.full_like(x, -np.inf) if hi is None else (x - hi) / h
     b = np.full_like(x, np.inf) if lo is None else (x - lo) / h
     Phi = _norm_cdf(b) - _norm_cdf(a)
-    pa = np.where(np.isfinite(a), _norm_pdf(a), 0.0)
-    pb = np.where(np.isfinite(b), _norm_pdf(b), 0.0)
+    # guard the infinite endpoints BEFORE the multiply (inf * 0 emits a
+    # RuntimeWarning even when the result is masked afterward)
+    af = np.where(np.isfinite(a), a, 0.0)
+    bf = np.where(np.isfinite(b), b, 0.0)
+    pa = _norm_pdf(af) * np.isfinite(a)
+    pb = _norm_pdf(bf) * np.isfinite(b)
     a0 = Phi
     a1 = pa - pb
-    a2 = Phi + np.where(np.isfinite(a), a * pa, 0.0) - np.where(np.isfinite(b), b * pb, 0.0)
+    a2 = Phi + af * pa - bf * pb
     return a0, a1, a2
 
 
@@ -152,32 +156,37 @@ def _bandwidth(x, bw_scale):
     return float(np.std(x) * n ** (-1.0 / 5.0) * bw_scale) or 1e-12
 
 
-def _kde1d_corrected(x, grid, h, boundary):
-    lo, hi = boundary if boundary is not None else (None, None)
-    u = (grid[:, None] - x[None, :]) / h
+def _kernel_matrix_corrected(grid, xcol, h, boundary):
+    """(len(grid), n) Gaussian kernel matrix, with the getdist-style
+    LINEAR boundary kernel applied when `boundary` is given
+    (chains.jl:236-260 uses getdist's boundary-corrected KDEs): the
+    kernel K(u) is replaced by K(u) (alpha + beta u) with
+    alpha = a2/(a0 a2 - a1^2), beta = -a1/(a0 a2 - a1^2), which removes
+    both the mass loss AND the O(h) slope bias at a hard prior edge."""
+    u = (grid[:, None] - xcol[None, :]) / h
     K = _norm_pdf(u)
-    b0 = K.sum(axis=1)
     if boundary is None:
-        f = b0
-    else:
-        # getdist-style LINEAR boundary kernel (chains.jl:236-260 uses
-        # getdist's boundary-corrected KDEs): with partial moments a_j
-        # of the kernel over the allowed domain,
-        #   f = (a2 b0 - a1 b1) / (a0 a2 - a1^2)
-        # which removes both the mass loss AND the O(h) slope bias of
-        # the plain estimator at a hard prior edge
-        b1 = (K * u).sum(axis=1)
-        a0, a1, a2 = _partial_moments(grid, lo, hi, h)
-        den = np.maximum(a0 * a2 - a1 ** 2, 1e-30)
-        f = (a2 * b0 - a1 * b1) / den
-    f = np.maximum(f, 0.0) / (x.shape[0] * h)
+        return K
+    a0, a1, a2 = _partial_moments(grid, boundary[0], boundary[1], h)
+    den = np.maximum(a0 * a2 - a1 ** 2, 1e-30)
+    return K * ((a2 / den)[:, None] + (-a1 / den)[:, None] * u)
+
+
+def _inside_mask(grid, boundary):
+    inside = np.ones_like(grid, dtype=bool)
     if boundary is not None:
-        inside = np.ones_like(grid, dtype=bool)
-        if lo is not None:
-            inside &= grid >= lo
-        if hi is not None:
-            inside &= grid <= hi
-        f = np.where(inside, f, 0.0)
+        if boundary[0] is not None:
+            inside &= grid >= boundary[0]
+        if boundary[1] is not None:
+            inside &= grid <= boundary[1]
+    return inside
+
+
+def _kde1d_corrected(x, grid, h, boundary):
+    K = _kernel_matrix_corrected(grid, x, h, boundary)
+    f = np.maximum(K.sum(axis=1), 0.0) / (x.shape[0] * h)
+    if boundary is not None:
+        f = np.where(_inside_mask(grid, boundary), f, 0.0)
     return f
 
 
@@ -189,7 +198,8 @@ def kde(samples, grid=None, bw_scale=1.0, boundary=None):
     boundary: 1-D — (lo, hi), either side None for unbounded; the
     estimate uses a linear boundary kernel (publication-grade at prior
     edges, e.g. r >= 0 or Aphi >= 0). 2-D — ((lox, hix), (loy, hiy));
-    per-axis renormalization correction."""
+    the same linear boundary kernel applied per axis (the separable
+    form of getdist's 2-D correction)."""
     x = np.asarray(samples, dtype=np.float64)
     if x.ndim == 1:
         h = _bandwidth(x, bw_scale)
@@ -207,14 +217,10 @@ def kde(samples, grid=None, bw_scale=1.0, boundary=None):
         gy = np.linspace(x[:, 1].min(), x[:, 1].max(), 100)
     else:
         gx, gy = (np.asarray(g, np.float64) for g in grid)
-    Kx = _norm_pdf((gx[:, None] - x[None, :, 0]) / hx)   # (gx, n)
-    Ky = _norm_pdf((gy[:, None] - x[None, :, 1]) / hy)   # (gy, n)
-    F = Ky @ Kx.T                                        # (gy, gx)
-    if bx is not None:
-        a0x = _partial_moments(gx, bx[0], bx[1], hx)[0]
-        F = F / np.maximum(a0x, 1e-30)[None, :]
-    if by is not None:
-        a0y = _partial_moments(gy, by[0], by[1], hy)[0]
-        F = F / np.maximum(a0y, 1e-30)[:, None]
-    F = F / (x.shape[0] * hx * hy)
+    Kx = _kernel_matrix_corrected(gx, x[:, 0], hx, bx)   # (gx, n)
+    Ky = _kernel_matrix_corrected(gy, x[:, 1], hy, by)   # (gy, n)
+    F = np.maximum(Ky @ Kx.T, 0.0) / (x.shape[0] * hx * hy)  # (gy, gx)
+    if boundary is not None:
+        F = np.where(_inside_mask(gx, bx)[None, :]
+                     & _inside_mask(gy, by)[:, None], F, 0.0)
     return gx, gy, F

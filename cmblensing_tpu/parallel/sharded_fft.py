@@ -92,6 +92,11 @@ def rfft2_sharded(arr, mesh, axis_name="sp", batch_axis=None):
         partial(_rfft2_body, axis=axis_name, p=p, Nx=Nx), mesh=mesh,
         in_specs=_yspec(arr.ndim, axis_name, batch_axis),
         out_specs=_xspec(arr.ndim, axis_name, batch_axis),
+        # check_vma must stay off here: jnp.fft's transpose rule drops
+        # the varying-manual-axes annotation from its cotangent, so
+        # jax.grad through a vma-checked fft body dies with "cotangent
+        # type does not match function output ... {V:sp}". The flows
+        # (parallel/spatial.py) run with the check ON.
         check_vma=False,
     )(arr)
 
@@ -105,7 +110,7 @@ def irfft2_sharded(X, Nx, mesh, axis_name="sp", batch_axis=None):
         partial(_irfft2_body, axis=axis_name, p=p, Nx=Nx), mesh=mesh,
         in_specs=_xspec(X.ndim, axis_name, batch_axis),
         out_specs=_yspec(X.ndim, axis_name, batch_axis),
-        check_vma=False,
+        check_vma=False,  # same fft-transpose vma limitation as above
     )(X)
 
 
@@ -209,7 +214,7 @@ def get_Cl_sharded(f1: Field, mesh, f2: Field = None, dl=50, ledges=None,
     seg = jax.shard_map(
         body, mesh=mesh,
         in_specs=(sh2, sh2, sh2, sh2), out_specs=P(),
-        check_vma=False,
+        check_vma=True,
     )(X1, X2, jnp.asarray(wpad), jnp.asarray(idpad))
     Clb = np.asarray(seg)[:nbins] * wscale
     with np.errstate(invalid="ignore", divide="ignore"):

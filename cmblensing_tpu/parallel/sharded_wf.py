@@ -112,7 +112,8 @@ def _split_M(op):
 
 def sharded_wiener_filter(ds, phi: Field, mesh, axis_name="sp",
                           batch_axis=None, theta=None, d=None,
-                          nsteps=100, tol=1e-8, nsteps_flow=7, jit=True):
+                          nsteps=100, tol=1e-8, nsteps_flow=7, jit=True,
+                          fstart=None):
     """argmaxf_logpdf for spatially-sharded maps: solve the lensed
     Wiener filter of `ds` at fixed phi with every iterate y-sharded
     over `mesh`. ds's Cf/Cn/B must be Fourier-diagonal; M may

@@ -245,7 +245,7 @@ class ShardedLenseFlow:
             in_specs=(_yspec(phi_map.ndim, axis, ba),
                       _yspec(fl.arr.ndim, axis, ba)),
             out_specs=_yspec(fl.arr.ndim, axis, ba),
-            check_vma=False,
+            check_vma=True,
         )(phi_map, fl.arr)
         return Field(out, fl.basis, proj).to(B)
 

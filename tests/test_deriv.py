@@ -354,6 +354,33 @@ def test_factored_backend_agrees():
             assert rel < 5e-5, (N, rel)
 
 
+def test_factored_batched_matches_unrolled():
+    """The batched-block factored apply (constant HLO-op count, the
+    4096^2 compile-tractability fix — ops/factored_deriv.py::
+    _apply_factored_batched) is the SAME linear operator as the
+    unrolled form, exactly in f64, at every radix incl. the B=16 the
+    4096^2 path uses."""
+    from cmblensing_tpu.ops.factored_deriv import (
+        _factored_ops, _apply_factored, _apply_factored_batched)
+    prec = jax.lax.Precision.HIGHEST
+    rng = np.random.RandomState(0)
+    with jax.enable_x64(True):
+        for N, B in [(64, 8), (64, 16), (256, 4), (128, 2)]:
+            for op in _factored_ops(N, 1.3, "float64", B):
+                # fresh per-dtype cache entries keep x64 leaves here
+                op._jcache = None
+                op._jbcache = None
+                x = jnp.asarray(rng.randn(3, N, N))
+                for side in ("x", "y"):
+                    a = _apply_factored(x, op, prec, side)
+                    b = _apply_factored_batched(x, op, prec, side)
+                    err = float(jnp.max(jnp.abs(a - b))
+                                / jnp.max(jnp.abs(a)))
+                    assert err < 1e-12, (N, B, side, err)
+                op._jcache = None
+                op._jbcache = None
+
+
 def test_factored_radix_policy():
     """Locks the measured radix policy: A = N/B >= 256 (v5e: A=256
     blocks ran 11x dense; A=128 only 3.5x)."""
@@ -432,28 +459,27 @@ def test_factored_policy_precision_aware():
 
 def test_backend_policy_by_size():
     """The auto policy per size on an accelerator, strict f32 (measured
-    on v5e: factored wins 512..2048 — 2048 forward flow 35.8 ms vs
-    149.5 fft; dense matmul below; FFT at 4096+ where factored
-    programs take an hour+ through TPU compile services, raisable via
-    CMBL_FACTORED_MAX):
+    on v5e forward/backward flow: 2048^2 35.0/131.6 ms factored vs
+    149.5/356.1 fft; 4096^2 298.6/833.0 factored-batched vs 948/1886
+    fft — compile-tractable since r4's batched-block apply):
 
-        256 -> matmul, 512..2048 -> factored, 4096+ -> fft."""
+        256 -> matmul, 512..4096 -> factored, 8192+ -> fft."""
     orig = deriv._default_platform_is_accel
     deriv._default_platform_is_accel = lambda: True
     try:
         for n, want in [(256, "matmul"), (512, "factored"),
                         (1024, "factored"), (2048, "factored"),
-                        (4096, "fft"), (8192, "fft")]:
+                        (4096, "factored"), (8192, "fft")]:
             class _P:
                 Ny = Nx = n
             assert deriv._backend(_P) == want, (n, deriv._backend(_P))
         # the cap is a knob (CMBL_FACTORED_MAX at import; module var)
         prev_max = deriv._FACTORED_MAX
         try:
-            deriv._FACTORED_MAX = 4096
+            deriv._FACTORED_MAX = 8192
 
             class _P4:
-                Ny = Nx = 4096
+                Ny = Nx = 8192
             assert deriv._backend(_P4) == "factored"
         finally:
             deriv._FACTORED_MAX = prev_max

@@ -62,19 +62,18 @@ def test_grid_linesearch_chunked_parity(sim32, monkeypatch):
     f_mix, phi_mix = m["f_mix"], m["phi_mix"]
     dphi = phi_mix * 0.5
     amax = jnp.float32(1.0)
-    try:
-        a0, d0 = mx._jit_grid_linesearch(ds, {}, f_mix, phi_mix, dphi,
-                                         amax, 8, None)
-        mx._jit_grid_linesearch.clear_cache()
-        monkeypatch.setenv("CMBL_LINESEARCH_CHUNK", "3")
-        a1, d1 = mx._jit_grid_linesearch(ds, {}, f_mix, phi_mix, dphi,
-                                         amax, 8, None)
-        np.testing.assert_allclose(float(a0), float(a1), rtol=1e-6)
-        np.testing.assert_allclose(float(d0), float(d1), rtol=1e-4, atol=1e-4)
-    finally:
-        # drop the chunked trace so later same-shape calls re-trace
-        # under the default (unchunked) policy
-        mx._jit_grid_linesearch.clear_cache()
+    a0, d0 = mx._jit_grid_linesearch(ds, {}, f_mix, phi_mix, dphi,
+                                     amax, 8, None,
+                                     mx._linesearch_chunk(phi_mix, 8))
+    # the chunk size is a STATIC jit arg decided by the caller, so the
+    # env override takes effect at call time — no clear_cache needed
+    monkeypatch.setenv("CMBL_LINESEARCH_CHUNK", "3")
+    assert mx._linesearch_chunk(phi_mix, 8) == 3
+    a1, d1 = mx._jit_grid_linesearch(ds, {}, f_mix, phi_mix, dphi,
+                                     amax, 8, None,
+                                     mx._linesearch_chunk(phi_mix, 8))
+    np.testing.assert_allclose(float(a0), float(a1), rtol=1e-6)
+    np.testing.assert_allclose(float(d0), float(d1), rtol=1e-4, atol=1e-4)
 
 
 def test_MAP_marg_runs(sim32):
@@ -326,14 +325,29 @@ def test_kde_boundary_correction():
     assert abs(fh[0] - 0.7979) < 0.09, fh[0]
 
 
-def test_kde_2d_boundary_renormalization():
+def test_kde_2d_boundary_linear_kernel():
+    """2-D boundary correction is the per-axis LINEAR kernel (the
+    separable form of getdist's 2-D correction, chains.jl:236-260) —
+    unbiased to O(h^2) at edges and corners, not just mass-preserving."""
     from cmblensing_tpu.inference.chains import kde
     rng = np.random.default_rng(1)
-    xy = rng.uniform(0, 1, (4000, 2))
+    xy = rng.uniform(0, 1, (40000, 2))
     gx, gy, F = kde(xy, grid=(np.linspace(0, 1, 64), np.linspace(0, 1, 64)),
                     boundary=((0.0, 1.0), (0.0, 1.0)))
     integral = np.trapezoid(np.trapezoid(F, gx, axis=1), gy)
     assert abs(integral - 1.0) < 0.05, integral
-    # interior and corner values both ~1 after renormalization
-    assert abs(F[32, 32] - 1.0) < 0.25
-    assert abs(F[0, 0] - 1.0) < 0.35
+    # interior and corner values both ~1; the corner is the hard case —
+    # plain renormalization leaves an O(h) slope bias there (the
+    # boundary kernel amplifies variance, hence the loose tolerance)
+    assert abs(F[32, 32] - 1.0) < 0.15
+    assert abs(F[0, 0] - 1.0) < 0.30
+    # sloped density at the boundary: half-normal in x, uniform in y.
+    # At x=0 the true density is 2*phi(0) = 0.7979 per unit y; the
+    # renormalization-only correction underestimates it (slope bias)
+    xy2 = np.stack([np.abs(rng.normal(size=40000)),
+                    rng.uniform(0, 1, 40000)], axis=1)
+    gx2, gy2, F2 = kde(xy2, grid=(np.linspace(0, 3, 64),
+                                  np.linspace(0, 1, 64)),
+                       boundary=((0.0, None), (0.0, 1.0)))
+    edge = F2[8:56, 0].mean()   # x = 0 column, central y rows
+    assert abs(edge - 0.7979) < 0.07, edge
