@@ -47,17 +47,6 @@ def Cl_to_Cov(pol, proj: ProjLambert, *Cl, units=None):
     has_banded = any(isinstance(c, tuple) for c in Cl)
     if not has_banded:
         return _cl_to_cov_fixed(pol, proj, Cl, units)
-    # only these banded patterns are implemented (which spectra carry a
-    # (Cl, ledges, name) tuple); anything else used to fail later with
-    # a baffling unpack error
-    supported = {"I": (True,), "P": (True, False),
-                 "IP": (True, True, False, True)}
-    banded = tuple(isinstance(c, tuple) for c in Cl)
-    if banded != supported.get(pol):
-        raise NotImplementedError(
-            f"banded Cl_to_Cov('{pol}') supports tuple spectra in the "
-            f"pattern {supported.get(pol)} (True = (Cl, ledges, name)); "
-            f"got {banded}")
     return _cl_to_cov_banded(pol, proj, Cl, units)
 
 
@@ -94,58 +83,71 @@ def _bandpower_rescale(arr0, bin_idx, amplitudes):
 
 
 def _cl_to_cov_banded(pol, proj, Cl, units):
-    if pol == "I":
-        ((Cl0, ledges, name),) = Cl
-        C0 = _cl_to_cov_fixed("I", proj, (Cl0,), units)
-        bins = jnp.asarray(_find_bins(ledges, proj.lmag))
-        nbins = len(ledges) - 1
+    """Pattern-free banded covariances: ANY subset of the spectra may
+    be a (Cl, ledges, name) tuple, each becoming an independent
+    bandpower-amplitude theta parameter. Goes beyond the reference,
+    which hard-codes three patterns — TT / EE-only / TT+EE+TE
+    (src/proj_lambert.jl:374-402) — so e.g. a BB-banded P covariance
+    (delensing-efficiency inference) or a jointly TT+EE+BB+TE-banded
+    IP covariance works here."""
+    slots = {"I": ("TT",), "P": ("EE", "BB"),
+             "IP": ("TT", "EE", "BB", "TE")}[pol]
+    if len(Cl) != len(slots):
+        raise ValueError(f"Cl_to_Cov('{pol}') takes {len(slots)} spectra "
+                         f"({', '.join(slots)}); got {len(Cl)}")
+    base, banded, names = [], {}, []
+    for slot, c in zip(slots, Cl):
+        if isinstance(c, tuple):
+            cl0, ledges, name = c
+            base.append(cl0)
+            banded[slot] = (jnp.asarray(_find_bins(ledges, proj.lmag)),
+                            name, len(ledges) - 1)
+            names.append(name)
+        else:
+            base.append(c)
+    if len(set(names)) != len(names):
+        raise ValueError(f"banded spectra must use distinct theta names; "
+                         f"got {names}")
+    C0 = _cl_to_cov_fixed(pol, proj, tuple(base), units)
+
+    def _amps(theta, slot):
+        bins, name, nbins = banded[slot]
+        a = jnp.asarray(theta.get(name, np.ones(nbins)), dtype=proj.T.type)
+        return bins, a
+
+    if pol in ("I", "P"):
+        basis = FOURIER if pol == "I" else EB_FOURIER
 
         def fn(deps, **theta):
             (C0,) = deps
-            amps = jnp.asarray(theta.get(name, np.ones(nbins)), dtype=proj.T.type)
-            return Diag(Field(_bandpower_rescale(C0.diag.arr, bins[None], amps),
-                              FOURIER, proj))
+            planes = []
+            for k, slot in enumerate(slots):
+                plane = C0.diag.arr[..., k:k + 1, :, :]
+                if slot in banded:
+                    bins, a = _amps(theta, slot)
+                    plane = _bandpower_rescale(plane, bins[None], a)
+                planes.append(plane)
+            arr = planes[0] if len(planes) == 1 else jnp.concatenate(
+                planes, axis=-3)
+            return Diag(Field(arr, basis, proj))
 
-        return ParamDependentOp((name,), fn, (C0,))
+        return ParamDependentOp(tuple(names), fn, (C0,))
 
-    if pol == "P":
-        (ClEE, ledges, name), ClBB = Cl
-        C0 = _cl_to_cov_fixed("P", proj, (ClEE, ClBB), units)
-        bins = jnp.asarray(_find_bins(ledges, proj.lmag))
-        nbins = len(ledges) - 1
+    def fn(deps, **theta):
+        (C0,) = deps
+        comp = {}
+        for slot, fld in (("TT", C0.TT), ("TE", C0.TE),
+                          ("EE", C0.EE), ("BB", C0.BB)):
+            if slot in banded:
+                bins, a = _amps(theta, slot)
+                comp[slot] = Field(
+                    _bandpower_rescale(fld.arr, bins[None], a),
+                    FOURIER, proj)
+            else:
+                comp[slot] = fld
+        return BlockDiagIEB(comp["TT"], comp["TE"], comp["EE"], comp["BB"])
 
-        def fn(deps, **theta):
-            (C0,) = deps
-            amps = jnp.asarray(theta.get(name, np.ones(nbins)), dtype=proj.T.type)
-            E = _bandpower_rescale(C0.diag.arr[..., 0:1, :, :], bins[None], amps)
-            B = C0.diag.arr[..., 1:2, :, :]
-            return Diag(Field(jnp.concatenate([E, B], axis=-3), EB_FOURIER, proj))
-
-        return ParamDependentOp((name,), fn, (C0,))
-
-    if pol == "IP":
-        (ClTT, eTT, nTT), (ClEE, eEE, nEE), ClBB, (ClTE, eTE, nTE) = Cl
-        C0 = _cl_to_cov_fixed("IP", proj, (ClTT, ClEE, ClBB, ClTE), units)
-        binsTT = jnp.asarray(_find_bins(eTT, proj.lmag))
-        binsEE = jnp.asarray(_find_bins(eEE, proj.lmag))
-        binsTE = jnp.asarray(_find_bins(eTE, proj.lmag))
-        nb = {nTT: len(eTT) - 1, nEE: len(eEE) - 1, nTE: len(eTE) - 1}
-
-        def fn(deps, **theta):
-            (C0,) = deps
-            aTT = jnp.asarray(theta.get(nTT, np.ones(nb[nTT])), dtype=proj.T.type)
-            aEE = jnp.asarray(theta.get(nEE, np.ones(nb[nEE])), dtype=proj.T.type)
-            aTE = jnp.asarray(theta.get(nTE, np.ones(nb[nTE])), dtype=proj.T.type)
-            F = lambda a: Field(a, FOURIER, proj)
-            return BlockDiagIEB(
-                F(_bandpower_rescale(C0.TT.arr, binsTT[None], aTT)),
-                F(_bandpower_rescale(C0.TE.arr, binsTE[None], aTE)),
-                F(_bandpower_rescale(C0.EE.arr, binsEE[None], aEE)),
-                C0.BB)
-
-        return ParamDependentOp((nTT, nEE, nTE), fn, (C0,))
-
-    raise ValueError(pol)
+    return ParamDependentOp(tuple(names), fn, (C0,))
 
 
 def cov_to_Cl(C, **kwargs):

@@ -143,6 +143,59 @@ def thetaphi_to_ij(proj: ProjLambert, theta, phi):
     return i, j
 
 
+def ij_to_thetaphi_equirect(proj, i, j):
+    """(theta, phi) of (fractional, 1-based) EquiRect pixel indices
+    (src/proj_healpix.jl:65-70): the grid IS (theta, phi), so the map
+    is affine. Deliberate deviation: the reference's affine map lacks
+    the -0.5 its Lambert maps have (proj_healpix.jl:91-92,109-110), so
+    its integer i lands a half pixel past the pixel center defined by
+    proj_equirect.jl:117-120; here integer (i, j) map exactly to
+    (proj.theta[i-1], proj.phi[j-1])."""
+    dth = abs(proj.theta_span[1] - proj.theta_span[0])
+    dph = abs(proj.phi_span[1] - proj.phi_span[0])
+    theta = (dth / proj.Ny * (np.asarray(i, np.float64) - 0.5)
+             + proj.theta_span[0])
+    phi = (dph / proj.Nx * (np.asarray(j, np.float64) - 0.5)
+           + proj.phi_span[0])
+    return theta, phi
+
+
+def thetaphi_to_ij_equirect(proj, theta, phi):
+    """Inverse map (src/proj_healpix.jl:58-63), pixel-centered (see
+    ij_to_thetaphi_equirect); phi wraps mod 2pi."""
+    dth = abs(proj.theta_span[1] - proj.theta_span[0])
+    dph = abs(proj.phi_span[1] - proj.phi_span[0])
+    i = ((np.asarray(theta, np.float64) - proj.theta_span[0]) / dth
+         * proj.Ny + 0.5)
+    j = (np.mod(np.asarray(phi, np.float64) - proj.phi_span[0], 2 * np.pi)
+         / dph * proj.Nx + 0.5)
+    return i, j
+
+
+def _ij2tp(proj, i, j):
+    from .proj_equirect import ProjEquiRect
+    if isinstance(proj, ProjEquiRect):
+        return ij_to_thetaphi_equirect(proj, i, j)
+    return ij_to_thetaphi(proj, i, j)
+
+
+def _tp2ij(proj, theta, phi):
+    from .proj_equirect import ProjEquiRect
+    if isinstance(proj, ProjEquiRect):
+        return thetaphi_to_ij_equirect(proj, theta, phi)
+    return thetaphi_to_ij(proj, theta, phi)
+
+
+def _psipol(proj, theta, phi):
+    from .proj_equirect import ProjEquiRect
+    if isinstance(proj, ProjEquiRect):
+        # the EquiRect grid is aligned with the spherical coordinate
+        # basis: no polarization rotation (src/proj_healpix.jl:74-76)
+        return np.zeros(np.broadcast(np.asarray(theta),
+                                     np.asarray(phi)).shape)
+    return get_psipol(proj, theta, phi)
+
+
 def get_psipol(proj: ProjLambert, theta, phi, eps=1e-6):
     """Rotation angle of the coordinate basis between sphere and
     projection (src/proj_healpix.jl:114-119), via FD jacobian."""
@@ -181,12 +234,14 @@ class Projector:
         Ny, Nx = cart_proj.Ny, cart_proj.Nx
         nside = hpx_proj.Nside
 
-        # theta/phi of cartesian pixel centers (1-based indices)
+        # theta/phi of cartesian pixel centers (1-based indices);
+        # coordinate maps dispatch on the flat projection type
+        # (Lambert: src/proj_healpix.jl:89-112; EquiRect: :58-76)
         ii, jj = np.meshgrid(np.arange(1, Ny + 1), np.arange(1, Nx + 1), indexing="ij")
-        ths, phs = ij_to_thetaphi(cart_proj, ii, jj)
+        ths, phs = _ij2tp(cart_proj, ii, jj)
         self.thetas = ths
         self.phis = phs
-        self.psipol_thetaphi = get_psipol(cart_proj, ths, phs).astype(cart_proj.T)
+        self.psipol_thetaphi = _psipol(cart_proj, ths, phs).astype(cart_proj.T)
 
         # interpolation weights sphere -> cart (gather on device)
         idxs, wgts = hp.get_interp_weights(nside, ths.ravel(), phs.ravel())
@@ -195,10 +250,10 @@ class Projector:
 
         # fractional (i,j) of healpix pixel centers in the patch
         th_h, ph_h = hp.pix2ang_ring(nside, np.arange(hp.nside2npix(nside)))
-        is_, js_ = thetaphi_to_ij(cart_proj, th_h, ph_h)
+        is_, js_ = _tp2ij(cart_proj, th_h, ph_h)
         self.is_ = is_
         self.js_ = js_
-        self.psipol_ij_full = get_psipol(cart_proj, th_h, ph_h).astype(cart_proj.T)
+        self.psipol_ij_full = _psipol(cart_proj, th_h, ph_h).astype(cart_proj.T)
         inpatch = (is_ >= 1) & (is_ <= Ny) & (js_ >= 1) & (js_ <= Nx)
         self.hpx_idxs_in_patch = jnp.asarray(np.nonzero(inpatch)[0].astype(np.int32))
         # clamp bilinear stencil inside patch (0-based)
@@ -281,15 +336,42 @@ def _project_sph_to_cart_comp_fft(projector, m, cg_iters=15):
 
 
 def project(field, to, method="bilinear"):
-    """Project a HealpixField to a ProjLambert patch, or a flat Field up
-    to a ProjHealpix sphere, with polarization flattening
-    (src/proj_healpix.jl:217-341). method in {'bilinear', 'fft'} —
-    'fft' uses the NUFFT (band-limited, differentiable)."""
+    """Project a HealpixField to a flat patch (ProjLambert OR
+    ProjEquiRect), or a flat field up to a ProjHealpix sphere, with
+    polarization flattening (src/proj_healpix.jl:217-341; the EquiRect
+    coordinate maps are :58-76). method in {'bilinear', 'fft'} — 'fft'
+    uses the NUFFT (band-limited, differentiable)."""
+    from .proj_equirect import ProjEquiRect, EquiRectField
     assert method in ("bilinear", "fft")
     sph2cart = (_project_sph_to_cart_comp if method == "bilinear"
                 else _project_sph_to_cart_comp_fft)
     cart2sph = (_project_cart_to_sph_comp if method == "bilinear"
                 else _project_cart_to_sph_comp_fft)
+
+    if isinstance(field, HealpixField) and isinstance(to, ProjEquiRect):
+        projector = Projector(field.proj, to)
+        comps = [sph2cart(projector, field.arr[c])
+                 for c in range(field.arr.shape[0])]
+        if field.pol == "I":
+            return EquiRectField(comps[0], "map", to)
+        if field.pol == "QU":
+            # psipol = 0 on the (theta, phi)-aligned grid: no rotation
+            return EquiRectField(jnp.stack(comps, axis=0), "qu_map", to)
+        raise NotImplementedError(
+            "EquiRect fields carry I ('map') or QU ('qu_map') "
+            "components; project I and P separately for IQU")
+
+    if isinstance(field, EquiRectField) and isinstance(to, ProjHealpix):
+        projector = Projector(to, field.proj)
+        if field.basis in ("map", "az"):
+            fm = field.to("map")
+            return HealpixField(
+                cart2sph(projector, fm.arr)[None], "I", to)
+        fm = field.to("qu_map")
+        comps = [cart2sph(projector, fm.arr[..., c, :, :])
+                 for c in range(2)]
+        return HealpixField(jnp.stack(comps, axis=0), "QU", to)
+
     if isinstance(field, HealpixField) and isinstance(to, ProjLambert):
         projector = Projector(field.proj, to)
         psi = jnp.asarray(projector.psipol_thetaphi)

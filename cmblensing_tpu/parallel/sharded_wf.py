@@ -141,10 +141,14 @@ def sharded_wiener_filter(ds, phi: Field, mesh, axis_name="sp",
     MB = Mm * Bm
     iCf = _safe_inv(Cf)
     iCn = _safe_inv(Cn)
-    # Fourier-diagonal Hessian preconditioner (ill-conditioned modes
-    # where both terms vanish get 0 — they are absent from b too)
-    m2bar = 1.0 if mask is None else jnp.mean(mask ** 2)
-    prec = _safe_inv(iCf + m2bar * MB * MB * iCn)
+    # Fourier-diagonal Hessian preconditioner: the SAME operator the
+    # single-device argmaxf_logpdf uses (hessian_f_preconditioner,
+    # i.e. pinv(Cf) + B_hat' M_hat' pinv(Cn_hat) M_hat B_hat,
+    # src/dataset.jl:129-132) so the two CG trajectories are identical
+    # to roundoff (ill-conditioned modes where both terms vanish get 0
+    # — they are absent from b too)
+    from ..inference.maximization import hessian_f_preconditioner
+    prec = _safe_inv(_eb_diag_grids(hessian_f_preconditioner(ds), "prec"))
     # masked legs: d = Mf (mask (B L f)) + n  (load_sim's M = Mf * Mpix),
     # so the sandwich is B^T mask (Mf^2 Cn^-1) mask B and the data term
     # B^T mask (Mf Cn^-1) d — Mf^2 Cn^-1 / Mf Cn^-1 fuse into single
@@ -161,6 +165,9 @@ def sharded_wiener_filter(ds, phi: Field, mesh, axis_name="sp",
     if mask is not None:
         mask = shard_spatial(Field(mask, Basis("I", "map"), proj), mesh,
                              axis_name).arr
+    x0 = None
+    if fstart is not None:
+        x0 = shard_spatial(fstart.to(QU), mesh, axis_name, batch_axis).arr
 
     if jit:
         # module-level jit keyed on the STATIC solve shape: repeated
@@ -169,7 +176,7 @@ def sharded_wiener_filter(ds, phi: Field, mesh, axis_name="sp",
         run = _swf_run_jit
     else:
         run = _swf_run
-    x, info = run(grids, d_sh, phi_m.arr, mask, mesh=mesh,
+    x, info = run(grids, d_sh, phi_m.arr, mask, x0, mesh=mesh,
                   axis_name=axis_name, batch_axis=batch_axis,
                   nsteps=int(nsteps), tol=float(tol),
                   nsteps_flow=int(nsteps_flow), proj=proj,
@@ -177,7 +184,7 @@ def sharded_wiener_filter(ds, phi: Field, mesh, axis_name="sp",
     return Field(x, QU, proj), info
 
 
-def _swf_run(grids, d_sh, phi_arr, mask, *, mesh, axis_name, batch_axis,
+def _swf_run(grids, d_sh, phi_arr, mask, x0, *, mesh, axis_name, batch_axis,
              nsteps, tol, nsteps_flow, proj, phi_basis):
     QU = Basis("QU", "map")
     (op_iCf, op_MBiCn, op_NL, op_prec, op_B, op_Mf2iCn,
@@ -208,7 +215,7 @@ def _swf_run(grids, d_sh, phi_arr, mask, *, mesh, axis_name, batch_axis,
             NL((L @ Field(a, QU, proj)).arr), QU, proj)).arr
 
     b = (L.H @ Field(bterm(d_sh), QU, proj)).arr
-    x, info = conjugate_gradient(op_prec, A, b, nsteps=nsteps, tol=tol)
+    x, info = conjugate_gradient(op_prec, A, b, x0=x0, nsteps=nsteps, tol=tol)
     # keep the result y-sharded on the way out of the jit
     from jax.sharding import NamedSharding
     from .spatial import _yspec
@@ -282,86 +289,397 @@ def sharded_lensing_logpdf(ds, f: Field, phi: Field, mesh, axis_name="sp",
     return -0.5 * (chi2 + pri_f + pri_p)
 
 
-def sharded_MAP_joint(ds, mesh, axis_name="sp", batch_axis=None, nsteps=5,
-                      cg_nsteps=50, cg_tol=1e-8, nsteps_flow=7, ngrid=9,
-                      alpha_max=2.0, progress=False):
-    """Joint MAP on spatially-sharded maps: alternate the sharded
-    Wiener filter f-step with a Cphi/Nphi-preconditioned phi gradient
-    ascent + grid line search, every array y-sharded over the mesh
-    (the sharded analog of MAP_joint's coordinate descent,
-    src/maximization.jl:116-233). Demonstration-grade: unmixed
-    parametrization, fixed line-search grid. Returns
-    dict(f=..., phi=..., history=[logpdf per step])."""
-    from ..inference.maximization import _fid
+class ShardedMixedCtx:
+    """Precomputed sharded appliers for the MIXED parametrization
+    (f°, phi°) = (L(phi) D f, G phi) with G = Id (MAP_joint pins G=Id —
+    the MAP is invariant to it, maximization.jl:146): the sharded
+    counterparts of mix/unmix/Mixed.logpdf (models/dataset.py:261-290,
+    reference src/dataset.jl:84-117), every array y-sharded over the
+    mesh. ds must already be evaluated at theta (ds.at(theta))."""
 
-    if isinstance(ds.d, Field) and ds.d.batch_shape:
-        raise NotImplementedError(
-            "sharded_MAP_joint optimizes ONE phi; batched data would "
-            "need per-entry phis and line-search alphas (as MAP_joint "
-            "does) — run per-entry, or use sharded_wiener_filter which "
-            "does support the batched 2-D mesh")
-    ops = _lensing_quadforms(ds, mesh, axis_name, batch_axis)
-    proj = ops["proj"]
-    I_MAP = Basis("I", "map")
+    def __init__(self, ds, mesh, axis_name="sp", batch_axis=None,
+                 nsteps_flow=7):
+        from ..core.ops import logdet, _Identity
+        from ..inference.maximization import _fid
 
-    # phi-step preconditioner: the Fourier-diagonal phi Hessian
-    # (Cphi^-1 + Nphi^-1)^-1 (maximization.jl's Hpre)
-    Cphi = jnp.real(jnp.asarray(_fid(ds.Cphi).diag.arr))
-    if getattr(ds, "Nphi", None) is not None:
-        Nphi = jnp.real(jnp.asarray(_fid(ds.Nphi).diag.arr))
-        Hpre = _safe_inv(_safe_inv(Cphi) + _safe_inv(Nphi))
+        if not isinstance(ds.G, _Identity):
+            raise NotImplementedError(
+                "sharded mixed parametrization supports G = Id only "
+                "(MAP_joint itself pins G=Id; replace(G=Id) first)")
+        self.mesh, self.axis_name = mesh, axis_name
+        self.batch_axis, self.nsteps_flow = batch_axis, nsteps_flow
+        self.ops = _lensing_quadforms(ds, mesh, axis_name, batch_axis)
+        proj = self.proj = self.ops["proj"]
+        mk = lambda g: ShardedEBDiag(g, proj, mesh, axis_name, batch_axis)
+        Dop = _fid(ds.D)
+        if isinstance(Dop, _Identity):
+            self.D = self.Dinv = None
+        else:
+            Dg = _eb_diag_grids(Dop, "D")
+            self.D, self.Dinv = mk(Dg), mk(_safe_inv(Dg))
+        Cphi = jnp.real(jnp.asarray(_fid(ds.Cphi).diag.arr))
+        self.icphi_pad = pad_multiplier(_safe_inv(Cphi), mesh, axis_name)
+        # the (f, phi)-independent MvNormal normalizations of ds.logpdf
+        # (-1/2 logdet each; models/distributions.py:51-54). logdet_rel
+        # of D/G is 0 here: ds is concretized at theta
+        self.logdet_const = -0.5 * (logdet(_fid(ds.Cf))
+                                    + logdet(_fid(ds.Cphi))
+                                    + logdet(ds.Cn))
+        self.QU = Basis("QU", "map")
+        self.d_sh = shard_spatial(ds.d.to(self.QU), mesh, axis_name,
+                                  batch_axis).arr
+
+    def flow(self, phi):
+        return ShardedLenseFlow(phi, nsteps=self.nsteps_flow,
+                                mesh=self.mesh, axis_name=self.axis_name,
+                                batch_axis=self.batch_axis)
+
+    def mix(self, f, phi):
+        """(f, phi) -> (f_mix, phi_mix); G = Id so phi_mix = phi."""
+        fD = Field(self.D(f.arr), self.QU, self.proj) if self.D else f
+        return self.flow(phi) @ fD, phi
+
+    def unmix(self, f_mix, phi_mix):
+        phi = phi_mix
+        fi = self.flow(phi).solve(f_mix)
+        f = Field(self.Dinv(fi.arr), self.QU, self.proj) if self.Dinv else fi
+        return f, phi
+
+    def gaussian_residuals(self, f_mix, phi_mix):
+        """The (z_i, Sigma_i^-1-applier) pairs of the mixed posterior's
+        Gaussian terms (the sharded _mixed_gaussian_residuals,
+        inference/maximization.py:298-310)."""
+        from ..core.field import dot as fdot  # noqa: F401 (callers)
+        f, phi = self.unmix(f_mix, phi_mix)
+        ft = self.flow(phi) @ f
+        rd = Field(self.d_sh - self.ops["MB"](ft.arr), self.QU, self.proj)
+        return [(f, self._icf), (phi, self._icphi), (rd, self._icn)]
+
+    # Sigma^-1 appliers on Fields
+    def _icf(self, z):
+        return Field(self.ops["iCf"](z.arr), z.basis, z.proj)
+
+    def _icn(self, z):
+        return Field(self.ops["iCn"](z.arr), z.basis, z.proj)
+
+    def _icphi(self, z):
+        return fourier_diag_apply_sharded(self.icphi_pad, z, self.mesh,
+                                          self.axis_name, self.batch_axis)
+
+    def mixed_logpdf(self, f_mix, phi_mix):
+        """Mixed(ds).logpdf on sharded maps — INCLUDING the logdet
+        normalizations, so values match the single-device
+        Mixed.logpdf to roundoff (per batch entry)."""
+        from ..core.field import dot as fdot
+        quads = [fdot(z, icov(z)) for z, icov in
+                 self.gaussian_residuals(f_mix, phi_mix)]
+        return -0.5 * sum(quads) + self.logdet_const
+
+
+def _sharded_grid_linesearch(ctx: ShardedMixedCtx, f_mix, phi_mix, dphi,
+                             amax, ngrid):
+    """The cancellation-free batched grid line search of MAP_joint
+    (_jit_grid_linesearch, inference/maximization.py:313-380) on
+    y-sharded maps: same steps^1.5 grid, same Delta-logpdf objective
+        lp(a)-lp(0) = -1/2 sum_i <z_i(a)-z_i(0), S_i^-1 (z_i(a)+z_i(0))>,
+    same per-batch argmax with the alpha=0 self-guard. Alphas evaluate
+    sequentially (each trial is two sharded lensing flows)."""
+    from ..core.field import dot as fdot
+
+    rdt = phi_mix.arr.real.dtype
+    steps = (jnp.arange(1, ngrid + 1, dtype=rdt) / ngrid) ** 1.5
+    amax = jnp.asarray(amax, rdt)
+    alphas = amax * steps if amax.ndim == 0 else steps[:, None] * amax[None, :]
+
+    def _bcast(alpha):
+        if jnp.ndim(alpha) == 0:
+            return alpha
+        return alpha.reshape(alpha.shape
+                             + (1,) * (phi_mix.arr.ndim - jnp.ndim(alpha)))
+
+    res0 = ctx.gaussian_residuals(f_mix, phi_mix)
+
+    def dlp_at(alpha):
+        pm = Field(phi_mix.arr + _bcast(alpha) * dphi.arr, phi_mix.basis,
+                   phi_mix.proj)
+        res_a = ctx.gaussian_residuals(f_mix, pm)
+        total = 0.0
+        for (za, ic), (z0, _) in zip(res_a, res0):
+            dz = Field(za.arr - z0.arr, za.basis, za.proj)
+            s = Field(za.arr + z0.arr, za.basis, za.proj)
+            total = total - 0.5 * fdot(dz, ic(s))
+        return total
+
+    dlps = jax.lax.map(dlp_at, alphas)
+    alphas = jnp.concatenate([jnp.zeros_like(alphas[:1]), alphas])
+    dlps = jnp.concatenate([jnp.zeros_like(dlps[:1]), dlps])
+    dlps = jnp.where(jnp.isfinite(dlps), dlps, -jnp.inf)
+    i = jnp.argmax(dlps, axis=0)
+    if alphas.ndim == 1:
+        alpha_sel = alphas[i]
     else:
-        Hpre = Cphi
-    hpre_p = pad_multiplier(Hpre, mesh, axis_name)
+        alpha_sel = jnp.take_along_axis(alphas, i[None, :], axis=0)[0]
+    return alpha_sel, jnp.max(dlps, axis=0)
 
+
+def sharded_MAP_joint(ds, mesh, axis_name="sp", batch_axis=None, theta=None,
+                      nsteps=10, cg_nsteps=500, cg_tol=1e-1, nsteps_flow=7,
+                      ngrid=16, alpha_max=None, phistart=None, fstart=None,
+                      progress=False):
+    """Joint MAP of (f, phi) on spatially-sharded maps — the SAME
+    coordinate descent as the single-device MAP_joint
+    (src/maximization.jl:116-233): an exact f-step (CG Wiener filter,
+    warm-started from the previous f) alternating with a
+    Hpre-preconditioned gradient step in the MIXED parametrization
+    (f° = L(phi) D f; G pinned to Id as MAP_joint does) plus the
+    steps^1.5 grid line search with adaptive alpha_max. Batched data is
+    supported: each entry gets its own phi, line-search alpha and amax
+    adaptation, exactly like MAP_joint. Iterates match MAP_joint's to
+    f32 roundoff (tests/test_sharded_fft.py parity test).
+
+    Returns dict(f=..., phi=..., history=[{logpdf, alpha} per step])
+    with logpdf the full mixed logpdf (same constants as Mixed.logpdf).
+    """
+    from ..core.ops import Id
+    from ..core.field import repeat_batch
+    from ..inference.maximization import (_fid,
+                                          hessian_phimix_preconditioner)
     from jax.sharding import NamedSharding
     from .spatial import _yspec
-    ysh = NamedSharding(mesh, _yspec(3, axis_name, batch_axis))
-    phi = Field(jax.device_put(jnp.zeros((1, proj.Ny, proj.Nx), proj.T.type),
-                               ysh), I_MAP, proj)
 
-    def lp(f, phi):
-        return sharded_lensing_logpdf(ds, f, phi, mesh, axis_name,
-                                      batch_axis, nsteps_flow, _ops=ops)
+    dstheta = ds.at(theta or {}).replace(G=Id)
+    ctx = ShardedMixedCtx(dstheta, mesh, axis_name, batch_axis, nsteps_flow)
+    proj = ctx.proj
+    I_MAP = Basis("I", "map")
+
+    # phi-step preconditioner (maximization.jl Hpre = Cphi^-1 + Nphi^-1)
+    if getattr(dstheta, "Nphi", None) is not None:
+        hdiag = jnp.real(jnp.asarray(
+            hessian_phimix_preconditioner(dstheta).diag.arr))
+        hinv = _safe_inv(hdiag)
+    else:
+        hinv = jnp.real(jnp.asarray(_fid(dstheta.Cphi).diag.arr))
+    hpre_pad = pad_multiplier(hinv, mesh, axis_name)
+
+    nb = dstheta.d.batch_shape if isinstance(dstheta.d, Field) else ()
+    if phistart is not None:
+        phi = phistart.to(I_MAP)
+    else:
+        ysh = NamedSharding(mesh, _yspec(3 + len(nb), axis_name, batch_axis))
+        phi = Field(jax.device_put(
+            jnp.zeros(nb + (1, proj.Ny, proj.Nx), proj.T.type), ysh),
+            I_MAP, proj)
+    if nb and not phi.batch_shape:
+        phi = repeat_batch(phi, nb[0])
 
     @jax.jit
-    def phi_step(f, phi):
-        g = jax.grad(lambda p: jnp.sum(lp(f, p)))(phi)
-        h = fourier_diag_apply_sharded(hpre_p, g, mesh, axis_name,
-                                       batch_axis)
-        # 0 plus a log-spaced grid: robust to the step scale (a linear
-        # grid can straddle a small optimum and null every step);
-        # non-positive alpha_max degrades to the all-zero grid instead
-        # of NaNs from log10
-        amax = max(float(alpha_max), 0.0)
-        if amax > 0:
-            tail = jnp.logspace(np.log10(amax) - 2.5, np.log10(amax),
-                                ngrid - 1, dtype=jnp.float32)
-        else:
-            tail = jnp.zeros((ngrid - 1,), jnp.float32)
-        alphas = jnp.concatenate([jnp.zeros((1,), jnp.float32), tail])
+    def _grad_and_mix(f, phi):
+        f_mix, phi_mix = ctx.mix(f, phi)
 
-        def eval_alpha(_, a):
-            return None, jnp.sum(lp(f, Field(phi.arr + a * h.arr,
-                                             I_MAP, proj)))
+        def obj(pm_arr):
+            return jnp.sum(ctx.mixed_logpdf(
+                f_mix, Field(pm_arr, I_MAP, proj)))
 
-        _, lps = jax.lax.scan(eval_alpha, None, alphas)
-        best = jnp.argmax(lps)
-        return (Field(phi.arr + alphas[best] * h.arr, I_MAP, proj),
-                lps[best], alphas[best])
+        g_arr = jax.grad(obj)(phi_mix.arr)
+        dphi = fourier_diag_apply_sharded(
+            hpre_pad, Field(g_arr, I_MAP, proj), mesh, axis_name, batch_axis)
+        return f_mix, phi_mix, dphi
+
+    @jax.jit
+    def _search_and_update(f_mix, phi_mix, dphi, amax):
+        alpha, _ = _sharded_grid_linesearch(ctx, f_mix, phi_mix, dphi,
+                                            amax, int(ngrid))
+        ab = alpha if jnp.ndim(alpha) == 0 else alpha.reshape(
+            alpha.shape + (1,) * (phi_mix.arr.ndim - 1))
+        pm = Field(phi_mix.arr + ab * dphi.arr, I_MAP, proj)
+        lp = ctx.mixed_logpdf(f_mix, pm)
+        return pm, lp, alpha
 
     history = []
-    f = None
-    for step in range(nsteps):
-        f, _ = sharded_wiener_filter(ds, phi, mesh, axis_name, batch_axis,
-                                     nsteps=cg_nsteps, tol=cg_tol,
-                                     nsteps_flow=nsteps_flow)
-        phi, lpv, alpha = phi_step(f, phi)
-        history.append(dict(logpdf=float(lpv), alpha=float(alpha)))
+    f = fstart
+    alpha = jnp.ones(nb or (), jnp.float32)
+    amax = 2.0 * jnp.ones(nb or (), jnp.float32)
+    alpha_max0 = alpha_max
+    for step in range(1, nsteps + 1):
+        f, cg_info = sharded_wiener_filter(
+            dstheta, phi, mesh, axis_name, batch_axis, nsteps=cg_nsteps,
+            tol=cg_tol, nsteps_flow=nsteps_flow, fstart=f)
+        f_mix, phi_mix, dphi = _grad_and_mix(f, phi)
+        if alpha_max0 is not None:
+            amax = jnp.asarray(alpha_max0, jnp.float32)
+        else:
+            # grow/shrink with the accepted step; a null step (alpha=0
+            # self-guard) keeps the previous scale (MAP_joint parity)
+            amax = jnp.where(alpha > 0, 2.0 * jnp.asarray(alpha, jnp.float32),
+                             amax)
+        phi_mix, lp, alpha = _search_and_update(f_mix, phi_mix, dphi, amax)
+        phi = phi_mix  # G = Id
+        entry = dict(logpdf=np.asarray(lp),
+                     alpha=np.asarray(alpha),
+                     cg_iters=int(cg_info["iterations"]))
+        history.append(entry)
         if progress:
-            print(f"sharded_MAP_joint step {step + 1}: logpdf={float(lpv):.6g} "
-                  f"alpha={float(alpha):.3g}", flush=True)
+            print(f"sharded_MAP_joint step {step}: "
+                  f"logpdf={float(np.sum(entry['logpdf'])):.6g} "
+                  f"alpha={float(np.max(entry['alpha'])):.3g}", flush=True)
     return dict(f=f, phi=phi, history=history)
+
+
+# -------------------------------------------------------------------------
+# theta-dependent mixed parametrization on sharded maps (for the Gibbs
+# sampler's theta slice pass; general G and D, traced theta)
+# -------------------------------------------------------------------------
+
+def _pdiag_grids(op):
+    """Real (…, Ny, Kx) Fourier-diagonal grids of a phi-space operator
+    (G, Cphi): None for identity."""
+    from ..core.ops import _Identity
+    if op is None or isinstance(op, _Identity):
+        return None
+    return jnp.real(jnp.asarray(op.diag.arr))
+
+
+def _sharded_mix_theta(ds, f, phi, theta, mesh, axis_name="sp",
+                       batch_axis=None, nsteps_flow=7):
+    """(f, phi) -> (f°, phi°) = (L(phi) D(theta) f, G(theta) phi) on
+    y-sharded maps (models/dataset.py::mix; src/dataset.jl:96-101).
+    theta may hold traced scalars — the ParamDependentOp recomputes
+    trace through."""
+    from ..models.dataset import _op_call
+    from ..core.ops import _Identity
+    proj = f.proj
+    QU = Basis("QU", "map")
+    D = _op_call(ds.D, theta)
+    G = _op_call(ds.G, theta)
+    fD = f if isinstance(D, _Identity) else Field(
+        ShardedEBDiag(_eb_diag_grids(D, "D"), proj, mesh, axis_name,
+                      batch_axis)(f.arr), QU, proj)
+    L = ShardedLenseFlow(phi, nsteps=nsteps_flow, mesh=mesh,
+                         axis_name=axis_name, batch_axis=batch_axis)
+    gg = _pdiag_grids(G)
+    if gg is None:
+        phi_mix = phi
+    else:
+        phi_mix = fourier_diag_apply_sharded(
+            pad_multiplier(gg, mesh, axis_name), phi, mesh, axis_name,
+            batch_axis)
+    return L @ fD, phi_mix
+
+
+def _sharded_unmix_theta(ds, f_mix, phi_mix, theta, mesh, axis_name="sp",
+                         batch_axis=None, nsteps_flow=7):
+    """(f°, phi°) -> (f, phi) at theta on y-sharded maps
+    (models/dataset.py::unmix; src/dataset.jl:112-117)."""
+    from ..models.dataset import _op_call
+    from ..core.ops import _Identity
+    proj = f_mix.proj
+    QU = Basis("QU", "map")
+    D = _op_call(ds.D, theta)
+    G = _op_call(ds.G, theta)
+    gg = _pdiag_grids(G)
+    if gg is None:
+        phi = phi_mix
+    else:
+        phi = fourier_diag_apply_sharded(
+            pad_multiplier(_safe_inv(gg), mesh, axis_name), phi_mix, mesh,
+            axis_name, batch_axis)
+    L = ShardedLenseFlow(phi, nsteps=nsteps_flow, mesh=mesh,
+                         axis_name=axis_name, batch_axis=batch_axis)
+    fi = L.solve(f_mix)
+    f = fi if isinstance(D, _Identity) else Field(
+        ShardedEBDiag(_safe_inv(_eb_diag_grids(D, "D")), proj, mesh,
+                      axis_name, batch_axis)(fi.arr), QU, proj)
+    return f, phi
+
+
+def sharded_mixed_logpdf_theta(ds, f_mix, phi_mix, theta, mesh,
+                               axis_name="sp", batch_axis=None,
+                               nsteps_flow=7):
+    """Mixed(ds).logpdf(f_mix, phi_mix, theta) on y-sharded maps —
+    full value including the theta-dependent logdet normalizations and
+    the D/G mixing Jacobians (models/dataset.py:261-270; reference
+    src/dataset.jl:84-117), so theta slice sampling on sharded chains
+    weighs theta values exactly like the single-device sampler."""
+    from ..core.field import dot as fdot
+    from ..models.dataset import _op_call
+    from ..core.ops import logdet, logdet_rel
+
+    proj = f_mix.proj
+    QU = Basis("QU", "map")
+    f, phi = _sharded_unmix_theta(ds, f_mix, phi_mix, theta, mesh,
+                                  axis_name, batch_axis, nsteps_flow)
+    Cf = _op_call(ds.Cf, theta)
+    Cphi = _op_call(ds.Cphi, theta)
+    Cn = _op_call(ds.Cn, theta)
+    M = _op_call(ds.M, theta)
+    B = _op_call(ds.B, theta)
+    mk = lambda g: ShardedEBDiag(g, proj, mesh, axis_name, batch_axis)
+    iCf = mk(_safe_inv(_eb_diag_grids(Cf, "Cf")))
+    iCn = mk(_safe_inv(_eb_diag_grids(Cn, "Cn")))
+    Mm, mask = _split_M(M)
+    Bm = _eb_diag_grids(B, "B")
+    if mask is None:
+        fwd = mk(Mm * Bm)
+    else:
+        opB, opMf = mk(Bm), mk(Mm)
+        mask_sh = shard_spatial(Field(jnp.asarray(mask), Basis("I", "map"),
+                                      proj), mesh, axis_name).arr
+        fwd = lambda x: opMf(mask_sh * opB(x))
+    L = ShardedLenseFlow(phi, nsteps=nsteps_flow, mesh=mesh,
+                         axis_name=axis_name, batch_axis=batch_axis)
+    d_sh = shard_spatial(ds.d.to(QU), mesh, axis_name, batch_axis).arr
+    rd = Field(d_sh - fwd((L @ f).arr), QU, proj)
+    chi2 = fdot(rd, Field(iCn(rd.arr), QU, proj))
+    pri_f = fdot(f, Field(iCf(f.arr), QU, proj))
+    icphi = pad_multiplier(_safe_inv(_pdiag_grids(Cphi)), mesh, axis_name)
+    pri_p = fdot(phi, fourier_diag_apply_sharded(icphi, phi, mesh,
+                                                 axis_name, batch_axis))
+    lp = -0.5 * (chi2 + pri_f + pri_p
+                 + logdet(Cf) + logdet(Cphi) + logdet(Cn))
+    return lp - logdet_rel(ds.D, theta) - logdet_rel(ds.G, theta)
+
+
+def sharded_sample_slice_theta(key, ds, f: Field, phi: Field, theta, name,
+                               xs, mesh, axis_name="sp", batch_axis=None,
+                               nsteps_flow=7):
+    """One gridded slice-sampling pass for scalar theta[name] on
+    y-sharded chains (the sharded gibbs_sample_slice_theta; reference
+    gibbs_sample_slice_θ!, src/sampling.jl:427-437): mix at the current
+    theta, grid-evaluate the sharded mixed logpdf over xs, draw by
+    inverse transform, and unmix at the NEW theta (which is what lets a
+    theta move reuse the current maps). Returns (theta', f', phi')."""
+    from ..inference.sampling import grid_and_sample
+
+    theta = dict(theta or {})
+    f_mix, phi_mix = _jit_sh_mix(ds, f, phi, theta, mesh=mesh,
+                                 axis_name=axis_name, batch_axis=batch_axis,
+                                 nsteps_flow=nsteps_flow)
+
+    def lp_at(v):
+        th = dict(theta)
+        th[name] = jnp.float32(v)
+        return _jit_sh_mixed_lp(ds, f_mix, phi_mix, th, mesh=mesh,
+                                axis_name=axis_name, batch_axis=batch_axis,
+                                nsteps_flow=nsteps_flow)
+
+    val, _, _ = grid_and_sample(key, lp_at, xs)
+    theta[name] = (float(np.asarray(val).ravel()[0])
+                   if np.ndim(val) == 0 or np.size(val) == 1 else val)
+    f, phi = _jit_sh_unmix(ds, f_mix, phi_mix, theta, mesh=mesh,
+                           axis_name=axis_name, batch_axis=batch_axis,
+                           nsteps_flow=nsteps_flow)
+    return theta, f, phi
+
+
+from functools import partial as _p
+
+_jit_sh_mix = _p(jax.jit, static_argnames=(
+    "mesh", "axis_name", "batch_axis", "nsteps_flow"))(_sharded_mix_theta)
+_jit_sh_unmix = _p(jax.jit, static_argnames=(
+    "mesh", "axis_name", "batch_axis", "nsteps_flow"))(_sharded_unmix_theta)
+_jit_sh_mixed_lp = _p(jax.jit, static_argnames=(
+    "mesh", "axis_name", "batch_axis",
+    "nsteps_flow"))(sharded_mixed_logpdf_theta)
 
 
 def sharded_sample_f(key, ds, phi: Field, mesh, axis_name="sp",
@@ -490,13 +808,20 @@ def sharded_sample_joint(key, ds, mesh, nsamps=100, axis_name="sp",
                          hmc_N=25, hmc_eps=0.01, nsteps_flow=7,
                          Lambda=None, phistart=None, filename=None,
                          resume=False, nfilewrite=10, nsavemaps=10,
+                         theta_range=None, theta_start=None, theta_grid_n=32,
                          progress=False):
     """Gibbs chain on spatially-sharded maps: repeated
     sharded_gibbs_pass (f by constrained realization, phi by HMC) with
     the same native CRC-checkpoint/resume machinery as sample_joint
     (reference src/sampling.jl:180-335). Per-step scalars (logpdf, dH,
     accept, cg_iters) are recorded every step; the phi map (gathered to
-    host) every `nsavemaps` steps. Returns inference.chains.Chains."""
+    host) every `nsavemaps` steps. Returns inference.chains.Chains.
+
+    theta_range: optional {name: (lo, hi)} — adds a gridded
+    slice-sampling pass per scalar theta parameter each Gibbs step
+    (sharded_sample_slice_theta; reference gibbs_sample_slice_θ!,
+    src/sampling.jl:427-437), mixing at the current theta and unmixing
+    at the accepted one. Sampled theta values are recorded per step."""
     import pickle
     from ..inference.chains import Chains
     from ..utils.transfer import device_get_safe
@@ -509,6 +834,7 @@ def sharded_sample_joint(key, ds, mesh, nsamps=100, axis_name="sp",
     ysh = NamedSharding(mesh, _yspec(3, axis_name, batch_axis))
 
     start_step = 0
+    theta = dict(theta_start or {})
     if phistart is not None:
         phi = phistart.to(I_MAP)
     else:
@@ -528,6 +854,7 @@ def sharded_sample_joint(key, ds, mesh, nsamps=100, axis_name="sp",
                             I_MAP, proj)
                 key = jnp.asarray(st["key"])   # raw uint32 key data
                 start_step = int(st["step"])
+                theta = dict(st.get("theta", theta))
 
     writer = None
     if ckpt:
@@ -539,17 +866,30 @@ def sharded_sample_joint(key, ds, mesh, nsamps=100, axis_name="sp",
     try:
         for step in range(start_step + 1, nsamps + 1):
             key, sk = jax.random.split(key)
+            dsth = ds.at(theta) if theta else ds
             f, phi, info = sharded_gibbs_pass(
-                sk, ds, phi, mesh, axis_name, batch_axis,
+                sk, dsth, phi, mesh, axis_name, batch_axis,
                 cg_nsteps=cg_nsteps, cg_tol=cg_tol, hmc_N=hmc_N,
                 hmc_eps=hmc_eps, nsteps_flow=nsteps_flow, Lambda=Lambda)
-            lp = sharded_lensing_logpdf(ds, f, phi, mesh, axis_name,
-                                        batch_axis, nsteps_flow, _ops=ops)
+            if theta_range:
+                for nm, (lo, hi) in theta_range.items():
+                    key, kt = jax.random.split(key)
+                    xs = np.linspace(float(lo), float(hi),
+                                     int(theta_grid_n))
+                    theta, f, phi = sharded_sample_slice_theta(
+                        kt, ds, f, phi, theta, nm, xs, mesh, axis_name,
+                        batch_axis, nsteps_flow)
+                dsth = ds.at(theta)
+                phi = phi.to(I_MAP)
+            lp = sharded_lensing_logpdf(dsth, f, phi, mesh, axis_name,
+                                        batch_axis, nsteps_flow,
+                                        _ops=None if theta_range else ops)
             entry = dict(step=step,
                          logpdf=np.asarray(device_get_safe(lp)),
                          dH=np.asarray(device_get_safe(info["dH"])),
                          accept=np.asarray(device_get_safe(info["accept"])),
-                         cg_iters=int(info["cg_iters"]))
+                         cg_iters=int(info["cg_iters"]),
+                         **{k: float(v) for k, v in theta.items()})
             if step % nsavemaps == 0:
                 entry["phi"] = np.asarray(device_get_safe(phi.arr))
             chain.append(entry)
@@ -562,7 +902,8 @@ def sharded_sample_joint(key, ds, mesh, nsamps=100, axis_name="sp",
                 payload = dict(chunk=chunk, state=dict(
                     step=step,
                     phi=np.asarray(device_get_safe(phi.arr)),
-                    key=np.asarray(device_get_safe(key))))
+                    key=np.asarray(device_get_safe(key)),
+                    theta=dict(theta)))
                 writer.write(pickle.dumps(payload))
                 chunk = []
     finally:

@@ -367,3 +367,51 @@ def test_op_times_field_raises():
     Dop = Diag(Field(jnp.abs(f.arr) + 1.0, MAP, proj))
     with pytest.raises(TypeError, match="@"):
         Dop * f
+
+
+def test_banded_cov_pattern_free():
+    """Pattern-free banded Cl_to_Cov: ANY subset of spectra may carry a
+    (Cl, ledges, name) tuple — incl. a BB-banded P covariance and a
+    fully-banded IP covariance, neither of which the reference's three
+    hard-coded patterns allow (proj_lambert.jl:374-402)."""
+    proj = _proj()
+    Cl = camb()["total"]
+    edges = np.array([0.0, 1000.0, 8000.0])  # covers the full |l| grid
+
+    # BB-banded P covariance (EE fixed)
+    Cp = Cl_to_Cov("P", proj, Cl["EE"], (Cl["BB"], edges, "A_BB"))
+    f = F.randn(jax.random.PRNGKey(0), proj, pol="QU").to(EB_FOURIER)
+    a = Cp(dict(A_BB=np.array([2.0, 2.0]))) @ f
+    b = Cp({}) @ f
+    # E block untouched, B block doubled
+    assert jnp.allclose(a.arr[..., 0, :, :], b.arr[..., 0, :, :], atol=1e-5)
+    sB = float(jnp.max(jnp.abs(b.arr[..., 1, :, :])))
+    assert float(jnp.max(jnp.abs(a.arr[..., 1, :, :]
+                                 - 2 * b.arr[..., 1, :, :]))) < 1e-5 * sB
+
+    # per-bin amplitudes act on the right annuli
+    Cp2 = Cl_to_Cov("P", proj, (Cl["EE"], edges, "A_EE"), Cl["BB"])
+    c = Cp2(dict(A_EE=np.array([3.0, 1.0]))) @ f
+    lm = np.asarray(proj.lmag)
+    lo = jnp.asarray((lm >= 0) & (lm < 1000.0))
+    E0, E1 = b.arr[..., 0, :, :], c.arr[..., 0, :, :]
+    sE = float(jnp.max(jnp.abs(E0)))
+    assert float(jnp.max(jnp.abs(
+        jnp.where(lo, E1 - 3 * E0, E1 - E0)))) < 1e-5 * sE
+
+    # fully-banded IP covariance: all four spectra parametrized
+    Cip = Cl_to_Cov("IP", proj, (Cl["TT"], edges, "A_TT"),
+                    (Cl["EE"], edges, "A_EE"), (Cl["BB"], edges, "A_BB"),
+                    (Cl["TE"], edges, "A_TE"))
+    assert set(Cip.params) == {"A_TT", "A_EE", "A_BB", "A_TE"}
+    two = np.array([2.0, 2.0])
+    at = Cip(dict(A_TT=two, A_EE=two, A_BB=two, A_TE=two))
+    base = Cip({})
+    for s in ("TT", "TE", "EE", "BB"):
+        ga, gb = getattr(at, s).arr, getattr(base, s).arr
+        sg = float(jnp.max(jnp.abs(gb))) + 1e-30
+        assert float(jnp.max(jnp.abs(ga - 2 * gb))) < 1e-5 * sg, s
+
+    # duplicate theta names are rejected
+    with pytest.raises(ValueError):
+        Cl_to_Cov("P", proj, (Cl["EE"], edges, "A"), (Cl["BB"], edges, "A"))

@@ -419,3 +419,97 @@ def test_equirect_wiener_filter_batched():
         corr = float(er_dot(wi.to(fi.basis), fi)) / float(
             np.sqrt(er_dot(fi, fi)) * np.sqrt(er_dot(wi, wi)))
         assert corr > 0.98, (i, corr)
+
+
+def test_equirect_coord_roundtrip():
+    """ij <-> (theta, phi) for ProjEquiRect is affine and exactly
+    invertible (src/proj_healpix.jl:58-70)."""
+    from cmblensing_tpu.core.proj_healpix import (
+        ij_to_thetaphi_equirect, thetaphi_to_ij_equirect)
+    proj = ProjEquiRect(Ny=8, Nx=16, theta_span=(1.2, 1.8),
+                        phi_span=(0, 2 * np.pi))
+    i = np.array([0.5, 3.0, 7.5])
+    j = np.array([0.5, 8.0, 15.5])
+    th, ph = ij_to_thetaphi_equirect(proj, i, j)
+    i2, j2 = thetaphi_to_ij_equirect(proj, th, ph)
+    assert np.abs(i2 - i).max() < 1e-9
+    assert np.abs(j2 - j).max() < 1e-9
+
+
+def test_healpix_equirect_projection_roundtrip():
+    """project(HealpixField, ProjEquiRect) and back
+    (src/proj_healpix.jl:217-341 with the EquiRect coordinate maps at
+    :58-76): smooth map round-trips on in-band pixels."""
+    nside = 32
+    th, ph = hp.pix2ang_ring(nside, np.arange(hp.nside2npix(nside)))
+    m = (np.sin(th) ** 2 * np.cos(2 * ph)).astype(np.float32)
+    hf = HealpixField.from_map(m)
+    proj = ProjEquiRect(Ny=32, Nx=128, theta_span=(1.2, 1.8),
+                        phi_span=(0, 2 * np.pi))
+    flat = project(hf, proj)
+    assert isinstance(flat, EquiRectField) and flat.basis == "map"
+    assert flat.arr.shape == (32, 128)
+    # forward values match direct interpolation at pixel centers
+    thc, phc = np.meshgrid(proj.theta, proj.phi, indexing="ij")
+    expect = np.sin(thc) ** 2 * np.cos(2 * phc)
+    assert np.abs(np.asarray(flat.arr) - expect).max() < 0.01
+    back = project(flat, hf.proj)
+    from cmblensing_tpu.core.proj_healpix import Projector
+    pr = Projector(hf.proj, proj)
+    sel = np.asarray(pr.hpx_idxs_in_patch)
+    err = np.abs(np.asarray(back.arr[0])[sel] - m[sel])
+    assert np.median(err) < 0.01
+
+
+def test_healpix_equirect_qu_projection():
+    """QU on the (theta, phi)-aligned EquiRect grid: psipol = 0
+    (src/proj_healpix.jl:74-76), so components pass through unrotated."""
+    nside = 32
+    npix = hp.nside2npix(nside)
+    th, ph = hp.pix2ang_ring(nside, np.arange(npix))
+    Q = np.cos(th).astype(np.float32)
+    U = (np.sin(th) * 0.5).astype(np.float32)
+    hf = HealpixField.from_map(np.stack([Q, U]), pol="QU")
+    proj = ProjEquiRect(Ny=16, Nx=64, theta_span=(1.2, 1.8),
+                        phi_span=(0, 2 * np.pi))
+    flat = project(hf, proj)
+    assert flat.basis == "qu_map" and flat.arr.shape == (2, 16, 64)
+    thc = np.broadcast_to(proj.theta[:, None], (16, 64))
+    assert np.abs(np.asarray(flat.arr[0]) - np.cos(thc)).max() < 0.01
+    assert np.abs(np.asarray(flat.arr[1]) - 0.5 * np.sin(thc)).max() < 0.01
+    # and back up to the sphere
+    back = project(flat, hf.proj)
+    from cmblensing_tpu.core.proj_healpix import Projector
+    pr = Projector(hf.proj, proj)
+    sel = np.asarray(pr.hpx_idxs_in_patch)
+    for c, truth in enumerate([Q, U]):
+        err = np.abs(np.asarray(back.arr[c])[sel] - truth[sel])
+        assert np.median(err) < 0.01, c
+
+
+def test_healpix_equirect_projection_grad():
+    """The bilinear EquiRect projection is differentiable: jax.grad of
+    a quadratic through project matches finite differences (mirrors the
+    Lambert AD convention)."""
+    from cmblensing_tpu.core.proj_healpix import Projector  # noqa: F401
+    nside = 16
+    npix = hp.nside2npix(nside)
+    proj = ProjEquiRect(Ny=8, Nx=32, theta_span=(1.2, 1.8),
+                        phi_span=(0, 2 * np.pi))
+    rng = np.random.default_rng(0)
+    m0 = rng.normal(size=npix).astype(np.float32)
+
+    def obj(m):
+        hf = HealpixField(m[None], "I", ProjHealpix(nside))
+        flat = project(hf, proj)
+        return 0.5 * jnp.sum(flat.arr ** 2)
+
+    g = np.asarray(jax.grad(obj)(jnp.asarray(m0)))
+    eps = 1e-2
+    idxs = rng.integers(0, npix, 5)
+    for k in idxs:
+        mp, mm = m0.copy(), m0.copy()
+        mp[k] += eps
+        mm[k] -= eps
+        fd = (float(obj(jnp.asarray(mp))) - float(obj(jnp.asarray(mm)))) / (2 * eps)
+        assert abs(fd - g[k]) < 2e-2 * max(1.0, abs(fd)), (k, fd, g[k])

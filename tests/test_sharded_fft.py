@@ -202,13 +202,64 @@ def test_sharded_logpdf_and_MAP(mesh4):
 
     res = sharded_MAP_joint(ds, mesh4, nsteps=3, cg_nsteps=25, cg_tol=1e-8,
                             ngrid=7, alpha_max=1.5)
-    lps = [h["logpdf"] for h in res["history"]]
+    lps = [float(h["logpdf"]) for h in res["history"]]
     assert lps[1] >= lps[0] - 1e-3 and lps[2] >= lps[1] - 1e-3, lps
     # phi recovery: correlation with the true phi on the unmasked map
+    # (the mixed-parametrization MAP converges fast: ~0.85 in 3 steps;
+    # the iterate-level check is test_sharded_MAP_parity)
     pm = np.asarray(res["phi"].arr).ravel()
     pt = np.asarray(phi_m.arr).ravel()
     corr = float(pm @ pt / (np.linalg.norm(pm) * np.linalg.norm(pt) + 1e-30))
-    assert corr > 0.4, corr
+    assert corr > 0.75, corr
+
+
+def test_sharded_MAP_parity(mesh4):
+    """Same-key parity with the single-device MAP_joint: the sharded
+    coordinate descent (mixed parametrization f° = L(phi) D f, warm-
+    started CG f-step with the SAME hat-ops preconditioner, identical
+    steps^1.5 grid line search and amax adaptation) reproduces
+    MAP_joint's iterates to f32 roundoff — measured 8e-6 relative L2 on
+    the step-3 phi at 32^2 (the r3 demo-grade version only reached
+    corr > 0.4 vs truth)."""
+    from cmblensing_tpu.models.dataset import load_sim
+    from cmblensing_tpu.parallel.sharded_wf import sharded_MAP_joint
+    from cmblensing_tpu.inference.maximization import MAP_joint
+
+    out = load_sim(thetapix=3, Nside=32, pol="P", T=np.float32, seed=0)
+    ds = out["ds"]
+    res_sh = sharded_MAP_joint(ds, mesh4, nsteps=2, cg_nsteps=60,
+                               cg_tol=1e-7, ngrid=8)
+    res_1 = MAP_joint(ds, nsteps=2, linesearch="grid", ngrid=8,
+                      precision=None,
+                      conjgrad_kwargs=dict(tol=1e-7, nsteps=60,
+                                           hessian_precision=None))
+    p1 = res_1["phi"].to(res_1["phi"].basis.with_space("map"))
+    psh = res_sh["phi"].to(res_sh["phi"].basis.with_space("map"))
+    a = np.asarray(p1.arr).ravel()
+    b = np.asarray(psh.arr).ravel()
+    rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-30)
+    assert rel < 1e-4, rel
+    # history logpdfs carry the same normalization constants
+    for h1, hs in zip(res_1["history"], res_sh["history"]):
+        lp1, lps_ = float(h1["logpdf"]), float(np.sum(hs["logpdf"]))
+        assert abs(lp1 - lps_) < 1e-4 * abs(lp1), (lp1, lps_)
+
+
+def test_sharded_MAP_batched(mesh4):
+    """Batched data support (r3 raised NotImplementedError): each batch
+    entry gets its own phi, line-search alpha and amax adaptation, like
+    MAP_joint."""
+    from cmblensing_tpu.models.dataset import load_sim
+    from cmblensing_tpu.parallel.sharded_wf import sharded_MAP_joint
+
+    out = load_sim(thetapix=3, Nside=32, pol="P", T=np.float32, seed=1,
+                   Nbatch=2)
+    res = sharded_MAP_joint(out["ds"], mesh4, nsteps=1, cg_nsteps=20,
+                            cg_tol=1e-7, ngrid=6)
+    assert np.shape(res["history"][0]["alpha"]) == (2,)
+    assert np.shape(res["history"][0]["logpdf"]) == (2,)
+    assert res["phi"].batch_shape == (2,)
+    assert np.all(np.isfinite(res["history"][0]["logpdf"]))
 
 
 def test_sharded_sample_f_matches_single_device(mesh4):
