@@ -27,8 +27,11 @@ _DTYPE_BYTES = {
 _COLLECTIVES = ("all-to-all", "all-gather", "all-reduce",
                 "reduce-scatter", "collective-permute")
 
+# the whole shape part (array OR tuple) is captured in one group so the
+# tuple branch never has to re-split the line (the instruction NAME
+# also contains the op string, e.g. `%all-to-all.9 = (...) all-to-all(`)
 _OP_RE = re.compile(
-    r"=\s*(?:\([^)]*\)|(\w+)\[([\d,]*)\][^ ]*)\s+"
+    r"=\s*(\([^)]*\)|\w+\[[\d,]*\][^ ]*)\s+"
     r"(all-to-all|all-gather|all-reduce|reduce-scatter|collective-permute)"
     r"(?:-start)?\(")
 _TUPLE_ELEM_RE = re.compile(r"(\w+)\[([\d,]*)\]")
@@ -42,6 +45,34 @@ def _shape_bytes(dtype, dims):
     return n * _DTYPE_BYTES.get(dtype, 4)
 
 
+def _hlo_text(lowered_or_fn, args):
+    obj = lowered_or_fn
+    if callable(obj) and not hasattr(obj, "compile") and not hasattr(obj, "as_text"):
+        import jax
+        obj = jax.jit(obj).lower(*args)
+    if hasattr(obj, "compile"):
+        obj = obj.compile()
+    return obj.as_text()
+
+
+def _tally(lines):
+    stats = {op: {"count": 0, "bytes": 0} for op in _COLLECTIVES}
+    for line in lines:
+        m = _OP_RE.search(line)
+        if not m:
+            continue
+        shape, op = m.group(1), m.group(2)
+        # array `f32[8,32]{1,0}` and tuple `(f32[1,8,8]{2,1,0}, ...)`
+        # shapes both reduce to a sum over their element buffers (the
+        # CPU backend decomposes a tiled all_to_all into a P-buffer
+        # tuple; TPU keeps one array — same per-device payload)
+        nbytes = sum(_shape_bytes(d, s)
+                     for d, s in _TUPLE_ELEM_RE.findall(shape))
+        stats[op]["count"] += 1
+        stats[op]["bytes"] += nbytes
+    return {k: v for k, v in stats.items() if v["count"]}
+
+
 def collective_stats(lowered_or_fn, *args):
     """Tally collectives in an SPMD program's optimized HLO.
 
@@ -51,30 +82,53 @@ def collective_stats(lowered_or_fn, *args):
     `bytes` sums each collective's OUTPUT buffer size on ONE device
     (the standard per-chip payload the ring model consumes).
     """
-    obj = lowered_or_fn
-    if callable(obj) and not hasattr(obj, "compile") and not hasattr(obj, "as_text"):
-        import jax
-        obj = jax.jit(obj).lower(*args)
-    if hasattr(obj, "compile"):
-        obj = obj.compile()
-    txt = obj.as_text()
+    return _tally(_hlo_text(lowered_or_fn, args).splitlines())
 
-    stats = {op: {"count": 0, "bytes": 0} for op in _COLLECTIVES}
-    for line in txt.splitlines():
-        m = _OP_RE.search(line)
-        if not m:
-            continue
-        dtype, dims, op = m.group(1), m.group(2), m.group(3)
-        if dtype is None:
-            # tuple-shaped output: sum the element buffers
-            head = line.split(op)[0]
-            nbytes = sum(_shape_bytes(d, s)
-                         for d, s in _TUPLE_ELEM_RE.findall(head))
+
+def collective_stats_by_computation(lowered_or_fn, *args):
+    """Like `collective_stats`, but split per HLO computation:
+    {computation_name: stats}. The entry computation runs ONCE per
+    dispatch while a `lax.scan`/`while` body computation runs once per
+    trip, so the DYNAMIC payload of a program whose only loop is the
+    RK time scan is
+
+        entry_bytes + nsteps * body_bytes
+
+    (`flow_dynamic_a2a_bytes` does exactly this)."""
+    out = {}
+    cur = "ENTRY"
+    block = []
+    for line in _hlo_text(lowered_or_fn, args).splitlines():
+        starts_comp = (line and not line[0].isspace()
+                       and line.rstrip().endswith("{"))
+        if starts_comp:
+            if block:
+                s = _tally(block)
+                if s:
+                    out[cur] = s
+            name = line.split()[0].lstrip("%")
+            cur = "ENTRY" if line.startswith("ENTRY") else name
+            block = []
         else:
-            nbytes = _shape_bytes(dtype, dims)
-        stats[op]["count"] += 1
-        stats[op]["bytes"] += nbytes
-    return {k: v for k, v in stats.items() if v["count"]}
+            block.append(line)
+    if block:
+        s = _tally(block)
+        if s:
+            out[cur] = s
+    return out
+
+
+def flow_dynamic_a2a_bytes(stats_by_comp, nsteps):
+    """Dynamic per-device all_to_all payload of one flow dispatch from
+    a `collective_stats_by_computation` tally: the entry computation
+    fires once (the φ grad/hess prologue), every non-entry computation
+    holding collectives is the RK time-scan body firing `nsteps`
+    times."""
+    total = 0
+    for name, stats in stats_by_comp.items():
+        b = stats.get("all-to-all", {}).get("bytes", 0)
+        total += b if name == "ENTRY" else nsteps * b
+    return total
 
 
 def predict_ici_time(a2a_bytes_per_device, n_devices,
@@ -103,21 +157,25 @@ def flow_a2a_bytes(proj, n_devices, nsteps, n_flows=1, itemsize=4,
                    spin2=True):
     """Analytic all_to_all payload of ONE ShardedLenseFlow apply, per
     device: what the pencil scheme MUST move, for cross-checking the
-    HLO tally.
+    HLO tally (tests/test_comm_model.py asserts the compiled program
+    matches this EXACTLY, plane for plane).
 
-    Every y-derivative inside the flow is 2 tiled all_to_alls (to the
-    x-sharded pencil layout and back, ops/deriv.py::_ywrap), each with
-    per-device payload = ncomp * Ny * Nx / P elements. Per flow:
+    Every y-derivative is a pencil round trip (all_to_all to the
+    x-sharded layout and back); one all_to_all's per-device payload is
+    `nplanes * Ny * Nx / P` elements. Per flow, in per-device PLANE
+    units (one plane = Ny*Nx/P elements):
 
-      * _gradhess_phi: 3 spin-0 y-derivative round trips (grad_y phi,
-        hess_yy phi, hess_xy phi via d_y(d_x phi))
-      * each RK4 stage: 1 spin-(0|2) y-derivative round trip of the
-        state (grad_y f inside _velocity); 4 stages/step x nsteps steps
+      * φ grad/hess prologue, once per dispatch (spin-0): transpose φ
+        in (1), d_y φ and d_yy φ back (2), transpose d_x φ in (1),
+        d_xy φ back (1) — the two y-derivatives of φ SHARE φ's inbound
+        transpose, hence 5 planes, not 6
+      * each RK4 stage moves the state's y-derivative round trip:
+        2 all_to_alls × ncomp planes × 4 stages × nsteps steps
 
     (x-derivatives contract over the unsharded axis — no comms.)
     """
     P = int(n_devices)
     plane = proj.Ny * proj.Nx // P * itemsize
     ncomp = 2 if spin2 else 1
-    per_flow = 2 * plane * (3 + 4 * nsteps * ncomp)
+    per_flow = plane * (5 + 8 * nsteps * ncomp)
     return n_flows * per_flow
