@@ -298,9 +298,16 @@ def _backward_flow_scan(f1, dy, g, h, proj, t1, t0, nsteps):
 
     Returns (df0, dphi). Reference math: negδvelocityᴴ,
     src/lenseflow.jl:176-214."""
-    from ..ops.deriv import bwd_stage_derivs, div_plus_dij
+    from ..ops.deriv import bwd_stage_derivs, div_plus_dij, div_plus_dij5
 
     hstep = (t0 - t1) / nsteps
+    # d_x d_y commutes, so the s_yx and s_xy integrands can be
+    # accumulated as ONE summed plane (ops/deriv.py::div_plus_dij5) —
+    # 5 accumulator planes instead of 6 in the scan carry and in every
+    # stage's integrand traffic. Opt-out knob for A/B
+    # (scripts/perf_bwd_floor.py): CMBL_BWD_ACC6=1 restores the 6-plane
+    # form.
+    acc5 = not _os.environ.get("CMBL_BWD_ACC6")
 
     def integrands(t, f, df):
         px, py = _p_t(t, g, h)
@@ -316,8 +323,12 @@ def _backward_flow_scan(f1, dy, g, h, proj, t1, t0, nsteps):
         # accumulator integrands as a TUPLE of planes: the per-stage
         # values fuse straight into the RK-weighted accumulator update
         # without materializing a stacked tensor per stage
-        acc = (ux, uy, t * px * ux, t * py * ux,
-               t * px * uy, t * py * uy)
+        if acc5:
+            acc = (ux, uy, t * px * ux, t * (py * ux + px * uy),
+                   t * py * uy)
+        else:
+            acc = (ux, uy, t * px * ux, t * py * ux,
+                   t * px * uy, t * py * uy)
         return (dfdt, ddf), acc
 
     def step(carry, i):
@@ -353,11 +364,15 @@ def _backward_flow_scan(f1, dy, g, h, proj, t1, t0, nsteps):
             vma |= set(getattr(jax.typeof(a), "vma", ()))
         if vma:
             zplane = jax.lax.pvary(zplane, tuple(sorted(vma)))
-    acc0 = (zplane,) * 6
+    acc0 = (zplane,) * (5 if acc5 else 6)
     (f0, df0, acc), _ = jax.lax.scan(step, (f1, dy, acc0),
                                      jnp.arange(nsteps), unroll=_unroll(proj))
-    dphi = div_plus_dij(acc[0], acc[1], acc[2], acc[3], acc[4], acc[5],
-                        proj)[..., None, :, :]
+    if acc5:
+        dphi = div_plus_dij5(acc[0], acc[1], acc[2], acc[3],
+                             acc[4], proj)[..., None, :, :]
+    else:
+        dphi = div_plus_dij(acc[0], acc[1], acc[2], acc[3], acc[4], acc[5],
+                            proj)[..., None, :, :]
     return df0, dphi
 
 

@@ -473,6 +473,35 @@ def div_plus_dij(ux, uy, s0, s1, s2, s3, proj):
     return (d + dij_sum(s, proj))[..., 0, :, :]
 
 
+def div_plus_dij5(ux, uy, sxx, sxy, syy, proj):
+    """5-plane form of `div_plus_dij`: because d_x and d_y commute
+    (circulants on different axes), the two cross planes s_yx and s_xy
+    only ever enter as d_x d_y (s_yx + s_xy) — callers accumulate the
+    SUM as one plane (sxy), cutting the backward flow's accumulator
+    carry and per-stage integrand traffic from 6 planes to 5:
+
+        ddx(ux + ddx(sxx) + ddy(sxy)) + ddy(uy + ddy(syy))
+    """
+    be = _backend(proj, ux)
+    if be in ("factored", "matmul"):
+        if be == "factored":
+            from .factored_deriv import apply_x, apply_y
+            FX1, FY1 = _fd1(proj)
+            pr = _prec()
+            mm = lambda a: apply_x(a, FX1, pr)
+            my = lambda a: _yfac(a, FY1, pr)
+        else:
+            Dx, Dy = _mats(proj, 1)
+            mm = lambda a: _mm_x(a, Dx)
+            my = lambda a: _ymat(Dy, a)
+        ix = mm(sxx)
+        iy = my(jnp.stack([sxy, syy], axis=-3))
+        ox = mm(ux + ix + iy[..., 0, :, :])
+        oy = my(uy + iy[..., 1, :, :])
+        return ox + oy
+    return div_plus_dij(ux, uy, sxx, sxy, jnp.zeros_like(sxy), syy, proj)
+
+
 def bwd_stage_derivs(f, pxdf, pydf, proj):
     """The derivative bundle of one backward-flow velocity evaluation
     (models/lenseflow.py::_backward_flow): returns (fx, fy, ddf) with
@@ -488,6 +517,34 @@ def bwd_stage_derivs(f, pxdf, pydf, proj):
     n = f.shape[-3]
     be = _backend(proj, f)
     if be in ("factored", "matmul"):
+        env = _osmod.environ.get("CMBL_BWD_NOCONCAT")
+        if env is not None:
+            noconcat = env not in ("", "0")
+        else:
+            # default: separate applies on one device (measured 1024^2
+            # v5e backward flow 15.6 -> 12.7 ms, scripts/
+            # perf_bwd_floor.py), but keep the single batched round
+            # trip under shard_map — separate y-applies double the
+            # all_to_all count for the same bytes, pure ICI latency
+            noconcat = _SHARD_AXIS is None
+        if noconcat:
+            # issue the f and p·δf stacks as SEPARATE applies so the
+            # p·δf elementwise producer fuses into its matmul operand
+            # read instead of materializing through a 4-plane concat
+            # buffer — fewer HBM bytes for narrower matmuls
+            if be == "factored":
+                from .factored_deriv import apply_x, apply_y
+                FX1, FY1 = _fd1(proj)
+                mm = lambda a: apply_x(a, FX1, _prec())
+                my = lambda a: _yfac(a, FY1, _prec())
+            else:
+                Dx, Dy = _mats(proj, 1)
+                mm = lambda a: _mm_x(a, Dx)
+                my = lambda a: _ymat(Dy, a)
+            fx = mm(f)
+            fy = my(f)
+            ddf = mm(pxdf) + my(pydf)
+            return fx, fy, ddf
         ax = jnp.concatenate([f, pxdf], axis=-3)
         ay = jnp.concatenate([f, pydf], axis=-3)
         if be == "factored":

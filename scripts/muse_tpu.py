@@ -13,11 +13,11 @@ except Exception:
     pass
 
 
-def main(N=128, nsims=8, nsteps=3, truth=1.4):
+def main(N=128, nsims=8, nsteps=3, truth=1.4, pol="I"):
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         from cmblensing_tpu.models.dataset import load_sim
-        out = load_sim(thetapix=3, Nside=N, pol="I", T=np.float32, seed=0)
+        out = load_sim(thetapix=3, Nside=N, pol=pol, T=np.float32, seed=0)
         ds = out["ds"]
         # data simulated at the truth Aphi
         sim = ds.at(dict(Aphi=truth)).simulate(jax.random.PRNGKey(7),
@@ -37,11 +37,12 @@ def main(N=128, nsims=8, nsteps=3, truth=1.4):
     dt = time.time() - t0
     A = res["theta"]["Aphi"]
     sig = float(np.sqrt(res["Sigma"][0, 0]))
-    print(f"MUSE {N}^2 I, nsims={nsims}: Aphi = {A:.3f} +/- {sig:.3f} "
+    print(f"MUSE {N}^2 {pol}, nsims={nsims}: Aphi = {A:.3f} +/- {sig:.3f} "
           f"(truth {truth}) in {dt:.0f}s", flush=True)
     pull = (A - truth) / sig
     print(f"pull = {pull:.2f} sigma", flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    main(N=int(sys.argv[1]) if len(sys.argv) > 1 else 128,
+         pol=(sys.argv[2] if len(sys.argv) > 2 else "I"))
