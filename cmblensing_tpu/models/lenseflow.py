@@ -298,7 +298,16 @@ def _backward_flow_scan(f1, dy, g, h, proj, t1, t0, nsteps):
 
     Returns (df0, dphi). Reference math: negδvelocityᴴ,
     src/lenseflow.jl:176-214."""
-    from ..ops.deriv import bwd_stage_derivs, div_plus_dij, div_plus_dij5
+    from ..ops.deriv import (bwd_stage_derivs, div_plus_dij, div_plus_dij5,
+                             bwd_radix_ctx)
+    with bwd_radix_ctx():
+        return _backward_flow_scan_body(f1, dy, g, h, proj, t1, t0, nsteps,
+                                        bwd_stage_derivs, div_plus_dij,
+                                        div_plus_dij5)
+
+
+def _backward_flow_scan_body(f1, dy, g, h, proj, t1, t0, nsteps,
+                             bwd_stage_derivs, div_plus_dij, div_plus_dij5):
 
     hstep = (t0 - t1) / nsteps
     # d_x d_y commutes, so the s_yx and s_xy integrands can be
@@ -363,7 +372,11 @@ def _backward_flow_scan(f1, dy, g, h, proj, t1, t0, nsteps):
         for a in (f1, dy, g[0]):
             vma |= set(getattr(jax.typeof(a), "vma", ()))
         if vma:
-            zplane = jax.lax.pvary(zplane, tuple(sorted(vma)))
+            if hasattr(jax.lax, "pcast"):
+                zplane = jax.lax.pcast(zplane, tuple(sorted(vma)),
+                                       to="varying")
+            else:  # pre-0.9 jax
+                zplane = jax.lax.pvary(zplane, tuple(sorted(vma)))
     acc0 = (zplane,) * (5 if acc5 else 6)
     (f0, df0, acc), _ = jax.lax.scan(step, (f1, dy, acc0),
                                      jnp.arange(nsteps), unroll=_unroll(proj))

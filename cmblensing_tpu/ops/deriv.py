@@ -211,10 +211,13 @@ def _arr_on_accel(arr):
 def _pick_B_measured(n):
     """Radix for the factored circulant. MAC count falls as
     (2 + 4*(B/2-1))/B^2 of dense, but butterfly glue grows O(B^2), so
-    the policy keeps blocks at A = n/B >= 256 (measured at N=1024 f32
-    backward flow: B=4 15.9ms, B=2 17.1, B=8 17.2 — the path is
-    HBM/glue-bound, not MXU-bound). Returns 1 when no radix pays
-    (N < 512). Override: CMBL_RADIX_B."""
+    the baseline policy keeps blocks at A = n/B >= 256, with one
+    measured exception: at n = 1024 the A = 128 blocking (B = 8) wins
+    BOTH flows on v5e (fa-kernel apply 4.35 vs 4.97 ms, backward scan
+    11.7 vs 12.66 — the path is HBM-bound, so the lower MXU utilization
+    of 128^2 blocks doesn't bite; B = 16 there is compile-bound and
+    loses). Returns 1 when no radix pays (N < 512).
+    Override: CMBL_RADIX_B."""
     import os
     env = os.environ.get("CMBL_RADIX_B")
     if env:
@@ -223,11 +226,38 @@ def _pick_B_measured(n):
         # fall back to 1 (dense) rather than die on an assert deep in
         # _real_butterfly_mats
         return b if (b > 1 and b % 2 == 0 and n % b == 0) else 1
+    if n == 1024:
+        return 8
     B = 1
     for cand in (2, 4, 8, 16):
         if n % cand == 0 and n // cand >= 256:
             B = cand
     return B
+
+
+# The backward (transpose-delta) scan carries a bigger per-stage
+# working set than the forward flow, and at >= 2048 prefers smaller
+# A blocks than the forward policy (v5e, scripts/perf_large.py:
+# 2048^2 backward 114.7 ms at B=16 vs 129.8 at B=8; 4096^2 695 ms at
+# B=32 vs 833 at B=16 — while the forward flow is the other way:
+# 2048^2 35.8 at B=8 vs 43.6 at B=16, 4096^2 298.6 at B=16 vs 309.8
+# at B=32). The backward trace opts in via bwd_radix_ctx();
+# CMBL_RADIX_B still overrides.
+_BWD_RADIX_TABLE = {2048: 16, 4096: 32}
+_BWD_TRACE = False
+
+
+@contextlib.contextmanager
+def bwd_radix_ctx():
+    """Mark the enclosed trace as backward-flow work so _fops picks the
+    backward-measured radix table where it differs from the forward."""
+    global _BWD_TRACE
+    prev = _BWD_TRACE
+    _BWD_TRACE = True
+    try:
+        yield
+    finally:
+        _BWD_TRACE = prev
 
 
 # Auto-policy ceiling for the factored backend. Measured wins through
@@ -331,6 +361,8 @@ def _mats(proj, order=1):
 def _fops(proj, n):
     from .factored_deriv import _factored_ops
     B = _pick_B_measured(n)
+    if _BWD_TRACE and not _osmod.environ.get("CMBL_RADIX_B"):
+        B = _BWD_RADIX_TABLE.get(n, B)
     return _factored_ops(n, float(proj.deltax), proj.T.str, B)
 
 

@@ -19,10 +19,14 @@ e.g. for N=1024, B=4: 6 units of (256x256)@(256 x rows) instead of
 the dense 64 equivalent — ~10.7x fewer MXU MACs at identical (1e-7)
 f32 parity, with the butterflies fusing into surrounding elementwise
 work. Measured on v5e: 11.35x the dense matmul at N=1024 (B=4; B=8's
-A=128 blocks underutilize the MXU and give only 3.5x — the radix
-policy in ops/deriv.py::_pick_B_measured keeps A >= 256). This is the
-strict-f32 lever for the 1024^2 north star (VERDICT r3 item 1) and
-grows with N (2048: B=8, 4096: B=16).
+A=128 blocks give only 3.5x in a standalone matmul microbench — but
+the FLOW programs are HBM-bound, not MXU-bound, and whole-flow
+measurements prefer B=8 at 1024: fa apply 4.35 vs 4.97 ms, backward
+scan 11.7 vs 12.66 — so the radix policy in
+ops/deriv.py::_pick_B_measured keeps A >= 256 except the measured
+N=1024 exception, and the backward trace uses its own table
+(_BWD_RADIX_TABLE: 2048 -> 16, 4096 -> 32)). This is the strict-f32
+lever for the 1024^2 north star (VERDICT r3 item 1) and grows with N.
 
 The blocks are constructed numerically from the SAME dense circulant
 matrices as the 'matmul' backend (ops/deriv.py::_deriv_matrices), so

@@ -365,7 +365,7 @@ def test_factored_batched_matches_unrolled():
     prec = jax.lax.Precision.HIGHEST
     rng = np.random.RandomState(0)
     with jax.enable_x64(True):
-        for N, B in [(64, 8), (64, 16), (256, 4), (128, 2)]:
+        for N, B in [(64, 8), (64, 16), (64, 32), (256, 4), (128, 2)]:
             for op in _factored_ops(N, 1.3, "float64", B):
                 # fresh per-dtype cache entries keep x64 leaves here
                 op._jcache = None
@@ -382,14 +382,37 @@ def test_factored_batched_matches_unrolled():
 
 
 def test_factored_radix_policy():
-    """Locks the measured radix policy: A = N/B >= 256 (v5e: A=256
-    blocks ran 11x dense; A=128 only 3.5x)."""
-    assert deriv._pick_B_measured(1024) == 4
+    """Locks the measured radix policy: A = N/B >= 256, except the
+    measured A=128 win at N=1024 (v5e r4: fa apply 4.35 vs 4.97 ms,
+    backward scan 11.7 vs 12.66 at B=8 vs 4)."""
+    assert deriv._pick_B_measured(1024) == 8
     assert deriv._pick_B_measured(2048) == 8
     assert deriv._pick_B_measured(4096) == 16
     assert deriv._pick_B_measured(512) == 2
     assert deriv._pick_B_measured(256) == 1
     assert deriv._pick_B_measured(48) == 1
+
+
+def test_bwd_radix_table():
+    """The backward-flow trace prefers smaller blocks at >= 2048
+    (measured v5e: 2048^2 bwd 114.7 ms B=16 vs 129.8 B=8; 4096^2
+    695 ms B=32 vs 833 B=16); env override still wins."""
+    def eff_B(n):
+        # what _fops would pick inside the ctx
+        B = deriv._pick_B_measured(n)
+        import os
+        if deriv._BWD_TRACE and not os.environ.get("CMBL_RADIX_B"):
+            B = deriv._BWD_RADIX_TABLE.get(n, B)
+        return B
+
+    assert not deriv._BWD_TRACE
+    with deriv.bwd_radix_ctx():
+        assert deriv._BWD_TRACE
+        assert eff_B(2048) == 16
+        assert eff_B(4096) == 32
+        assert eff_B(1024) == 8      # table silent -> forward policy
+        assert eff_B(256) == 1
+    assert not deriv._BWD_TRACE
 
 
 def test_pallas_factored_inkernel_matches_dense():
