@@ -34,6 +34,58 @@ def _theta_dict(vec, names):
     return {n: vec[i] for i, n in enumerate(names)}
 
 
+# --- vector-valued theta support (bandpower MUSE) ---------------------
+#
+# A theta entry may be a SCALAR (e.g. Aphi=1.0) or a VECTOR of
+# bandpower amplitudes (e.g. Aphi_b=np.ones(4) parametrizing a banded
+# Cl_to_Cov ParamDependentOp). Internally everything runs on one flat
+# parameter vector; the static "spec" records how to unpack it.
+
+def _theta_spec(theta0):
+    """Static spec: tuple of (name, size), size=None for scalars,
+    preserving dict order. Hashable, so usable as a jit static arg."""
+    spec = []
+    for k, v in theta0.items():
+        a = np.asarray(v)
+        if a.ndim > 1:
+            raise ValueError(f"theta entry {k!r} must be scalar or 1-D")
+        spec.append((k, None if a.ndim == 0 else int(a.shape[0])))
+    return tuple(spec)
+
+
+def _spec_size(spec):
+    return sum(1 if s is None else s for _, s in spec)
+
+
+def _spec_unpack(tvec, spec):
+    """Flat (jnp or np) vector -> theta dict (slices keep tracers)."""
+    th, i = {}, 0
+    for n, s in spec:
+        if s is None:
+            th[n] = tvec[i]
+            i += 1
+        else:
+            th[n] = tvec[i:i + s]
+            i += s
+    return th
+
+
+def _spec_pack(theta, spec):
+    """theta dict -> flat float64 numpy vector."""
+    parts = []
+    for n, s in spec:
+        v = np.asarray(theta[n], dtype=np.float64)
+        parts.append(v.reshape(1 if s is None else s))
+    return np.concatenate(parts)
+
+
+def _spec_labels(spec):
+    out = []
+    for n, s in spec:
+        out.extend([n] if s is None else [f"{n}[{j}]" for j in range(s)])
+    return out
+
+
 from functools import partial as _partial
 
 
@@ -52,36 +104,43 @@ def _jit_simulate_batch(ds, keys, theta):
 
 
 @_partial(jax.jit, static_argnums=(4,))
-def _jit_theta_score_batch(ds, f_hat, phi_hat, tvec, names):
+def _jit_theta_score_batch(ds, f_hat, phi_hat, tvec, spec):
     """Per-sim scores d/dtheta logpdf_i at fixed batched (f_hat,
-    phi_hat): jacfwd of the per-batch logpdf vector, (nsims, ntheta)."""
+    phi_hat): jacfwd of the per-batch logpdf vector, (nsims, nflat).
+    spec is a static (name, size) tuple — size=None for scalar theta
+    entries, an int for vector (bandpower) entries."""
     def lp_vec(tv):
-        th = {n: tv[i] for i, n in enumerate(names)}
-        return jnp.atleast_1d(ds.logpdf(f=f_hat, phi=phi_hat, theta=th))
+        return jnp.atleast_1d(ds.logpdf(f=f_hat, phi=phi_hat,
+                                        theta=_spec_unpack(tv, spec)))
 
     return jax.jacfwd(lp_vec)(tvec)
 
 
 @_partial(jax.jit, static_argnums=(4,))
-def _jit_theta_score(ds, f_hat, phi_hat, tvec, names):
+def _jit_theta_score(ds, f_hat, phi_hat, tvec, spec):
     """d/dtheta logpdf at fixed (f_hat, phi_hat), one XLA program."""
     def lp(tv):
-        th = {n: tv[i] for i, n in enumerate(names)}
-        return jnp.sum(ds.logpdf(f=f_hat, phi=phi_hat, theta=th))
+        return jnp.sum(ds.logpdf(f=f_hat, phi=phi_hat,
+                                 theta=_spec_unpack(tv, spec)))
 
     return jax.grad(lp)(tvec)
 
 
-def score(ds: DataSet, theta, names, d=None, phi=None, MAP_kwargs=None):
+def score(ds: DataSet, theta, names=None, d=None, phi=None, MAP_kwargs=None):
     """s_i = d/dtheta logpdf(d, f_hat, phi_hat | theta) at the joint MAP
-    of (f, phi) given theta (ext/CMBLensingMuseInferenceExt.jl:45-88)."""
+    of (f, phi) given theta (ext/CMBLensingMuseInferenceExt.jl:45-88).
+    Returns the flat score vector (scalars contribute one entry, vector
+    bandpower entries one per bin, in dict order filtered by names)."""
     MAP_kwargs = dict(MAP_kwargs or {})
     MAP_kwargs.setdefault("nsteps", 10)
     dsd = ds if d is None else ds.replace(d=d)
     res = MAP_joint(dsd, theta=theta, phistart=phi, **MAP_kwargs)
     f_hat, phi_hat = res["f"], res["phi"]
-    g = _jit_theta_score(dsd, f_hat, phi_hat, _theta_vec(theta, names),
-                         tuple(names))
+    sub = theta if names is None else {n: theta[n] for n in names}
+    spec = _theta_spec(sub)
+    g = _jit_theta_score(dsd, f_hat, phi_hat,
+                         jnp.asarray(_spec_pack(sub, spec), jnp.float32),
+                         spec)
     return g, phi_hat
 
 
@@ -101,12 +160,32 @@ def muse(ds: DataSet, theta0, nsims=20, nsteps=5, alpha=0.7, key=None,
     (ext/CMBLensingMuseInferenceExt.jl:45-88). Disable with
     final_H=False to save 2*ntheta+1 batched MAPs.
 
-    Returns dict(theta, history, H, J, Sigma)."""
-    names = list(theta0.keys())
-    theta = {k: float(v) for k, v in theta0.items()}
+    Theta entries may be scalars (Aphi=1.0) or 1-D vectors of bandpower
+    amplitudes (e.g. Aphi_b=np.ones(4) driving a banded Cl_to_Cov
+    ParamDependentOp) — MUSE's native use case (Millea & Seljak 2021
+    infer phi bandpowers). Vectors are flattened into the parameter
+    vector, so H/J/Sigma are (nflat, nflat) with rows/cols labeled by
+    dict(labels=...) in the result.
+
+    Returns dict(theta, history, H, J, Sigma, labels)."""
+    spec = _theta_spec(theta0)
+    nflat = _spec_size(spec)
+    tflat = _spec_pack(theta0, spec)
     key = key if key is not None else jax.random.PRNGKey(0)
     if step_eps is None:
-        step_eps = {n: 0.1 * max(abs(float(theta0[n])), 0.1) for n in names}
+        eps_flat = 0.1 * np.maximum(np.abs(tflat), 0.1)
+    else:
+        eps_flat = _spec_pack(
+            {n: np.broadcast_to(np.asarray(step_eps[n], np.float64),
+                                () if s is None else (s,))
+             for n, s in spec}, spec)
+
+    def as_dict(vec):
+        th = _spec_unpack(np.asarray(vec, np.float64), spec)
+        return {n: (float(th[n]) if s is None else np.asarray(th[n]))
+                for n, s in spec}
+
+    theta = as_dict(tflat)
 
     history = []
     phi_data = None
@@ -131,39 +210,41 @@ def muse(ds: DataSet, theta0, nsims=20, nsteps=5, alpha=0.7, key=None,
         dsd = ds.replace(d=d_b)
         res = MAP_joint(dsd, theta=theta_eval, phistart=phis[0], **MAP_kw)
         phis[0] = res["phi"]
-        s = _jit_theta_score_batch(dsd, res["f"], res["phi"],
-                                   _theta_vec(theta_eval, names),
-                                   tuple(names))
-        return np.asarray(s).reshape(nsims, len(names))
+        s = _jit_theta_score_batch(
+            dsd, res["f"], res["phi"],
+            jnp.asarray(_spec_pack(theta_eval, spec), jnp.float32), spec)
+        return np.asarray(s).reshape(nsims, nflat)
 
     H = None
     for step in range(1, nsteps + 1):
         key, ksim = jax.random.split(key)
-        s_data, phi_data = score(ds, theta, names, phi=phi_data, MAP_kwargs=MAP_kwargs)
+        s_data, phi_data = score(ds, theta, phi=phi_data, MAP_kwargs=MAP_kwargs)
         s_data = np.asarray(s_data)
         s_sims = mean_sim_score(theta, theta, ksim, sims_phi)
         sbar = s_sims.mean(axis=0)
-        J = np.atleast_2d(np.cov(s_sims.T)) if nsims > 1 else np.eye(len(names))
+        J = np.atleast_2d(np.cov(s_sims.T)) if nsims > 1 else np.eye(nflat)
 
         # H_ij = d/dtheta_sim_j E[s_i(theta_eval fixed)] via forward
-        # diffs with matched seeds
+        # diffs with matched seeds, one column per FLAT entry (each
+        # bandpower bin is its own column)
         if H is None:
-            H = np.zeros((len(names), len(names)))
-            for j, n in enumerate(names):
-                tp = dict(theta)
-                tp[n] = theta[n] + step_eps[n]
-                s_p = mean_sim_score(tp, theta, ksim, [None]).mean(axis=0)
-                H[:, j] = (s_p - sbar) / step_eps[n]
+            H = np.zeros((nflat, nflat))
+            tcur = _spec_pack(theta, spec)
+            for j in range(nflat):
+                tp = tcur.copy()
+                tp[j] += eps_flat[j]
+                s_p = mean_sim_score(as_dict(tp), theta, ksim,
+                                     [None]).mean(axis=0)
+                H[:, j] = (s_p - sbar) / eps_flat[j]
 
         # Newton step for F(theta) = s_data - sbar(theta): dF/dtheta = -H
         # (sbar rises with theta_sim while the fixed-eval s_data term is
         # theta-independent), so theta <- theta + H^-1 F
         dtheta = np.linalg.solve(H, (s_data - sbar))
-        for i, n in enumerate(names):
-            step_i = alpha * dtheta[i]
-            cap = 0.5 * max(abs(theta[n]), 0.1)
-            step_i = float(np.clip(step_i, -cap, cap))
-            theta[n] = float(theta[n] + step_i)
+        tcur = _spec_pack(theta, spec)
+        step_v = alpha * dtheta
+        cap = 0.5 * np.maximum(np.abs(tcur), 0.1)
+        theta = as_dict(tcur + np.clip(step_v, -cap, cap))
         history.append(dict(step=step, theta=dict(theta),
                             s_data=s_data, sbar=sbar))
         if progress:
@@ -177,20 +258,22 @@ def muse(ds: DataSet, theta0, nsims=20, nsteps=5, alpha=0.7, key=None,
         key, kH = jax.random.split(key)
         s_sims_f = mean_sim_score(theta, theta, kH, [sims_phi[0]])
         J = (np.atleast_2d(np.cov(s_sims_f.T)) if nsims > 1
-             else np.eye(len(names)))
-        Hf = np.zeros((len(names), len(names)))
-        for j, n in enumerate(names):
-            tp = dict(theta)
-            tp[n] = theta[n] + step_eps[n]
-            tm = dict(theta)
-            tm[n] = theta[n] - step_eps[n]
-            s_p = mean_sim_score(tp, theta, kH, [None]).mean(axis=0)
-            s_m = mean_sim_score(tm, theta, kH, [None]).mean(axis=0)
-            Hf[:, j] = (s_p - s_m) / (2 * step_eps[n])
+             else np.eye(nflat))
+        Hf = np.zeros((nflat, nflat))
+        tcur = _spec_pack(theta, spec)
+        for j in range(nflat):
+            tp = tcur.copy()
+            tp[j] += eps_flat[j]
+            tm = tcur.copy()
+            tm[j] -= eps_flat[j]
+            s_p = mean_sim_score(as_dict(tp), theta, kH, [None]).mean(axis=0)
+            s_m = mean_sim_score(as_dict(tm), theta, kH, [None]).mean(axis=0)
+            Hf[:, j] = (s_p - s_m) / (2 * eps_flat[j])
         H = Hf
 
     Sigma = np.linalg.solve(H, J) @ np.linalg.inv(H).T
-    return dict(theta=theta, history=history, H=H, J=J, Sigma=Sigma)
+    return dict(theta=theta, history=history, H=H, J=J, Sigma=Sigma,
+                labels=_spec_labels(spec))
 
 
 class MuseProblem:
@@ -219,10 +302,13 @@ class MuseProblem:
         return jnp.sum(dsd.logpdf(theta=self._theta(theta), **z))
 
     def grad_theta_logLike(self, d, z, theta):
-        tvec = _theta_vec(self._theta(theta), self.params)
+        th = self._theta(theta)
+        sub = {n: th[n] for n in self.params}
+        spec = _theta_spec(sub)
         dsd = self.ds.replace(d=d)
-        return _jit_theta_score(dsd, z["f"], z["phi"], tvec,
-                                tuple(self.params))
+        return _jit_theta_score(
+            dsd, z["f"], z["phi"],
+            jnp.asarray(_spec_pack(sub, spec), jnp.float32), spec)
 
     def sample_x_z(self, key, theta):
         """Simulate (x=d, z=(f, phi)) at theta

@@ -74,3 +74,71 @@ def test_muse_problem_adapter():
     zhat, hist = prob.zhat_at_theta(xz["x"], dict(Aphi=1.0))
     lp_hat = float(prob.logLike(xz["x"], zhat, dict(Aphi=1.0)))
     assert np.isfinite(lp_hat)
+
+
+def test_theta_spec_helpers():
+    """Flat-vector packing of mixed scalar/vector theta dicts (the
+    bandpower-MUSE plumbing)."""
+    from cmblensing_tpu.inference.muse import (
+        _theta_spec, _spec_pack, _spec_unpack, _spec_size, _spec_labels)
+    theta0 = dict(Aphi=1.0, Aphi_b=np.array([1.0, 2.0, 3.0]), r=0.1)
+    spec = _theta_spec(theta0)
+    assert spec == (("Aphi", None), ("Aphi_b", 3), ("r", None))
+    assert _spec_size(spec) == 5
+    v = _spec_pack(theta0, spec)
+    assert v.shape == (5,) and v[1] == 1.0 and v[3] == 3.0 and v[4] == 0.1
+    th = _spec_unpack(v, spec)
+    assert float(th["Aphi"]) == 1.0
+    assert np.allclose(np.asarray(th["Aphi_b"]), [1.0, 2.0, 3.0])
+    assert _spec_labels(spec) == ["Aphi", "Aphi_b[0]", "Aphi_b[1]",
+                                  "Aphi_b[2]", "r"]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        _theta_spec(dict(A=np.ones((2, 2))))
+
+
+def test_muse_score_vector_theta():
+    """score() with a banded Cl_to_Cov Cphi returns one score entry per
+    phi bandpower bin (MUSE bandpower inference, the reference's
+    MuseInference headline use; banded ops: core/cov.py, reference
+    proj_lambert.jl:374-411)."""
+    from cmblensing_tpu.core.cov import Cl_to_Cov
+    from cmblensing_tpu.utils.cls import camb
+    out = load_sim(thetapix=5, Nside=16, pol="I", T=np.float32, seed=4)
+    ds, proj = out["ds"], out["proj"]
+    Cl = camb()
+    edges = np.array([0.0, 2500.0, 1e6])  # 2 phi bandpower bins
+    Cphi_b = Cl_to_Cov("I", proj, (Cl["total"]["pp"], edges, "Aphi_b"))
+    dsb = ds.replace(Cphi=Cphi_b)
+    theta = dict(Aphi_b=np.ones(2))
+    MAPk = dict(nsteps=2, conjgrad_kwargs=dict(tol=1e-1, nsteps=20))
+    s, _ = score(dsb, theta, MAP_kwargs=MAPk)
+    s = np.asarray(s)
+    assert s.shape == (2,) and np.isfinite(s).all()
+    # amplitudes=1 must reproduce the unbanded covariance exactly
+    import jax.numpy as jnp
+    f = out["phi"]
+    a = Cphi_b(dict(Aphi_b=np.ones(2))) @ f
+    b = ds.Cphi(dict(Aphi=1.0)) @ f
+    assert float(jnp.max(jnp.abs(a.arr - b.arr))) <= 1e-6 * float(
+        jnp.max(jnp.abs(b.arr)))
+
+
+@pytest.mark.slow
+def test_muse_bandpower_micro():
+    """End-to-end MUSE iteration over a VECTOR theta (2 phi bandpower
+    bins as one flat parameter block): finite Sigma (2x2), labeled."""
+    from cmblensing_tpu.core.cov import Cl_to_Cov
+    from cmblensing_tpu.utils.cls import camb
+    out = load_sim(thetapix=5, Nside=16, pol="I", T=np.float32, seed=4)
+    ds, proj = out["ds"], out["proj"]
+    Cl = camb()
+    edges = np.array([0.0, 2500.0, 1e6])
+    Cphi_b = Cl_to_Cov("I", proj, (Cl["total"]["pp"], edges, "Aphi_b"))
+    dsb = ds.replace(Cphi=Cphi_b)
+    res = muse(dsb, dict(Aphi_b=np.ones(2)), nsims=4, nsteps=2,
+               MAP_kwargs=dict(nsteps=2,
+                               conjgrad_kwargs=dict(tol=1e-1, nsteps=20)))
+    assert res["labels"] == ["Aphi_b[0]", "Aphi_b[1]"]
+    assert np.asarray(res["theta"]["Aphi_b"]).shape == (2,)
+    assert np.isfinite(res["Sigma"]).all() and res["Sigma"].shape == (2, 2)
