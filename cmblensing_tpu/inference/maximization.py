@@ -259,6 +259,23 @@ def _jit_step_unmix_and_norm(dstheta, theta, f_mix, phi_mix, dphi, alpha,
 _jit_field_norm = jax.jit(lambda g: field_norm(g))
 
 
+# Above this map size the phi-gradient objectives are rematerialized
+# (jax.checkpoint): the AD residuals of the ~dozen Fourier-diagonal
+# operator applies inside logpdf (each a 4096 x 2049 c64 plane) exceed
+# the v5e's 16 GB HBM at 4096^2 (measured: 18.2 GB requested), while
+# the recompute the checkpoint trades them for is one extra forward
+# logpdf — cheap next to the lensing flows that dominate there. The
+# continuous-adjoint flow vjps are custom_vjp leaves, so their O(1)
+# memory behavior is unchanged. Override: CMBL_GRAD_REMAT_MIN_N.
+import os as _osmod
+_REMAT_MIN_N = int(_osmod.environ.get("CMBL_GRAD_REMAT_MIN_N", "4096"))
+
+
+def _maybe_remat(fn, field):
+    n = max(field.proj.Ny, field.proj.Nx)
+    return jax.checkpoint(fn) if n >= _REMAT_MIN_N else fn
+
+
 @partial(jax.jit, static_argnums=(5,))
 def _jit_phi_gradient(dstheta, theta, phi, f, d, precision=None):
     from ..core.field import fgrad
@@ -267,7 +284,7 @@ def _jit_phi_gradient(dstheta, theta, phi, f, d, precision=None):
         return jnp.sum(dstheta.logpdf(f=f, phi=phi, theta=theta, d=d))
 
     with _pctx(precision):
-        return fgrad(lp)(phi)
+        return fgrad(_maybe_remat(lp, phi))(phi)
 
 
 @partial(jax.jit, static_argnums=(4,))
@@ -282,7 +299,7 @@ def _jit_phi_grad_and_fmix(dstheta, theta, f, phi, precision=None):
             return jnp.sum(mixed.logpdf(f_mix=f_mix, phi_mix=phi_mix, theta=theta))
 
         phi_mix = fm["phi_mix"].to(fm["phi_mix"].basis.with_space("map"))
-        g = fgrad(obj)(phi_mix)
+        g = fgrad(_maybe_remat(obj, phi_mix))(phi_mix)
         return f_mix, phi_mix, g
 
 
