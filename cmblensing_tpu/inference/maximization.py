@@ -259,21 +259,37 @@ def _jit_step_unmix_and_norm(dstheta, theta, f_mix, phi_mix, dphi, alpha,
 _jit_field_norm = jax.jit(lambda g: field_norm(g))
 
 
-# Above this map size the phi-gradient objectives are rematerialized
-# (jax.checkpoint): the AD residuals of the ~dozen Fourier-diagonal
-# operator applies inside logpdf (each a 4096 x 2049 c64 plane) exceed
-# the v5e's 16 GB HBM at 4096^2 (measured: 18.2 GB requested), while
-# the recompute the checkpoint trades them for is one extra forward
-# logpdf — cheap next to the lensing flows that dominate there. The
-# continuous-adjoint flow vjps are custom_vjp leaves, so their O(1)
-# memory behavior is unchanged. Override: CMBL_GRAD_REMAT_MIN_N.
+# Above this map size the phi-gradient is computed TERM BY TERM: the
+# AD residuals of the prior terms' Fourier-diagonal applies and of the
+# data term's M B L(phi) chain (each a 4096 x 2049 c64 plane at 4096^2)
+# together exceed the v5e's 16 GB HBM (measured: 18.2 GB requested).
+# The gradient is linear in logpdf's sum, so each term's gradient is a
+# separate backward pass, tied to the previous one with
+# lax.optimization_barrier so XLA cannot overlap them — peak residual
+# memory becomes the max over terms instead of their sum, at the cost
+# of re-running unmix (one inverse flow) per term. A whole-objective
+# jax.checkpoint would NOT help here: its backward re-materializes all
+# residuals at once, the same peak it started with.
+# Override: CMBL_GRAD_REMAT_MIN_N.
 import os as _osmod
 _REMAT_MIN_N = int(_osmod.environ.get("CMBL_GRAD_REMAT_MIN_N", "4096"))
 
 
-def _maybe_remat(fn, field):
-    n = max(field.proj.Ny, field.proj.Nx)
-    return jax.checkpoint(fn) if n >= _REMAT_MIN_N else fn
+def _needs_term_split(field):
+    return max(field.proj.Ny, field.proj.Nx) >= _REMAT_MIN_N
+
+
+def _term_split_fgrad(term_fn, terms, x):
+    """Gradient of sum_w term_fn(x, w), one sequenced backward pass per
+    term (see the HBM note above)."""
+    from ..core.field import fgrad
+    g = None
+    for w in terms:
+        if g is not None:
+            x, g = jax.lax.optimization_barrier((x, g))
+        gw = fgrad(lambda xx, _w=w: term_fn(xx, _w))(x)
+        g = gw if g is None else g + gw
+    return g
 
 
 @partial(jax.jit, static_argnums=(5,))
@@ -284,7 +300,12 @@ def _jit_phi_gradient(dstheta, theta, phi, f, d, precision=None):
         return jnp.sum(dstheta.logpdf(f=f, phi=phi, theta=theta, d=d))
 
     with _pctx(precision):
-        return fgrad(_maybe_remat(lp, phi))(phi)
+        if _needs_term_split(phi):
+            return _term_split_fgrad(
+                lambda p, w: jnp.sum(dstheta.logpdf_term(
+                    f=f, phi=p, theta=theta, d=d, which=w)),
+                ("prior", "data"), phi)
+        return fgrad(lp)(phi)
 
 
 @partial(jax.jit, static_argnums=(4,))
@@ -299,7 +320,13 @@ def _jit_phi_grad_and_fmix(dstheta, theta, f, phi, precision=None):
             return jnp.sum(mixed.logpdf(f_mix=f_mix, phi_mix=phi_mix, theta=theta))
 
         phi_mix = fm["phi_mix"].to(fm["phi_mix"].basis.with_space("map"))
-        g = fgrad(_maybe_remat(obj, phi_mix))(phi_mix)
+        if _needs_term_split(phi_mix):
+            g = _term_split_fgrad(
+                lambda pm, w: jnp.sum(mixed.logpdf_term(
+                    f_mix=f_mix, phi_mix=pm, theta=theta, which=w)),
+                ("prior", "data"), phi_mix)
+        else:
+            g = fgrad(obj)(phi_mix)
         return f_mix, phi_mix, g
 
 

@@ -152,17 +152,28 @@ class DataSet:
         return dict(f=f, phi=phi, ft=ft, d=d)
 
     def logpdf(self, f=None, phi=None, theta=None, d=None):
+        return (self.logpdf_term(f=f, phi=phi, theta=theta, d=d, which="prior")
+                + self.logpdf_term(f=f, phi=phi, theta=theta, d=d, which="data"))
+
+    def logpdf_term(self, f=None, phi=None, theta=None, d=None, which="prior"):
+        """One additive piece of logpdf: "prior" (Cf + Cphi Gaussians +
+        logprior) or "data" (the M B L(phi) f likelihood term). logpdf
+        is their sum. Evaluating terms separately lets gradients be
+        taken term-by-term so the two terms' AD residuals never coexist
+        in HBM — the lever that fits the 4096^2 phi-gradient on one
+        16 GB chip (inference/maximization.py::_term_split_fgrad)."""
         theta = theta or {}
+        if which == "prior":
+            lp = MvNormal(0, _op_call(self.Cf, theta)).logpdf(f)
+            lp = lp + MvNormal(0, _op_call(self.Cphi, theta)).logpdf(phi)
+            if self.logprior is not None:
+                lp = lp + self.logprior(theta=theta, f=f, phi=phi)
+            return lp
         if d is None:
             d = self.d
-        lp = MvNormal(0, _op_call(self.Cf, theta)).logpdf(f)
-        lp = lp + MvNormal(0, _op_call(self.Cphi, theta)).logpdf(phi)
         ft = self.L(phi) @ f
         mu = _op_call(self.M, theta) @ (_op_call(self.B, theta) @ ft)
-        lp = lp + MvNormal(mu, _op_call(self.Cn, theta)).logpdf(d)
-        if self.logprior is not None:
-            lp = lp + self.logprior(theta=theta, f=f, phi=phi)
-        return lp
+        return MvNormal(mu, _op_call(self.Cn, theta)).logpdf(d)
 
     def simulate(self, key, theta=None, phi=None, f=None, batch_shape=None):
         theta = theta or {}
@@ -268,6 +279,20 @@ class Mixed:
         u = unmix(ds, f_mix=f_mix, phi_mix=phi_mix, theta=theta)
         lp = ds.logpdf(f=u["f"], phi=u["phi"], theta=theta, d=d)
         return lp - logdet_rel(ds.D, theta) - logdet_rel(ds.G, theta)
+
+    def logpdf_term(self, f_mix=None, phi_mix=None, theta=None, d=None,
+                    which="prior"):
+        """One additive piece of the mixed logpdf (see
+        DataSet.logpdf_term). The theta-only D/G logdets ride the
+        "prior" term so the terms still sum to logpdf exactly."""
+        ds = self.ds
+        theta = theta or {}
+        u = unmix(ds, f_mix=f_mix, phi_mix=phi_mix, theta=theta)
+        lp = ds.logpdf_term(f=u["f"], phi=u["phi"], theta=theta, d=d,
+                            which=which)
+        if which == "prior":
+            lp = lp - logdet_rel(ds.D, theta) - logdet_rel(ds.G, theta)
+        return lp
 
 
 def mix(ds: DataSet, f=None, phi=None, theta=None):

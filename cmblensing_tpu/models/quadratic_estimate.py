@@ -31,22 +31,32 @@ def _eps(i, j):
     return {(0, 1): 1.0, (1, 0): -1.0}.get((i, j), 0.0)
 
 
+def _make_leg_planes(proj):
+    """(i lx, i ly, i lhx, i lhy) full-plane arrays, built OUTSIDE the
+    jitted estimator and passed in as traced arguments. Embedding them
+    as trace-time constants instead lets XLA constant-fold the per-leg
+    products: at 4096^2 that materializes dozens of c64 planes into the
+    executable (>2 GB, which the compile cache and remote-compile
+    transports both reject)."""
+    cdt = proj.complex_T
+    lx = np.asarray(proj.lx, dtype=np.float64)[None, :]
+    ly = np.asarray(proj.ly, dtype=np.float64)[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lhx = np.nan_to_num(lx / np.hypot(lx, ly))
+        lhy = np.nan_to_num(ly / np.hypot(lx, ly))
+    return tuple(jnp.asarray((1j * np.broadcast_to(a, proj.shape_fourier)).astype(cdt))
+                 for a in (lx, ly, lhx, lhy))
+
+
 class _LegFactory:
     """Memoized legs for one projection. C may be a real 2-D (Ny,Nxh)
-    spectral weight or a complex data array of the same shape."""
+    spectral weight or a complex data array of the same shape.
+    `planes` is the _make_leg_planes tuple (traced jit arguments)."""
 
-    def __init__(self, proj):
+    def __init__(self, proj, planes):
         self.proj = proj
-        cdt = proj.complex_T
-        lx = np.asarray(proj.lx, dtype=np.float64)[None, :]
-        ly = np.asarray(proj.ly, dtype=np.float64)[:, None]
-        self.il = (jnp.asarray((1j * np.broadcast_to(lx, proj.shape_fourier)).astype(cdt)),
-                   jnp.asarray((1j * np.broadcast_to(ly, proj.shape_fourier)).astype(cdt)))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            lhx = np.nan_to_num(lx / np.hypot(lx, ly))
-            lhy = np.nan_to_num(ly / np.hypot(lx, ly))
-        self.ilh = (jnp.asarray((1j * np.broadcast_to(lhx, proj.shape_fourier)).astype(cdt)),
-                    jnp.asarray((1j * np.broadcast_to(lhy, proj.shape_fourier)).astype(cdt)))
+        self.il = planes[:2]
+        self.ilh = planes[2:]
         self._cache = {}
 
     def __call__(self, C, brackets=(), hats=()):
@@ -73,10 +83,12 @@ def _wf_and_norm(proj, phiqe_unnorm_fourier, AL_arr, Cphi, wiener_filtered, AL_g
     return dict(phiqe=phiqe, AL=AL, Nphi=Nphi)
 
 
-def _qe_TT(proj, d1, d2, Cf, Cft, Cn, Cphi, TF, wiener_filtered, weights, AL=None):
+def _qe_TT(proj, d1, d2, Cf, Cft, Cn, Cphi, TF, wiener_filtered, weights, AL=None,
+           legplanes=None):
     """TT estimator (src/quadratic_estimate.jl:95-120). All C* args are
     real (Ny,Nxh) arrays; d1,d2 complex (Ny,Nxh)."""
-    leg = _LegFactory(proj)
+    leg = _LegFactory(proj, legplanes if legplanes is not None
+                      else _make_leg_planes(proj))
     Sig = TF ** 2 * Cft + Cn
     CT = Cf if weights == "unlensed" else Cft
     isig = nan2zero(1.0 / Sig)
@@ -105,9 +117,11 @@ def _qe_TT(proj, d1, d2, Cf, Cft, Cn, Cphi, TF, wiener_filtered, weights, AL=Non
     return _wf_and_norm(proj, qe, AL_arr, Cphi, wiener_filtered, AL)
 
 
-def _qe_EE(proj, d1E, d2E, CfE, CftE, CnE, Cphi, TFE, wiener_filtered, weights, AL=None):
+def _qe_EE(proj, d1E, d2E, CfE, CftE, CnE, Cphi, TFE, wiener_filtered, weights, AL=None,
+           legplanes=None):
     """EE estimator (src/quadratic_estimate.jl:123-160)."""
-    leg = _LegFactory(proj)
+    leg = _LegFactory(proj, legplanes if legplanes is not None
+                      else _make_leg_planes(proj))
     TF2 = TFE ** 2
     Sig = TF2 * CftE + CnE
     CE = CfE if weights == "unlensed" else CftE
@@ -148,9 +162,10 @@ def _qe_EE(proj, d1E, d2E, CfE, CftE, CnE, Cphi, TFE, wiener_filtered, weights, 
 
 
 def _qe_EB(proj, d1E, d2B, CfE, CfB, CftE, CftB, CnE, CnB, Cphi, TFE, TFB,
-           wiener_filtered, weights, AL=None, zeroB=False):
+           wiener_filtered, weights, AL=None, zeroB=False, legplanes=None):
     """EB estimator (src/quadratic_estimate.jl:163-199)."""
-    leg = _LegFactory(proj)
+    leg = _LegFactory(proj, legplanes if legplanes is not None
+                      else _make_leg_planes(proj))
     CE = CfE if weights == "unlensed" else CftE
     CB = CfB if weights == "unlensed" else CftB
     TF2E, TF2B = TFE ** 2, TFB ** 2
@@ -220,16 +235,17 @@ _QE_FNS = {"TT": _qe_TT, "EE": _qe_EE, "EB": _qe_EB}
 
 
 @_partial(jax.jit, static_argnums=(0, 1, 4, 5))
-def _jit_qe(which, proj, arrs, AL, wiener_filtered, weights):
+def _jit_qe(which, proj, arrs, AL, wiener_filtered, weights, legplanes=None):
     """The whole estimator as one XLA program (no eager field ops —
     eager complex primitives are unimplemented on remotely-attached
     TPUs, and the legs/FFT chain would be dispatch-bound anyway)."""
     return _QE_FNS[which](proj, *arrs, wiener_filtered=wiener_filtered,
-                          weights=weights, AL=AL)
+                          weights=weights, AL=AL, legplanes=legplanes)
 
 
 @_partial(jax.jit, static_argnums=(0, 1, 4, 5))
-def _jit_qe_batched(which, proj, arrs, AL, wiener_filtered, weights):
+def _jit_qe_batched(which, proj, arrs, AL, wiener_filtered, weights,
+                    legplanes=None):
     """Batched estimator as ONE XLA program: the data-independent
     normalization A_L is computed once, then the (cheap) data-dependent
     estimate is vmapped over the leading batch axis (reference
@@ -240,12 +256,12 @@ def _jit_qe_batched(which, proj, arrs, AL, wiener_filtered, weights):
     covs = arrs[2:]
     if AL is None:
         AL = qe_fn(proj, d1[0], d2[0], *covs, wiener_filtered=False,
-                   weights=weights, AL=None)["AL"]
+                   weights=weights, AL=None, legplanes=legplanes)["AL"]
 
     def one(dd):
         return qe_fn(proj, dd[0], dd[1], *covs,
                      wiener_filtered=wiener_filtered, weights=weights,
-                     AL=AL)["phiqe"].arr
+                     AL=AL, legplanes=legplanes)["phiqe"].arr
 
     qarr = jax.vmap(one)((d1, d2))
     phiqe = Field(qarr, FOURIER, proj)
@@ -329,9 +345,12 @@ def quadratic_estimate(ds, which=None, wiener_filtered=True, AL=None,
                 _spin0_arr(Cft["E"]), _spin0_arr(Cft["B"]),
                 _spin0_arr(Cn["E"]), _spin0_arr(Cn["B"]), Cphi_arr,
                 tf_component("E"), tf_component("B"))
+    legplanes = _make_leg_planes(proj)
     if getattr(ds1.d, "batch_shape", ()):
-        out = _jit_qe_batched(which, proj, arrs, AL, wiener_filtered, weights)
+        out = _jit_qe_batched(which, proj, arrs, AL, wiener_filtered, weights,
+                              legplanes)
     else:
-        out = _jit_qe(which, proj, arrs, AL, wiener_filtered, weights)
+        out = _jit_qe(which, proj, arrs, AL, wiener_filtered, weights,
+                      legplanes)
     out["Nphi"] = out["Nphi"] if isinstance(out["Nphi"], Diag) else Diag(out["Nphi"])
     return out

@@ -127,3 +127,43 @@ def test_quadratic_estimate_batched_one_program(sim):
     # A_L identical between the batched and unbatched programs
     assert np.allclose(np.asarray(out_b["AL"].diag.arr),
                        np.asarray(out_i["AL"].diag.arr), rtol=1e-6)
+
+
+def test_term_split_gradient_parity(sim, monkeypatch):
+    """The >=4096^2 term-split phi-gradient (one sequenced backward
+    pass per logpdf term, inference/maximization.py::_term_split_fgrad)
+    must equal the plain whole-objective gradient bit-for-bit-ish."""
+    from cmblensing_tpu.inference import maximization as mx
+    ds, f, phi = sim["ds"], sim["f"], sim["phi"]
+    dstheta = ds.at(None)
+    pm = phi.to(phi.basis.with_space("map"))
+
+    # terms sum to logpdf (both parametrizations)
+    lp = float(ds.logpdf(f=f, phi=phi))
+    tsum = float(ds.logpdf_term(f=f, phi=phi, which="prior")
+                 + ds.logpdf_term(f=f, phi=phi, which="data"))
+    assert abs(lp - tsum) < 1e-4 * abs(lp) + 1e-6
+    m = mix(ds, f=f, phi=phi)
+    lpm = float(Mixed(ds).logpdf(f_mix=m["f_mix"], phi_mix=m["phi_mix"]))
+    tsumm = float(
+        Mixed(ds).logpdf_term(f_mix=m["f_mix"], phi_mix=m["phi_mix"], which="prior")
+        + Mixed(ds).logpdf_term(f_mix=m["f_mix"], phi_mix=m["phi_mix"], which="data"))
+    assert abs(lpm - tsumm) < 1e-4 * abs(lpm) + 1e-6
+
+    g_plain = mx._jit_phi_gradient(dstheta, None, pm, f, ds.d, None)
+    fm_p, pmix_p, gm_plain = mx._jit_phi_grad_and_fmix(dstheta, None, f, phi, None)
+
+    monkeypatch.setattr(mx, "_REMAT_MIN_N", 1)
+    mx._jit_phi_gradient.clear_cache()
+    mx._jit_phi_grad_and_fmix.clear_cache()
+    try:
+        g_split = mx._jit_phi_gradient(dstheta, None, pm, f, ds.d, None)
+        fm_s, pmix_s, gm_split = mx._jit_phi_grad_and_fmix(dstheta, None, f, phi, None)
+    finally:
+        mx._jit_phi_gradient.clear_cache()
+        mx._jit_phi_grad_and_fmix.clear_cache()
+
+    gn = float(F.norm(g_plain)) + 1e-30
+    assert float(F.norm(g_split - g_plain)) < 1e-4 * gn
+    gmn = float(F.norm(gm_plain)) + 1e-30
+    assert float(F.norm(gm_split - gm_plain)) < 1e-4 * gmn
