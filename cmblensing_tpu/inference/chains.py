@@ -190,6 +190,56 @@ def _kde1d_corrected(x, grid, h, boundary):
     return f
 
 
+def _kde2d_linear_boundary(gx, gy, x, hx, hy, bx, by):
+    """Exact 2-D linear boundary kernel (what getdist's 2-D
+    boundary-corrected KDE computes, src/chains.jl:236-260): at each
+    grid point the Gaussian kernel is replaced by
+    K(u,v) (alpha + beta u + gamma v) with (alpha, beta, gamma) solving
+    the local moment system
+
+        [M00 M10 M01] [alpha]   [1]
+        [M10 M20 M11] [beta ] = [0]
+        [M01 M11 M02] [gamma]   [0]
+
+    over the ALLOWED offsets only. For a rectangular prior region the
+    partial moments factor per axis, Mpq = a_p^x a_q^y, so the system
+    is built from the same closed-form 1-D partial moments as the 1-D
+    kernel. Along a single active edge this reduces to the separable
+    per-axis correction; near a CORNER (both a1x and a1y nonzero) the
+    separable form's forced bilinear u*v term biases the estimate —
+    this solve is the difference (tests/test_inference.py::
+    test_kde2d_corner_exact)."""
+    a0x, a1x, a2x = _partial_moments(gx, bx[0] if bx else None,
+                                     bx[1] if bx else None, hx)
+    a0y, a1y, a2y = _partial_moments(gy, by[0] if by else None,
+                                     by[1] if by else None, hy)
+    # moment matrices as (gy, gx) grids via outer products
+    M00 = a0y[:, None] * a0x[None, :]
+    M10 = a0y[:, None] * a1x[None, :]
+    M01 = a1y[:, None] * a0x[None, :]
+    M20 = a0y[:, None] * a2x[None, :]
+    M02 = a2y[:, None] * a0x[None, :]
+    M11 = a1y[:, None] * a1x[None, :]
+    # closed-form 3x3 symmetric solve for [alpha, beta, gamma] =
+    # Minv @ [1, 0, 0]: only the first column of the inverse is needed
+    det = (M00 * (M20 * M02 - M11 * M11)
+           - M10 * (M10 * M02 - M11 * M01)
+           + M01 * (M10 * M11 - M20 * M01))
+    det = np.where(np.abs(det) > 1e-30, det, np.inf)
+    alpha = (M20 * M02 - M11 * M11) / det
+    beta = -(M10 * M02 - M11 * M01) / det
+    gamma = (M10 * M11 - M20 * M01) / det
+
+    ux = (gx[:, None] - x[None, :, 0]) / hx          # (gx, n)
+    vy = (gy[:, None] - x[None, :, 1]) / hy          # (gy, n)
+    Kx0 = _norm_pdf(ux)
+    Ky0 = _norm_pdf(vy)
+    A = Ky0 @ Kx0.T                                   # (gy, gx)
+    B = Ky0 @ (Kx0 * ux).T
+    C = (Ky0 * vy) @ Kx0.T
+    return alpha * A + beta * B + gamma * C
+
+
 def kde(samples, grid=None, bw_scale=1.0, boundary=None):
     """1-D or 2-D KDE of samples, with optional hard-boundary
     correction (the reference delegates to getdist's boundary-corrected
@@ -198,8 +248,9 @@ def kde(samples, grid=None, bw_scale=1.0, boundary=None):
     boundary: 1-D — (lo, hi), either side None for unbounded; the
     estimate uses a linear boundary kernel (publication-grade at prior
     edges, e.g. r >= 0 or Aphi >= 0). 2-D — ((lox, hix), (loy, hiy));
-    the same linear boundary kernel applied per axis (the separable
-    form of getdist's 2-D correction)."""
+    the exact 2-D linear boundary kernel (local 3x3 moment solve, see
+    _kde2d_linear_boundary), correct along edges AND at corners of a
+    doubly-bounded posterior."""
     x = np.asarray(samples, dtype=np.float64)
     if x.ndim == 1:
         h = _bandwidth(x, bw_scale)
@@ -217,10 +268,13 @@ def kde(samples, grid=None, bw_scale=1.0, boundary=None):
         gy = np.linspace(x[:, 1].min(), x[:, 1].max(), 100)
     else:
         gx, gy = (np.asarray(g, np.float64) for g in grid)
-    Kx = _kernel_matrix_corrected(gx, x[:, 0], hx, bx)   # (gx, n)
-    Ky = _kernel_matrix_corrected(gy, x[:, 1], hy, by)   # (gy, n)
-    F = np.maximum(Ky @ Kx.T, 0.0) / (x.shape[0] * hx * hy)  # (gy, gx)
-    if boundary is not None:
-        F = np.where(_inside_mask(gx, bx)[None, :]
-                     & _inside_mask(gy, by)[:, None], F, 0.0)
+    if boundary is None:
+        Kx = _kernel_matrix_corrected(gx, x[:, 0], hx, None)   # (gx, n)
+        Ky = _kernel_matrix_corrected(gy, x[:, 1], hy, None)   # (gy, n)
+        F = np.maximum(Ky @ Kx.T, 0.0) / (x.shape[0] * hx * hy)
+        return gx, gy, F
+    F = _kde2d_linear_boundary(gx, gy, x, hx, hy, bx, by)
+    F = np.maximum(F, 0.0) / (x.shape[0] * hx * hy)
+    F = np.where(_inside_mask(gx, bx)[None, :]
+                 & _inside_mask(gy, by)[:, None], F, 0.0)
     return gx, gy, F

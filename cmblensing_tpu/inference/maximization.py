@@ -260,19 +260,24 @@ _jit_field_norm = jax.jit(lambda g: field_norm(g))
 
 
 # Above this map size the phi-gradient is computed TERM BY TERM: the
-# AD residuals of the prior terms' Fourier-diagonal applies and of the
-# data term's M B L(phi) chain (each a 4096 x 2049 c64 plane at 4096^2)
-# together exceed the v5e's 16 GB HBM (measured: 18.2 GB requested).
-# The gradient is linear in logpdf's sum, so each term's gradient is a
-# separate backward pass, tied to the previous one with
+# gradient is linear in logpdf's sum, so each term's gradient runs as
+# a separate backward pass, tied to the previous one with
 # lax.optimization_barrier so XLA cannot overlap them — peak residual
 # memory becomes the max over terms instead of their sum, at the cost
 # of re-running unmix (one inverse flow) per term. A whole-objective
 # jax.checkpoint would NOT help here: its backward re-materializes all
 # residuals at once, the same peak it started with.
-# Override: CMBL_GRAD_REMAT_MIN_N.
+#
+# Round-5 finding (scripts/probe_grad_mem4096.py): at 4096^2 the split
+# only shaved 18.2 -> 17.9 GB because the real HBM driver was the
+# fully-UNROLLED RK4 scans (models/lenseflow.py::_unroll) — XLA's
+# scheduler keeps ~280 planes of the straight-line backward program
+# live. With the rolled scan at >= 4096^2 the whole UNSPLIT mixed
+# gradient compiles to 5.8 GB of temps, so the split now engages only
+# at >= 8192^2 (where it again becomes the difference between max and
+# sum of per-term residual sets). Override: CMBL_GRAD_REMAT_MIN_N.
 import os as _osmod
-_REMAT_MIN_N = int(_osmod.environ.get("CMBL_GRAD_REMAT_MIN_N", "4096"))
+_REMAT_MIN_N = int(_osmod.environ.get("CMBL_GRAD_REMAT_MIN_N", "8192"))
 
 
 def _needs_term_split(field):

@@ -113,10 +113,21 @@ def _unroll(proj=None):
     XLA fuse across step boundaries and drop the scan carry
     materializations (measured at 1024^2 f32: backward flow 17.5 ->
     16.3 ms AND compile 400 -> 80 s); tiny test grids keep the rolled
-    loop to bound trace size. Override: CMBL_RK4_UNROLL."""
+    loop to bound trace size.
+
+    At >= 4096^2 the ROLLED loop is mandatory: the unrolled backward
+    program hands XLA's scheduler a straight-line graph whose chosen
+    order keeps ~280 64 MB planes live — the full mixed phi-gradient
+    then wants 17.9 GB of HLO temps (> the v5e's 15.75 GB usable HBM)
+    regardless of derivative backend, vs 5.8 GB rolled (measured via
+    AOT memory_analysis, scripts/probe_grad_mem4096.py). The scan
+    carry bounds the live set to one step's working set.
+    Override: CMBL_RK4_UNROLL."""
     env = _os.environ.get("CMBL_RK4_UNROLL")
     if env:
         return int(env)
+    if proj is not None and max(proj.Ny, proj.Nx) >= 4096:
+        return 1   # HBM-bound: see docstring
     if proj is not None and max(proj.Ny, proj.Nx) >= 512:
         return 8   # >= any production nsteps: fully unrolled
     return 1

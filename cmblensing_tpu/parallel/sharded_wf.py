@@ -706,6 +706,41 @@ def sharded_sample_f(key, ds, phi: Field, mesh, axis_name="sp",
     return Field(f_sim.arr + df.arr, QU, df.proj), info
 
 
+def _hmc_traj_program(U, U_grad, solve, phi_basis, proj, N, eps):
+    """The jitted leapfrog trajectory of sharded_hmc_phi_step as a
+    standalone program (factored out so tests/test_comm_model.py can
+    lower it and CI-assert its per-leapfrog collective bytes). The
+    trajectory re-traces per call — fine for one-off steps; the
+    loop-heavy WF solve is the module-level-cached one."""
+    from ..core.field import dot as fdot
+
+    @jax.jit
+    def traj(phi_arr, p_arr):
+        x0 = Field(phi_arr, phi_basis, proj)
+
+        def energy(xa, pa):
+            # per-batch H: both the potential and the kinetic quad are
+            # per-batch scalars
+            quad = fdot(Field(pa, phi_basis, proj),
+                        Field(solve(pa), phi_basis, proj))
+            return U(Field(xa, phi_basis, proj)) - quad / 2
+
+        def step(carry, _):
+            xa, pa, gU = carry
+            x1 = xa - eps * solve(pa - (eps / 2) * gU)
+            gU1 = U_grad(Field(x1, phi_basis, proj)).arr
+            p1 = pa - (eps / 2) * (gU1 + gU)
+            return (x1, p1, gU1), None
+
+        g0 = U_grad(x0).arr
+        (xa, pa, _), _ = jax.lax.scan(step, (phi_arr, p_arr, g0), None,
+                                      length=N)
+        dH = energy(xa, pa) - energy(phi_arr, p_arr)
+        return xa, dH
+
+    return traj
+
+
 def sharded_hmc_phi_step(key, ds, f: Field, phi: Field, mesh,
                          axis_name="sp", batch_axis=None, Lambda=None,
                          N=25, eps=0.01, nsteps_flow=7,
@@ -745,32 +780,7 @@ def sharded_hmc_phi_step(key, ds, f: Field, phi: Field, mesh,
     p0 = simulate_op(k1, Lambda, batch_shape=phi.batch_shape).to(phi.basis)
     p0 = shard_spatial(p0, mesh, axis_name, batch_axis)
 
-    # (the trajectory re-traces per call — fine for one-off steps; the
-    # loop-heavy WF solve is the module-level-cached one)
-    @jax.jit
-    def traj(phi_arr, p_arr):
-        x0 = Field(phi_arr, phi.basis, proj)
-
-        def energy(xa, pa):
-            # per-batch H: both the potential and the kinetic quad are
-            # per-batch scalars
-            quad = fdot(Field(pa, phi.basis, proj),
-                        Field(solve(pa), phi.basis, proj))
-            return U(Field(xa, phi.basis, proj)) - quad / 2
-
-        def step(carry, _):
-            xa, pa, gU = carry
-            x1 = xa - eps * solve(pa - (eps / 2) * gU)
-            gU1 = U_grad(Field(x1, phi.basis, proj)).arr
-            p1 = pa - (eps / 2) * (gU1 + gU)
-            return (x1, p1, gU1), None
-
-        g0 = U_grad(x0).arr
-        (xa, pa, _), _ = jax.lax.scan(step, (phi_arr, p_arr, g0), None,
-                                      length=N)
-        dH = energy(xa, pa) - energy(phi_arr, p_arr)
-        return xa, dH
-
+    traj = _hmc_traj_program(U, U_grad, solve, phi.basis, proj, N, eps)
     xt, dH = traj(phi.arr, p0.arr)
     logu = jnp.log(jax.random.uniform(k2, shape=jnp.shape(dH)))
     accept = jnp.logical_or(always_accept, logu < dH)

@@ -113,6 +113,214 @@ def test_gradient_flow_a2a_planes(mesh4):
     assert flow_dynamic_a2a_bytes(by_comp, NSTEPS) == 347 * plane, by_comp
 
 
+# -------------------------------------------------------------------------
+# full sharded posterior programs: CG iteration, HMC leapfrog, Gibbs pass
+# (round-5: the comm model extended beyond the bare flows)
+# -------------------------------------------------------------------------
+
+from cmblensing_tpu.core.field import Field
+from cmblensing_tpu.core.basis import Basis
+from cmblensing_tpu.parallel.spatial import shard_spatial
+from cmblensing_tpu.parallel.comm_model import (
+    collective_loop_tree, tree_bytes, tree_collect_ops,
+    fourier_diag_a2a_bytes, wf_iteration_a2a_bytes,
+    grad_eval_a2a_bytes, grad_eval_allgather_bytes,
+    hmc_leapfrog_a2a_bytes, gibbs_pass_a2a_bytes)
+
+
+@pytest.fixture(scope="module")
+def sim32():
+    from cmblensing_tpu.models.dataset import load_sim
+    out = load_sim(thetapix=3, Nside=32, pol="P", T=np.float32, seed=0)
+    return out
+
+
+def _find_loops_with_a2a(node, out=None):
+    out = [] if out is None else out
+    for sub in node["loops"]:
+        if sub["direct"].get("all-to-all", {}).get("bytes", 0):
+            out.append(sub)
+        _find_loops_with_a2a(sub, out)
+    return out
+
+
+def test_wf_cg_iteration_tally(mesh4, sim32):
+    """One sharded-Wiener-filter CG iteration moves EXACTLY the pencil
+    traffic the model requires: 3 EB-diag round trips in the while body
+    (Cf^-1, the fused noise sandwich, the preconditioner) + 2 spin-2
+    flows of 16 planes/time-step, verified from the compiled program's
+    own loop nest — so an extra transpose or an accidental replication
+    inside the solve fails CI."""
+    from cmblensing_tpu.parallel import sharded_wf as SW
+    from cmblensing_tpu.ops import deriv
+    ds = sim32["ds"]
+    phi = sim32["phi"]
+    phi_m = phi.to(phi.basis.with_space("map"))
+    proj = phi_m.proj
+    plane = proj.Ny * proj.Nx // 4 * 4
+
+    with deriv.mode_ctx("matmul"):
+        def wf(d_arr, phi_arr):
+            ds2 = ds.replace(d=Field(d_arr, ds.d.basis, ds.d.proj))
+            f, _ = SW.sharded_wiener_filter(
+                ds2, Field(phi_arr, phi_m.basis, proj), mesh4,
+                nsteps=10, tol=0.0, jit=False)
+            return f.arr
+        tree = collective_loop_tree(jax.jit(wf), ds.d.arr, phi_m.arr)
+
+    # the CG while body is the loop whose own loop nest holds the two
+    # per-iteration flows (every other loop is a bare flow time scan)
+    loops = _find_loops_with_a2a(tree)
+    cg = [n for n in loops if _find_loops_with_a2a(n)]
+    assert len(cg) == 1, [n["name"] for n in loops]
+    cg = cg[0]
+
+    ebdiag = fourier_diag_a2a_bytes(proj, 4, ncomp=2)
+    assert cg["direct"]["all-to-all"]["bytes"] == 3 * ebdiag, cg["direct"]
+    inner = _find_loops_with_a2a(cg)
+    assert len(inner) == 2, [n["name"] for n in inner]
+    for fl in inner:
+        assert fl["direct"]["all-to-all"]["bytes"] == 16 * plane, fl
+
+    # per-iteration total == the analytic model (flows x 7 steps + EB)
+    per_iter = (cg["direct"]["all-to-all"]["bytes"]
+                + sum(NSTEPS * fl["direct"]["all-to-all"]["bytes"]
+                      for fl in inner))
+    assert per_iter == wf_iteration_a2a_bytes(proj, 4, NSTEPS)
+
+    # no replication creep inside any loop: all_gather only at entry,
+    # all_reduce only for scalars (dots)
+    for n in loops:
+        assert "all-gather" not in n["direct"], n
+        ar = n["direct"].get("all-reduce", {}).get("bytes", 0)
+        assert ar < 1024, n
+
+
+def test_grad_eval_tally(mesh4, sim32):
+    """One gradient evaluation of the sharded lensing logpdf: the
+    coefficient-exact decomposition (5 EB-diag QU round trips +
+    11-plane prologue + 16/32-plane flow scans + ONE all_gather of the
+    two unpadded c64 phi-derivative half-planes), asserted from the
+    loop tree. This is the unit the HMC and Gibbs models compose."""
+    import jax.numpy as jnp
+    from cmblensing_tpu.parallel import sharded_wf as SW
+    from cmblensing_tpu.ops import deriv
+    ds = sim32["ds"]
+    f_qu = sim32["f"].to(Basis("QU", "map"))
+    phi_m = sim32["phi"].to(sim32["phi"].basis.with_space("map"))
+    proj = phi_m.proj
+    plane = proj.Ny * proj.Nx // 4 * 4
+
+    with deriv.mode_ctx("matmul"):
+        ops = SW._lensing_quadforms(ds, mesh4, "sp", None)
+        fsh = shard_spatial(f_qu, mesh4)
+        phish = shard_spatial(phi_m, mesh4)
+
+        def U(parr):
+            return SW.sharded_lensing_logpdf(
+                ds, fsh, Field(parr, phi_m.basis, proj), mesh4, "sp",
+                None, NSTEPS, _ops=ops)
+        Ug = jax.grad(lambda x: jnp.sum(U(x)))
+        tree = collective_loop_tree(jax.jit(Ug), phish.arr)
+
+    loops = _find_loops_with_a2a(tree)
+    assert sorted(n["direct"]["all-to-all"]["bytes"] // plane
+                  for n in loops) == [16, 32], loops
+    direct = tree["direct"]["all-to-all"]["bytes"]
+    assert direct == (5 * fourier_diag_a2a_bytes(proj, 4, 2)
+                      + 11 * plane), direct
+    total = tree_bytes(tree, lambda path: NSTEPS)
+    assert total == grad_eval_a2a_bytes(proj, 4, NSTEPS)
+    ag = tree["direct"].get("all-gather", {})
+    assert ag.get("count") == 1
+    assert ag.get("bytes") == grad_eval_allgather_bytes(proj)
+
+
+def test_hmc_leapfrog_tally(mesh4, sim32):
+    """One leapfrog step of the production sharded HMC trajectory
+    (parallel/sharded_wf.py::_hmc_traj_program, the exact program
+    sharded_hmc_phi_step runs): per-frog all_to_all = one gradient
+    evaluation + one spin-0 mass-matrix solve, with the scan body's
+    tally taken from the compiled loop nest."""
+    import jax.numpy as jnp
+    from cmblensing_tpu.parallel import sharded_wf as SW
+    from cmblensing_tpu.parallel.sharded_fft import (pad_multiplier,
+                                                     fourier_diag_apply_sharded)
+    from cmblensing_tpu.inference.sampling import mass_matrix_phi
+    from cmblensing_tpu.ops import deriv
+    ds = sim32["ds"]
+    f_qu = sim32["f"].to(Basis("QU", "map"))
+    phi_m = sim32["phi"].to(sim32["phi"].basis.with_space("map"))
+    proj = phi_m.proj
+    N_frog = 5
+
+    with deriv.mode_ctx("matmul"):
+        ops = SW._lensing_quadforms(ds, mesh4, "sp", None)
+        Lam = mass_matrix_phi({}, ds)
+        lam = jnp.real(jnp.asarray(Lam.diag.arr))
+        inv_lam = pad_multiplier(SW._safe_inv(lam), mesh4, "sp")
+        fsh = shard_spatial(f_qu, mesh4)
+        phish = shard_spatial(phi_m, mesh4)
+
+        def U(p):
+            return SW.sharded_lensing_logpdf(ds, fsh, p, mesh4, "sp",
+                                             None, NSTEPS, _ops=ops)
+        Ug = jax.grad(lambda x: jnp.sum(U(Field(x, phi_m.basis, proj))))
+
+        def solve(pa):
+            return fourier_diag_apply_sharded(
+                inv_lam, Field(pa, phi_m.basis, proj), mesh4, "sp",
+                None).arr
+
+        traj = SW._hmc_traj_program(
+            U, lambda x: Field(Ug(x.arr), phi_m.basis, proj), solve,
+            phi_m.basis, proj, N_frog, 0.01)
+        tree = collective_loop_tree(traj, phish.arr, phish.arr)
+
+    # the leapfrog scan body: the one loop with its own flow sub-loops
+    loops = _find_loops_with_a2a(tree)
+    frog = [n for n in loops if _find_loops_with_a2a(n)]
+    assert len(frog) == 1, [n["name"] for n in loops]
+    frog = frog[0]
+    per_frog = (frog["direct"]["all-to-all"]["bytes"]
+                + sum(NSTEPS * fl["direct"]["all-to-all"]["bytes"]
+                      for fl in _find_loops_with_a2a(frog)))
+    assert per_frog == hmc_leapfrog_a2a_bytes(proj, 4, NSTEPS)
+    # the per-frog all_gather is the gradient evaluation's one
+    assert frog["direct"].get("all-gather", {}).get("bytes") == \
+        grad_eval_allgather_bytes(proj)
+
+
+def test_gibbs_pass_model_composes():
+    """The Gibbs-pass model is exactly its parts (the parts being
+    HLO-asserted above): cg_iters WF iterations + hmc_N leapfrogs."""
+    proj = ProjLambert(32, 32, thetapix=3, T=np.float32)
+    got = gibbs_pass_a2a_bytes(proj, 4, cg_iters=10, hmc_N=5,
+                               nsteps_flow=7)
+    assert got == (10 * wf_iteration_a2a_bytes(proj, 4, 7)
+                   + 5 * hmc_leapfrog_a2a_bytes(proj, 4, 7))
+
+
+def test_bench_gibbs_prediction_row():
+    """BENCH.md's 'predicted v5e-8 16384² Gibbs pass' row reproduces
+    from the public API (cg_iters=25, hmc_N=25, nsteps_flow=7 — the
+    production sample_512_batched recipe scaled up)."""
+    proj = ProjLambert(16384, 16384, thetapix=2, T=np.float32)
+    per_pass = gibbs_pass_a2a_bytes(proj, 8, cg_iters=25, hmc_N=25,
+                                    nsteps_flow=7)
+    plane = 16384 * 16384 // 8 * 4
+    # WF iter: 2 flows x 16 planes x 7 steps + 3 EB-diag trips;
+    # leapfrog: 48x7 flow planes + 5 EB + 11 prologue + 1 spin-0 solve
+    kp = -(-(16384 // 2 + 1) // 8) * 8
+    eb = 2 * 2 * 16384 * kp * 8 // 8
+    s0 = eb // 2
+    wf_it = (2 * 16 * 7) * plane + 3 * eb
+    frog = 48 * 7 * plane + 5 * eb + 11 * plane + s0
+    assert per_pass == 25 * wf_it + 25 * frog
+    t = predict_ici_time(per_pass, 8)
+    assert t == pytest.approx(per_pass * 7 / 8 / 2 / (4 * 45e9) * 8)
+
+
 def test_predict_ici_time_arithmetic():
     """Ring-model arithmetic: per-device payload S over a P-ring
     crosses the bisection (2 links × 2 directions × link_GBps) once

@@ -326,9 +326,10 @@ def test_kde_boundary_correction():
 
 
 def test_kde_2d_boundary_linear_kernel():
-    """2-D boundary correction is the per-axis LINEAR kernel (the
-    separable form of getdist's 2-D correction, chains.jl:236-260) —
-    unbiased to O(h^2) at edges and corners, not just mass-preserving."""
+    """2-D boundary correction is the exact 2-D LINEAR boundary kernel
+    (getdist's 2-D correction, chains.jl:236-260; local 3x3 moment
+    solve) — unbiased to O(h^2) at edges and corners, not just
+    mass-preserving."""
     from cmblensing_tpu.inference.chains import kde
     rng = np.random.default_rng(1)
     xy = rng.uniform(0, 1, (40000, 2))
@@ -351,3 +352,36 @@ def test_kde_2d_boundary_linear_kernel():
                        boundary=((0.0, None), (0.0, 1.0)))
     edge = F2[8:56, 0].mean()   # x = 0 column, central y rows
     assert abs(edge - 0.7979) < 0.07, edge
+
+
+def test_kde2d_corner_exact():
+    """At a CORNER of a doubly-bounded density with nonzero cross
+    curvature (independent Exp(2) marginals on [0, inf)^2: p(0,0) = 4,
+    d2p/dxdy(0,0) = 16) the exact 2-D linear boundary kernel
+    (inference/chains.py::_kde2d_linear_boundary) is less biased than
+    the separable per-axis product it replaced — the separable form's
+    forced beta_x*gamma_y*u*v term couples to p_xy and inflates the
+    corner estimate. getdist (what the reference uses,
+    src/chains.jl:236-260) computes the exact form."""
+    from cmblensing_tpu.inference.chains import (
+        kde, _kernel_matrix_corrected, _bandwidth)
+    rng = np.random.default_rng(3)
+    n = 120000
+    xy = rng.exponential(0.5, (n, 2))
+    g = np.linspace(0, 0.5, 41)
+    gx, gy, F = kde(xy, grid=(g, g), boundary=((0.0, None), (0.0, None)))
+
+    # the separable per-axis correction, for comparison
+    hx = _bandwidth(xy[:, 0], 1.0)
+    hy = _bandwidth(xy[:, 1], 1.0)
+    Kx = _kernel_matrix_corrected(g, xy[:, 0], hx, (0.0, None))
+    Ky = _kernel_matrix_corrected(g, xy[:, 1], hy, (0.0, None))
+    F_sep = np.maximum(Ky @ Kx.T, 0.0) / (n * hx * hy)
+
+    truth = 4.0 * np.exp(-2 * (gx[None, :] + gy[:, None]))
+    err_exact = abs(F[0, 0] - truth[0, 0])
+    err_sep = abs(F_sep[0, 0] - truth[0, 0])
+    assert err_exact < err_sep, (F[0, 0], F_sep[0, 0], truth[0, 0])
+    assert err_exact < 0.10 * truth[0, 0], (F[0, 0], truth[0, 0])
+    # away from the boundary the two agree
+    assert abs(F[30, 30] - F_sep[30, 30]) < 0.02 * truth[30, 30]
