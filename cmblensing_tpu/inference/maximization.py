@@ -714,7 +714,8 @@ def MAP_marg(ds: DataSet, theta=None, key=None, phistart=None, nsteps=10,
                          g_data.proj)
         phi, gnorm = _jit_marg_update(dstheta, theta, phi, g_data, gbar,
                                       jnp.float32(alpha))
-        history.append(dict(step=step, phi=phi))
+        history.append(dict(step=step, phi=phi,
+                            gradnorm=float(np.asarray(gnorm))))
         if progress:
             print(f"MAP_marg step {step}: |g|={float(gnorm):.3g}")
 

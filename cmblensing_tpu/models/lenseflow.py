@@ -328,6 +328,17 @@ def _backward_flow_scan_body(f1, dy, g, h, proj, t1, t0, nsteps,
     # (scripts/perf_bwd_floor.py): CMBL_BWD_ACC6=1 restores the 6-plane
     # form.
     acc5 = not _os.environ.get("CMBL_BWD_ACC6")
+    # bf16 STATE storage (round-2..5 thread, BENCH.md): carry the
+    # (f, delta_f) planes through the scan as bfloat16 so every
+    # carry read/write and every stage's derivative-operand read moves
+    # half the HBM bytes (the upcast fuses into the consumer; the
+    # delta_phi integrand ACCUMULATORS stay f32 — 28 RK-weighted
+    # updates in bf16 would lose ~2^-8 relative in the one output that
+    # is pure accumulation). Compute stays in the active matmul
+    # precision. Costs ~2^-8 relative state rounding per stage:
+    # measured gradient parity and MAP convergence rows in BENCH.md.
+    state_bf16 = _os.environ.get("CMBL_BWD_STATE_DTYPE") == "bf16"
+    cdt = jnp.bfloat16 if state_bf16 else f1.dtype
 
     def integrands(t, f, df):
         px, py = _p_t(t, g, h)
@@ -353,16 +364,22 @@ def _backward_flow_scan_body(f1, dy, g, h, proj, t1, t0, nsteps,
 
     def step(carry, i):
         f, df, acc = carry
+        if state_bf16:
+            f = f.astype(f1.dtype)
+            df = df.astype(f1.dtype)
         t = t1 + i * hstep
         k1, a1 = integrands(t, f, df)
-        k2, a2 = integrands(t + hstep / 2, f + (hstep / 2) * k1[0],
-                            df + (hstep / 2) * k1[1])
-        k3, a3 = integrands(t + hstep / 2, f + (hstep / 2) * k2[0],
-                            df + (hstep / 2) * k2[1])
-        k4, a4 = integrands(t + hstep, f + hstep * k3[0],
-                            df + hstep * k3[1])
-        f = f + (hstep / 6) * (k1[0] + 2 * (k2[0] + k3[0]) + k4[0])
-        df = df + (hstep / 6) * (k1[1] + 2 * (k2[1] + k3[1]) + k4[1])
+        k2, a2 = integrands(t + hstep / 2,
+                            (f + (hstep / 2) * k1[0]).astype(cdt),
+                            (df + (hstep / 2) * k1[1]).astype(cdt))
+        k3, a3 = integrands(t + hstep / 2,
+                            (f + (hstep / 2) * k2[0]).astype(cdt),
+                            (df + (hstep / 2) * k2[1]).astype(cdt))
+        k4, a4 = integrands(t + hstep,
+                            (f + hstep * k3[0]).astype(cdt),
+                            (df + hstep * k3[1]).astype(cdt))
+        f = (f + (hstep / 6) * (k1[0] + 2 * (k2[0] + k3[0]) + k4[0])).astype(cdt)
+        df = (df + (hstep / 6) * (k1[1] + 2 * (k2[1] + k3[1]) + k4[1])).astype(cdt)
         acc = tuple(a + (hstep / 6) * (i1 + 2 * (i2 + i3) + i4)
                     for a, i1, i2, i3, i4 in zip(acc, a1, a2, a3, a4))
         return (f, df, acc), None
@@ -389,8 +406,11 @@ def _backward_flow_scan_body(f1, dy, g, h, proj, t1, t0, nsteps,
             else:  # pre-0.9 jax
                 zplane = jax.lax.pvary(zplane, tuple(sorted(vma)))
     acc0 = (zplane,) * (5 if acc5 else 6)
-    (f0, df0, acc), _ = jax.lax.scan(step, (f1, dy, acc0),
+    (f0, df0, acc), _ = jax.lax.scan(step,
+                                     (f1.astype(cdt), dy.astype(cdt), acc0),
                                      jnp.arange(nsteps), unroll=_unroll(proj))
+    if state_bf16:
+        df0 = df0.astype(f1.dtype)
     if acc5:
         dphi = div_plus_dij5(acc[0], acc[1], acc[2], acc[3],
                              acc[4], proj)[..., None, :, :]

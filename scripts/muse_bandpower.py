@@ -4,7 +4,7 @@ the reference's MuseInference headline use case
 (ext/CMBLensingMuseInferenceExt.jl + proj_lambert.jl:374-411), here
 first-party: banded ParamDependentOp covariance + flat-spec muse().
 
-Usage: python scripts/muse_bandpower.py [N] [nbins] [nsims]
+Usage: python scripts/muse_bandpower.py [N] [nbins] [nsims] [pol]
 """
 import sys, time
 sys.path.insert(0, ".")
@@ -18,13 +18,13 @@ except Exception:
     pass
 
 
-def main(N=128, nbins=3, nsims=8, nsteps=4):
+def main(N=128, nbins=3, nsims=8, pol="I", nsteps=4):
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         from cmblensing_tpu.models.dataset import load_sim
         from cmblensing_tpu.core.cov import Cl_to_Cov
         from cmblensing_tpu.utils.cls import camb
-        out = load_sim(thetapix=3, Nside=N, pol="I", T=np.float32, seed=0)
+        out = load_sim(thetapix=3, Nside=N, pol=pol, T=np.float32, seed=0)
         ds, proj = out["ds"], out["proj"]
         # phi bandpower bins: percentile edges of the grid's nonzero
         # |l| distribution so every bin holds a comparable number of
@@ -55,17 +55,22 @@ def main(N=128, nbins=3, nsims=8, nsteps=4):
                                                     fixed_iters=True)))
     dt = time.time() - t0
     A = np.asarray(res["theta"]["Aphi_b"])
-    sig = np.sqrt(np.diag(res["Sigma"]))
+    Sigma = np.asarray(res["Sigma"])
+    sig = np.sqrt(np.diag(Sigma))
     pulls = (A - truth) / sig
-    print(f"bandpower MUSE {N}^2 I, {nbins} phi bins, nsims={nsims}, "
+    chi2 = float((A - truth) @ np.linalg.solve(Sigma, A - truth))
+    print(f"bandpower MUSE {N}^2 {pol}, {nbins} phi bins, nsims={nsims}, "
           f"{dt:.0f}s:", flush=True)
     for i, lab in enumerate(res["labels"]):
         print(f"  {lab}: {A[i]:.3f} +/- {sig[i]:.3f} "
               f"(truth {truth[i]:.2f}, pull {pulls[i]:+.2f} sigma)",
-              flush=True)
+          flush=True)
+    print(f"joint chi2(theta_hat - truth | Sigma) = {chi2:.2f} / "
+          f"{nbins} dof", flush=True)
     assert np.all(np.abs(pulls) < 4.0), pulls
 
 
 if __name__ == "__main__":
     a = [int(x) for x in sys.argv[1:4]]
-    main(*a)
+    pol = sys.argv[4] if len(sys.argv) > 4 else "I"
+    main(*a, pol=pol) if a else main(pol=pol)

@@ -142,3 +142,39 @@ def test_muse_bandpower_micro():
     assert res["labels"] == ["Aphi_b[0]", "Aphi_b[1]"]
     assert np.asarray(res["theta"]["Aphi_b"]).shape == (2,)
     assert np.isfinite(res["Sigma"]).all() and res["Sigma"].shape == (2, 2)
+
+
+@pytest.mark.slow
+def test_muse_bandpower_pull_calibrated():
+    """Per-bin sigma consistency of bandpower MUSE on a small grid
+    (VERDICT r4 item 5): data simulated at a TILTED per-bin truth, the
+    recovered amplitudes pull within a few of their own estimated
+    sigmas in EVERY bin, and Sigma is positive definite. Mirrors
+    scripts/muse_bandpower.py at test scale. Reference headline use:
+    ext/CMBLensingMuseInferenceExt.jl:45-88 + proj_lambert.jl:374-411."""
+    from cmblensing_tpu.core.cov import Cl_to_Cov
+    from cmblensing_tpu.utils.cls import camb
+    nbins = 3
+    out = load_sim(thetapix=3, Nside=64, pol="I", T=np.float32, seed=0)
+    ds, proj = out["ds"], out["proj"]
+    lm = np.asarray(proj.lmag).ravel()
+    lm = lm[lm > 0]
+    inner = np.percentile(lm, np.linspace(0, 100, nbins + 1)[1:-1])
+    edges = np.concatenate([[0.0], inner, [1e9]])
+    Cphi_b = Cl_to_Cov("I", proj, (camb()["total"]["pp"], edges, "Aphi_b"))
+    ds = ds.replace(Cphi=Cphi_b)
+    truth = np.linspace(1.5, 0.8, nbins)
+    sim = ds.simulate(jax.random.PRNGKey(7), theta=dict(Aphi_b=truth))
+    ds = ds.replace(d=sim["d"])
+
+    res = muse(ds, dict(Aphi_b=np.ones(nbins)), nsims=6, nsteps=3,
+               key=jax.random.PRNGKey(3),
+               MAP_kwargs=dict(nsteps=4,
+                               conjgrad_kwargs=dict(tol=0.0, nsteps=20,
+                                                    fixed_iters=True)))
+    A = np.asarray(res["theta"]["Aphi_b"])
+    Sigma = np.asarray(res["Sigma"])
+    evals = np.linalg.eigvalsh(Sigma)
+    assert np.all(evals > 0), Sigma
+    pulls = (A - truth) / np.sqrt(np.diag(Sigma))
+    assert np.all(np.abs(pulls) < 3.5), (A, np.sqrt(np.diag(Sigma)), pulls)
