@@ -344,19 +344,30 @@ def _jit_mixed_logpdf_alpha(dstheta, theta, f_mix, phi_mix, dphi, alpha,
                                     theta=theta))
 
 
-def _mixed_gaussian_residuals(dstheta, theta, f_mix, phi_mix):
-    """The (z_i, Sigma_i) pairs of the mixed posterior's Gaussian terms
+def _mixed_gaussian_covs(dstheta, theta):
+    """The alpha-independent Sigma_i of the mixed posterior's Gaussian
+    terms (order matches _mixed_gaussian_z)."""
+    from ..models.dataset import _op_call
+    return [_op_call(dstheta.Cf, theta), _op_call(dstheta.Cphi, theta),
+            _op_call(dstheta.Cn, theta)]
+
+
+def _mixed_gaussian_z(dstheta, theta, f_mix, phi_mix):
+    """The residual fields z_i of the mixed posterior's Gaussian terms
     (logdet pieces are alpha-independent in a line search and cancel)."""
     from ..models.dataset import _op_call
     u = unmix(dstheta, f_mix=f_mix, phi_mix=phi_mix, theta=theta)
     f, phi = u["f"], u["phi"]
     ds = dstheta
-    Cf = _op_call(ds.Cf, theta)
-    Cphi = _op_call(ds.Cphi, theta)
-    Cn = _op_call(ds.Cn, theta)
     ft = ds.L(phi) @ f
     mu = _op_call(ds.M, theta) @ (_op_call(ds.B, theta) @ ft)
-    return [(f, Cf), (phi, Cphi), (ds.d - mu, Cn)]
+    return [f, phi, ds.d - mu]
+
+
+def _mixed_gaussian_residuals(dstheta, theta, f_mix, phi_mix):
+    """(z_i, Sigma_i) pairs — kept for probes/back-compat."""
+    zs = _mixed_gaussian_z(dstheta, theta, f_mix, phi_mix)
+    return list(zip(zs, _mixed_gaussian_covs(dstheta, theta)))
 
 
 def _linesearch_chunk(phi_mix, ngrid):
@@ -389,14 +400,28 @@ def _jit_grid_linesearch(dstheta, theta, f_mix, phi_mix, dphi, amax, ngrid,
 
     so float32 precision applies to the *difference* (whose scale is
     the actual logpdf change), not to the ~1e7 totals whose rounding
-    would otherwise swamp the comparison on large maps. One vmapped
-    on-device evaluation for all ngrid alphas."""
+    would otherwise swamp the comparison on large maps.
+
+    PATH CONSISTENCY (the round-5 4096^2 fix): z_i(0) MUST come out of
+    the same compiled computation as the z_i(a) — alpha=0 is prepended
+    to the trial grid and evaluated through the identical vmapped (or
+    scan-chunked) body. Computing res0 in a separate unbatched
+    subgraph lets XLA schedule its matmuls/reductions differently, and
+    on TPU the resulting path difference e = z_vmap - z_scalar, tiny
+    per element, is amplified by the Sigma^-1 metric (steep Cf/Cphi
+    tails) to ~1e6-1e7 in <dz, Sigma^-1 s> at 4096^2 — swamping the
+    ~1e4 true signal and driving every step to the alpha=0 self-guard
+    (measured: scripts/debug_ls4096*.py; CPU is bit-identical between
+    the two paths, which is why small-size tests never caught it)."""
     rdt = phi_mix.arr.real.dtype
     steps = (jnp.arange(1, ngrid + 1, dtype=rdt) / ngrid) ** 1.5
     amax = jnp.asarray(amax, rdt)
     # amax may be per-batch-entry: each batched dataset gets its own
     # alpha grid and its own argmax
     alphas = amax * steps if amax.ndim == 0 else steps[:, None] * amax[None, :]
+    # alpha=0 is trial 0, evaluated through the same body as the rest
+    alphas = jnp.concatenate([jnp.zeros_like(alphas[:1]), alphas])
+    n_aug = ngrid + 1
 
     def _bcast(alpha):
         if jnp.ndim(alpha) == 0:
@@ -404,15 +429,18 @@ def _jit_grid_linesearch(dstheta, theta, f_mix, phi_mix, dphi, amax, ngrid,
         return alpha.reshape(alpha.shape + (1,) * (phi_mix.arr.ndim - jnp.ndim(alpha)))
 
     with _pctx(precision):
-        res0 = _mixed_gaussian_residuals(dstheta, theta, f_mix, phi_mix)
+        covs = _mixed_gaussian_covs(dstheta, theta)
 
-        def dlp_at(alpha):
-            res_a = _mixed_gaussian_residuals(dstheta, theta, f_mix,
-                                              phi_mix + _bcast(alpha) * dphi)
+        def zs_at(alpha):
+            return _mixed_gaussian_z(dstheta, theta, f_mix,
+                                     phi_mix + _bcast(alpha) * dphi)
+
+        def dlp_from(zs_a, zs_0):
             total = 0.0
-            for (za, Sa), (z0, S0) in zip(res_a, res0):
-                dz = za - z0.to(za.basis)
-                s = za + z0.to(za.basis)
+            for za, z0, Sa in zip(zs_a, zs_0, covs):
+                z0 = z0.to(za.basis)
+                dz = za - z0
+                s = za + z0
                 total = total - 0.5 * field_dot(dz, Sa.solve(s))  # () or (nb,)
             return total
 
@@ -422,12 +450,40 @@ def _jit_grid_linesearch(dstheta, theta, f_mix, phi_mix, dphi, amax, ngrid,
         if chunk is None:
             chunk = _linesearch_chunk(phi_mix, ngrid)
         if chunk >= ngrid:
-            dlps = jax.vmap(dlp_at)(alphas)            # (ngrid,) or (ngrid, nb)
+            # one vmapped evaluation of all trials incl. alpha=0 (one
+            # trial more than `chunk`, a ~6% overhead preferable to a
+            # 2-iteration scan); z(0) is row 0 of the same batched result
+            zst = jax.vmap(zs_at)(alphas)
+            z0 = jax.tree_util.tree_map(lambda a: a[0], zst)
+            dlps = jax.vmap(lambda zs: dlp_from(zs, z0))(zst)
         else:
-            dlps = jax.lax.map(dlp_at, alphas, batch_size=chunk)
-    alphas = jnp.concatenate([jnp.zeros_like(alphas[:1]), alphas])
-    dlps = jnp.concatenate([jnp.zeros_like(dlps[:1]), dlps])
+            # scan over chunks of the SAME vmapped body, carrying z(0)
+            # from chunk 0 (path-consistent: every chunk, including the
+            # one that produced z(0), runs the identical program)
+            m = -(-n_aug // chunk)
+            pad = m * chunk - n_aug
+            alphas_p = jnp.concatenate(
+                [alphas, jnp.zeros_like(alphas[:1]).repeat(pad, axis=0)]
+            ) if pad else alphas
+            alphas_c = alphas_p.reshape((m, chunk) + alphas.shape[1:])
+            z0_shape = jax.eval_shape(zs_at, alphas[0])
+            z0_init = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), z0_shape)
+
+            def body(carry, inp):
+                j, alpha_chunk = inp
+                zc = jax.vmap(zs_at)(alpha_chunk)
+                z0 = jax.tree_util.tree_map(
+                    lambda c, n: jnp.where(j == 0, n[0], c), carry, zc)
+                dlps_c = jax.vmap(lambda zs: dlp_from(zs, z0))(zc)
+                return z0, dlps_c
+
+            _, dlps_c = jax.lax.scan(
+                body, z0_init, (jnp.arange(m), alphas_c))
+            dlps = dlps_c.reshape((m * chunk,) + dlps_c.shape[2:])[:n_aug]
     dlps = jnp.where(jnp.isfinite(dlps), dlps, -jnp.inf)
+    # trial 0 IS alpha=0 (self-guard): its dlp is exactly 0 by
+    # construction (dz == 0 through the shared path)
     i = jnp.argmax(dlps, axis=0)                       # () or (nb,)
     if alphas.ndim == 1:
         alpha_sel = alphas[i]

@@ -18,7 +18,10 @@ def _full_plane_lmag(proj):
 
 def _spin0_fourier_full(f: Field):
     g = f.to(FOURIER) if f.basis.pol == "I" else f
-    arr = np.asarray(g.arr)
+    # complex-safe host fetch: tunneled TPU attachments cannot
+    # transfer complex arrays directly (utils/transfer.py)
+    from .transfer import device_get_safe
+    arr = device_get_safe(g.arr)
     assert arr.shape[-3] == 1
     # Nx must be passed explicitly: the even-grid inference 2*(Nxh-1)
     # silently yields an (Ny, Nx-1) plane on odd-Nx grids

@@ -76,6 +76,36 @@ def test_grid_linesearch_chunked_parity(sim32, monkeypatch):
     np.testing.assert_allclose(float(d0), float(d1), rtol=1e-4, atol=1e-4)
 
 
+def test_grid_linesearch_path_consistent(sim32, monkeypatch):
+    """Round-5 4096^2 regression: alpha=0 is evaluated THROUGH the same
+    vmapped/scanned body as the trials (res0 from a separate unbatched
+    subgraph acquires a TPU path-rounding bias that the Sigma^-1 metric
+    amplifies past the true Delta-logpdf — see _jit_grid_linesearch
+    docstring). Contract checked here: (1) the scan path with chunk
+    padding (chunk=4, ngrid+1=9 -> pad=3) matches the vmap path;
+    (2) a zero direction selects alpha=0 with dlp exactly 0 (the
+    self-guard trial exists and is exact through the shared path);
+    (3) the selected dlp is never negative."""
+    from cmblensing_tpu.inference import maximization as mx
+    from cmblensing_tpu.models.dataset import mix
+    ds, f, phi = sim32["ds"], sim32["f"], sim32["phi"]
+    m = mix(ds, f=f, phi=phi)
+    f_mix, phi_mix = m["f_mix"], m["phi_mix"]
+    dphi = phi_mix * 0.5
+    amax = jnp.float32(1.0)
+    a_v, d_v = mx._jit_grid_linesearch(ds, {}, f_mix, phi_mix, dphi,
+                                       amax, 8, None, 8)
+    a_s, d_s = mx._jit_grid_linesearch(ds, {}, f_mix, phi_mix, dphi,
+                                       amax, 8, None, 4)
+    np.testing.assert_allclose(float(a_v), float(a_s), rtol=1e-6)
+    np.testing.assert_allclose(float(d_v), float(d_s), rtol=1e-4, atol=1e-4)
+    assert float(d_v) >= 0.0
+    a_z, d_z = mx._jit_grid_linesearch(ds, {}, f_mix, phi_mix, dphi * 0.0,
+                                       amax, 8, None, 8)
+    assert float(a_z) == 0.0
+    assert float(d_z) == 0.0
+
+
 def test_MAP_marg_runs(sim32):
     ds = sim32["ds"]
     phi, hist = MAP_marg(ds, nsteps=2, Nsims=4, nsteps_with_meanfield_update=1,
