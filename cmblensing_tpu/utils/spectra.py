@@ -17,15 +17,23 @@ def _full_plane_lmag(proj):
 
 
 def _spin0_fourier_full(f: Field):
-    g = f.to(FOURIER) if f.basis.pol == "I" else f
-    # complex-safe host fetch: tunneled TPU attachments cannot
-    # transfer complex arrays directly (utils/transfer.py)
+    # Spectra are host-side post-processing: fetch to host FIRST
+    # (complex-safe — tunneled TPU attachments cannot transfer complex
+    # arrays, utils/transfer.py) and run the transform + unfold on the
+    # CPU backend. Leaving them to the default device re-dispatches the
+    # numpy inputs to the TPU attachment, where the unfold slicing is
+    # Unimplemented at large N (observed at 4096^2).
+    import jax
     from .transfer import device_get_safe
-    arr = device_get_safe(g.arr)
-    assert arr.shape[-3] == 1
-    # Nx must be passed explicitly: the even-grid inference 2*(Nxh-1)
-    # silently yields an (Ny, Nx-1) plane on odd-Nx grids
-    return np.asarray(unfold(arr[..., 0, :, :], Nx=f.proj.Nx))
+    cpu = jax.devices("cpu")[0]
+    f = device_get_safe(f)
+    with jax.default_device(cpu):
+        g = f.to(FOURIER) if f.basis.pol == "I" else f
+        arr = np.asarray(jax.device_get(g.arr))
+        assert arr.shape[-3] == 1
+        # Nx must be passed explicitly: the even-grid inference 2*(Nxh-1)
+        # silently yields an (Ny, Nx-1) plane on odd-Nx grids
+        return np.asarray(jax.device_get(unfold(arr[..., 0, :, :], Nx=f.proj.Nx)))
 
 
 def get_Cl(f1: Field, f2: Field = None, dl=50, ledges=None, Clfid=None, err_estimate=False):
@@ -44,8 +52,8 @@ def get_Cl(f1: Field, f2: Field = None, dl=50, ledges=None, Clfid=None, err_esti
     lmag = _full_plane_lmag(proj)
     alpha = proj.Nx * proj.Ny / float(proj.deltax) ** 2
 
-    F1 = _spin0_fourier_full(f1.to(FOURIER))
-    F2 = _spin0_fourier_full(f2.to(FOURIER))
+    F1 = _spin0_fourier_full(f1)
+    F2 = _spin0_fourier_full(f2)
     if F1.ndim > 2:
         F1 = F1.reshape((-1,) + F1.shape[-2:])[0]
         F2 = F2.reshape((-1,) + F2.shape[-2:])[0]

@@ -87,15 +87,80 @@ def main(N=4096, nsteps=10, precision="f32"):
 
     t0 = time.time()
     res = MAP_joint(ds_d, nsteps=nsteps, linesearch="grid",
-                    history_keys=("logpdf", "alpha"), conjgrad_kwargs=cg)
+                    history_keys=("logpdf", "alpha", "gradnorm", "cg_iters"),
+                    conjgrad_kwargs=cg)
     dt = time.time() - t0
     peak = mem(dev, f"after warm {nsteps} steps")
     alphas = [round(h["alpha"], 4) for h in res["history"]]
     lps = [h["logpdf"] for h in res["history"]]
+    gns = [float(h["gradnorm"]) for h in res["history"]]
     print(f"alphas: {alphas}", flush=True)
     print(f"logpdfs: {np.round(lps, 1)}", flush=True)
+    print(f"gradnorms: {[f'{g:.4g}' for g in gns]}", flush=True)
     print(f"MAP_joint {N}^2 P: {nsteps} steps in {dt:.1f}s "
           f"({dt/nsteps:.2f}s/step warm incl. host orchestration)", flush=True)
+
+    # ---- is alpha=0 the optimum or a noise stall? probe the dlp curve
+    # at the final iterate on a fine alpha grid: at a genuine optimum
+    # every trial's cancellation-free Delta-logpdf is <= 0 within noise
+    from cmblensing_tpu.inference.maximization import (
+        _jit_phi_grad_and_fmix, hessian_phimix_preconditioner,
+        _mixed_gaussian_covs, _mixed_gaussian_z)
+    from cmblensing_tpu.core.field import dot as field_dot
+    dstheta = ds_d.at({})
+    from cmblensing_tpu.core.ops import Id
+    dstheta = dstheta.replace(G=Id)
+    f_mix, phi_mix, g = _jit_phi_grad_and_fmix(dstheta, {}, res["f"],
+                                               res["phi"], precision)
+    Hpre_inv = hessian_phimix_preconditioner(dstheta).pinv()
+    dphi = Hpre_inv @ g
+
+    @jax.jit
+    def dlp_probe(dstheta, f_mix, phi_mix, dphi, alphas):
+        # path-consistent scan with chunk=1 (the 4096^2 memory guard):
+        # every alpha, including the alpha=0 whose z seeds the carry,
+        # runs the identical scan-body program
+        covs = _mixed_gaussian_covs(dstheta, {})
+
+        def zs_at(a):
+            return list(_mixed_gaussian_z(dstheta, {}, f_mix,
+                                          phi_mix + a * dphi))
+
+        z0_shape = jax.eval_shape(zs_at, alphas[0])
+        z0_init = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), z0_shape)
+
+        def body(z0, inp):
+            i, a = inp
+            zs = zs_at(a)
+            z0 = jax.tree_util.tree_map(
+                lambda c, n: jnp.where(i == 0, n, c), z0, zs)
+            tot = 0.0
+            for za, z0c, Sa in zip(zs, z0, covs):
+                z0b = z0c.to(za.basis)
+                dz = za - z0b
+                s = za + z0b
+                tot = tot - 0.5 * field_dot(dz, Sa.solve(s))
+            return z0, tot
+
+        _, dlps = jax.lax.scan(
+            body, z0_init, (jnp.arange(alphas.shape[0]), alphas))
+        return dlps
+
+    probe_alphas = jnp.array([0.0, 1e-3, 3e-3, 0.01, 0.03, 0.1, 0.25],
+                             dtype=jnp.float32)
+    dlps = np.asarray(jax.device_get(
+        dlp_probe(dstheta, f_mix, phi_mix, dphi, probe_alphas)))
+    print("final-iterate dlp probe (alpha: dlp):", flush=True)
+    for a, d in zip(np.asarray(probe_alphas), dlps):
+        print(f"  {a:8.4f}: {d:+.6g}", flush=True)
+
+    from cmblensing_tpu.utils.transfer import device_get_safe as _get
+    with open(f"/tmp/map{N}_result.pkl", "wb") as fh:
+        pickle.dump({"phi": _get(res["phi"]), "f": _get(res["f"]),
+                     "history": res["history"], "dlp_probe":
+                     (np.asarray(probe_alphas), dlps)}, fh)
+    print(f"saved result to /tmp/map{N}_result.pkl", flush=True)
 
     phi_map = res["phi"].to(res["phi"].basis.with_space("map"))
     phi_map = device_get_safe(phi_map)
