@@ -391,9 +391,10 @@ def _linesearch_chunk(phi_mix, ngrid):
 
 
 @partial(jax.jit, static_argnums=(6, 7, 8))
-def _jit_grid_linesearch(dstheta, theta, f_mix, phi_mix, dphi, amax, ngrid,
-                         precision=None, chunk=None):
-    """Batched line search maximizing Delta logpdf(alpha) computed
+def _jit_grid_linesearch_dlps(dstheta, theta, f_mix, phi_mix, dphi, amax,
+                              ngrid, precision=None, chunk=None):
+    """The grid line search's trial evaluations: returns (alphas, dlps)
+    with alpha=0 as trial 0 — the per-trial Delta logpdf(alpha) computed
     cancellation-free:
 
         lp(a) - lp(0) = -1/2 sum_i <z_i(a) - z_i(0), Sigma_i^-1 (z_i(a) + z_i(0))>
@@ -482,6 +483,11 @@ def _jit_grid_linesearch(dstheta, theta, f_mix, phi_mix, dphi, amax, ngrid,
                 body, z0_init, (jnp.arange(m), alphas_c))
             dlps = dlps_c.reshape((m * chunk,) + dlps_c.shape[2:])[:n_aug]
     dlps = jnp.where(jnp.isfinite(dlps), dlps, -jnp.inf)
+    return alphas, dlps
+
+
+@jax.jit
+def _jit_grid_argmax(alphas, dlps):
     # trial 0 IS alpha=0 (self-guard): its dlp is exactly 0 by
     # construction (dz == 0 through the shared path)
     i = jnp.argmax(dlps, axis=0)                       # () or (nb,)
@@ -490,6 +496,16 @@ def _jit_grid_linesearch(dstheta, theta, f_mix, phi_mix, dphi, amax, ngrid,
     else:
         alpha_sel = jnp.take_along_axis(alphas, i[None, :], axis=0)[0]
     return alpha_sel, jnp.max(dlps, axis=0)
+
+
+def _jit_grid_linesearch(dstheta, theta, f_mix, phi_mix, dphi, amax, ngrid,
+                         precision=None, chunk=None):
+    """Grid line search: argmax over the cancellation-free trial dlps
+    (see _jit_grid_linesearch_dlps; split so probes/debug can see the
+    per-trial values — the argmax is a trivial second dispatch)."""
+    alphas, dlps = _jit_grid_linesearch_dlps(
+        dstheta, theta, f_mix, phi_mix, dphi, amax, ngrid, precision, chunk)
+    return _jit_grid_argmax(alphas, dlps)
 
 
 def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
@@ -505,10 +521,17 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
     quasi-samples instead of maximizing.
 
     precision="auto" (= "high": 3-pass bf16 matmuls, ~2x TPU
-    throughput, no-op on CPU) applies to the phi-step gradient, line
-    search and unmix. The grid line search self-guards (alpha=0 is in
-    the grid, so a corrupted direction yields a null step) and the
-    f-step CG has its own strict-residual check (see argmaxf_logpdf).
+    throughput, no-op on CPU) applies to the phi-step gradient and
+    unmix. The LINE SEARCH always evaluates strict f32: its
+    cancellation-free Delta-logpdf trials are ~1e-5 of the logpdf
+    scale, and 'high' matmul rounding through the steep Cphi/Cf tails
+    swamps them at large N (measured at 4096^2: random-sign dlps and a
+    permanently-stalled alpha=0 under 'high' vs a clean monotone curve
+    at f32 on the same iterate — scripts/debug_ls4096c.py). The
+    alpha=0 self-guard bounds the damage (a corrupted trial set yields
+    a null step, never a bad one) but cannot recover progress, so
+    correctness of the trials themselves is non-negotiable. The f-step
+    CG keeps its own strict-residual check (see argmaxf_logpdf).
     Pass precision=None for strict f32 everywhere (measured identical
     convergence at 1024^2, BENCH.md)."""
     theta = theta or {}
@@ -552,13 +575,17 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
     # MAP_joint repeatedly (e.g. from MUSE) hits the same compile cache
     # instead of re-jitting per call
     prec = "high" if precision == "auto" else precision
+    # line-search trials are strict f32 regardless of prec: 'high'
+    # rounding corrupts the small Delta-logpdfs at large N (see
+    # docstring; 4096^2 evidence in scripts/debug_ls4096c.py)
+    ls_prec = "f32" if prec in ("high", "bf16") else prec
 
     def phi_grad_and_fmix(f, phi):
         return _jit_phi_grad_and_fmix(dstheta, theta, f, phi, prec)
 
     def mixed_logpdf_alpha(f_mix, phi_mix, dphi, alpha):
         return _jit_mixed_logpdf_alpha(dstheta, theta, f_mix, phi_mix, dphi,
-                                       jnp.float32(alpha), prec)
+                                       jnp.float32(alpha), ls_prec)
 
     history = []
     alpha = 1.0
@@ -622,7 +649,7 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
                     # get a per-entry alpha (see _jit_grid_linesearch)
                     alpha_dev, _ = _jit_grid_linesearch(
                         dstheta, theta, f_mix, phi_mix, dphi,
-                        jnp.asarray(amax, jnp.float32), int(ngrid), prec,
+                        jnp.asarray(amax, jnp.float32), int(ngrid), ls_prec,
                         _linesearch_chunk(phi_mix, int(ngrid)))
                     alpha, nfev = alpha_dev, ngrid
                     alpha_s = float(jnp.max(jnp.atleast_1d(alpha_dev)))

@@ -12,7 +12,10 @@ EXECUTES the MAP end to end and reports:
     quantifying how much of a low map-corr is just noise-dominated
     small scales (the caveat the 2048^2 row asserted without numbers).
 
-Usage: python scripts/map_4096.py [N] [nsteps] [precision]
+Usage: python scripts/map_4096.py [N] [nsteps] [precision] [resume]
+(resume="resume" warm-starts f/phi from /tmp/map{N}_result.pkl, so a
+run continues where the previous one stopped instead of repaying the
+early steps)
 """
 import os
 import sys
@@ -46,7 +49,7 @@ def bandpower_corr(phi_map, phi_true, ledges):
     return cx.ell, rho
 
 
-def main(N=4096, nsteps=10, precision="f32"):
+def main(N=4096, nsteps=10, precision="f32", resume=False):
     from cmblensing_tpu.ops import deriv
     deriv.set_matmul_precision(precision)
     cpu = jax.devices("cpu")[0]
@@ -79,16 +82,25 @@ def main(N=4096, nsteps=10, precision="f32"):
 
     cg = dict(tol=0.0, nsteps=15, fixed_iters=True)
 
+    fstart = phistart = None
+    if resume:
+        with open(f"/tmp/map{N}_result.pkl", "rb") as fh:
+            prev = pickle.load(fh)
+        fstart, phistart = device_put_safe((prev["f"], prev["phi"]), dev)
+        print(f"resuming from saved iterate (/tmp/map{N}_result.pkl)",
+              flush=True)
+
     t0 = time.time()
-    res = MAP_joint(ds_d, nsteps=2, linesearch="grid", conjgrad_kwargs=cg)
+    res = MAP_joint(ds_d, nsteps=1, linesearch="grid", conjgrad_kwargs=cg,
+                    fstart=fstart, phistart=phistart)
     t_cold = time.time() - t0
-    print(f"cold: first 2 MAP steps incl. compiles: {t_cold:.1f}s", flush=True)
-    peak_cold = mem(dev, "after cold 2 steps")
+    print(f"cold: first MAP step incl. compiles: {t_cold:.1f}s", flush=True)
+    peak_cold = mem(dev, "after cold step")
 
     t0 = time.time()
     res = MAP_joint(ds_d, nsteps=nsteps, linesearch="grid",
                     history_keys=("logpdf", "alpha", "gradnorm", "cg_iters"),
-                    conjgrad_kwargs=cg)
+                    conjgrad_kwargs=cg, fstart=fstart, phistart=phistart)
     dt = time.time() - t0
     peak = mem(dev, f"after warm {nsteps} steps")
     alphas = [round(h["alpha"], 4) for h in res["history"]]
@@ -184,4 +196,5 @@ def main(N=4096, nsteps=10, precision="f32"):
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 4096,
          int(sys.argv[2]) if len(sys.argv) > 2 else 10,
-         sys.argv[3] if len(sys.argv) > 3 else "f32")
+         sys.argv[3] if len(sys.argv) > 3 else "f32",
+         len(sys.argv) > 4 and sys.argv[4] == "resume")
