@@ -530,8 +530,15 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
     at f32 on the same iterate — scripts/debug_ls4096c.py). The
     alpha=0 self-guard bounds the damage (a corrupted trial set yields
     a null step, never a bad one) but cannot recover progress, so
-    correctness of the trials themselves is non-negotiable. The f-step
-    CG keeps its own strict-residual check (see argmaxf_logpdf).
+    correctness of the trials themselves is non-negotiable. The
+    phi-step DIRECTION is self-verifying: if the strict trials reject
+    the 'high' direction entirely (alpha=0 across the grid), the
+    gradient is recomputed strict f32 and the search retried — at
+    4096^2 the 'high' phi-gradient is measured ~2e3x too large and
+    near-orthogonal to the true one (scripts/debug_ls4096d.py), and an
+    accepted strict retry downgrades the whole run to strict (the
+    corruption is systematic in N, not stochastic). The f-step CG
+    keeps its own strict-residual check (see argmaxf_logpdf).
     Pass precision=None for strict f32 everywhere (measured identical
     convergence at 1024^2, BENCH.md)."""
     theta = theta or {}
@@ -658,6 +665,37 @@ def MAP_joint(ds: DataSet, theta=None, nsteps=20, minsteps=0, fstart=None,
                         lambda a: -float(mixed_logpdf_alpha(f_mix, phi_mix, dphi, a)),
                         0.0, amax, abs_tol=alpha_tol)
                     alpha_s = alpha
+                if alpha_s == 0.0 and prec != ls_prec:
+                    # the strict trials rejected the reduced-precision
+                    # direction outright. At large N the 'high' (3-pass
+                    # bf16) phi-gradient can be CATASTROPHICALLY wrong —
+                    # measured at 4096^2: |dphi_high|/|dphi_f32| ~ 2e3,
+                    # cos(dphi_high, dphi_f32) = 0.25, every strict trial
+                    # along it -inf (scripts/debug_ls4096d.py). Recompute
+                    # the direction strict and retry once; if the strict
+                    # direction is accepted, the corruption is systematic
+                    # at this size, so stay strict for the rest of the run
+                    # (a genuine optimum re-yields alpha=0 and keeps prec).
+                    f_mix, phi_mix, g = _jit_phi_grad_and_fmix(
+                        dstheta, theta, f, phi, ls_prec)
+                    phi_mix_pre = phi_mix
+                    dphi = Hpre_inv @ g
+                    if linesearch == "grid":
+                        alpha_dev, _ = _jit_grid_linesearch(
+                            dstheta, theta, f_mix, phi_mix, dphi,
+                            jnp.asarray(amax, jnp.float32), int(ngrid),
+                            ls_prec, _linesearch_chunk(phi_mix, int(ngrid)))
+                        alpha = alpha_dev
+                        alpha_s = float(jnp.max(jnp.atleast_1d(alpha_dev)))
+                    else:
+                        alpha, _ = _brent_min(
+                            lambda a: -float(mixed_logpdf_alpha(
+                                f_mix, phi_mix, dphi, a)),
+                            0.0, amax, abs_tol=alpha_tol)
+                        alpha_s = alpha
+                    nfev += ngrid if linesearch == "grid" else 0
+                    if alpha_s > 0.0:
+                        prec = ls_prec
 
             phi_mix, phi, lp_dev, dnorm_dev = _jit_step_unmix_and_norm(
                 dstheta, theta, f_mix, phi_mix, dphi,
